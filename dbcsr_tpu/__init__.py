@@ -1,0 +1,57 @@
+"""dbcsr_tpu — TPU-native distributed block-sparse matrix & tensor library.
+
+A brand-new JAX/XLA/Pallas implementation of the capabilities of cp2k/dbcsr
+(see SURVEY.md for the reference analysis and ARCHITECTURE.md for the
+design). Public API mirrors the reference's Fortran/C API surface
+(``src/dbcsr_api.F``) in Python-first form.
+"""
+from .block.bcsr import (
+    BCSRBuilder,
+    BCSRMatrix,
+    SYM_ANTISYMMETRIC,
+    SYM_HERMITIAN,
+    SYM_NONE,
+    SYM_SYMMETRIC,
+)
+from .block.index import BCSRIndex, build_index, merge_index
+from .core import (
+    Config,
+    config_override,
+    finalize_lib,
+    get_config,
+    init_lib,
+    print_config,
+    print_statistics,
+    set_config,
+    timed,
+    timer_report,
+)
+from .mm.engine import multiply
+from .ops.arithmetic import (
+    add,
+    add_on_diag,
+    crop,
+    dot,
+    filter_blocks,
+    function_of_elements,
+    get_diag,
+    hadamard_product,
+    scale,
+    scale_by_vector,
+    set_diag,
+    set_value,
+    trace,
+    triu,
+    zero,
+)
+from .ops.norms import (
+    block_norms,
+    block_norms_sq,
+    norm_frobenius,
+    norm_gershgorin,
+    norm_maxabs,
+)
+from .ops.random import random_block_sizes, random_dist_vector, random_matrix
+from .ops.transform import copy, desymmetrize, redistribute, transpose
+
+__version__ = "0.1.0"

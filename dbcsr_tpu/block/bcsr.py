@@ -1,0 +1,294 @@
+"""The central matrix type: logical BCSR with host index + flat device data.
+
+TPU-native redesign of ``dbcsr_type`` (``src/core/dbcsr_types.F:362-461``):
+
+- the CSR-of-blocks index lives on the host (numpy, see ``index.py``);
+- all block elements live in ONE flat device array (``data``), the analog of
+  the reference's typed ``data_area`` — block b occupies
+  ``data[blk_offset[b] : blk_offset[b+1]]`` in row-major order;
+- matrices are immutable pytree-like values (functional JAX style); the
+  mutable assembly phase (reference work matrices,
+  ``src/work/dbcsr_work_operations.F``) is a separate ``BCSRBuilder``.
+
+Symmetry (``N``/``S``/``A``/``H`` as in ``dbcsr_types.F:468-474``) stores
+only the upper block triangle (i <= j); consumers desymmetrize on demand.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.errors import dbcsr_assert
+from .index import BCSRIndex, build_index
+
+__all__ = ["BCSRMatrix", "BCSRBuilder", "SYM_NONE", "SYM_SYMMETRIC", "SYM_ANTISYMMETRIC", "SYM_HERMITIAN"]
+
+SYM_NONE = "N"
+SYM_SYMMETRIC = "S"
+SYM_ANTISYMMETRIC = "A"
+SYM_HERMITIAN = "H"
+_SYMS = (SYM_NONE, SYM_SYMMETRIC, SYM_ANTISYMMETRIC, SYM_HERMITIAN)
+
+
+@dataclass(frozen=True)
+class BCSRMatrix:
+    name: str
+    index: BCSRIndex
+    data: jax.Array  # flat [nelems]
+    sym: str = SYM_NONE
+    dist: Optional[object] = None  # dist.Distribution, None = local/replicated
+
+    def __post_init__(self):
+        dbcsr_assert(self.sym in _SYMS, f"bad symmetry {self.sym!r}")
+
+    # -- shape / structure ------------------------------------------------
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nblkrows(self) -> int:
+        return self.index.nblkrows
+
+    @property
+    def nblkcols(self) -> int:
+        return self.index.nblkcols
+
+    @property
+    def nblks(self) -> int:
+        return self.index.nblks
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.index.nfullrows, self.index.nfullcols)
+
+    @property
+    def row_block_sizes(self) -> np.ndarray:
+        return self.index.row_block_sizes
+
+    @property
+    def col_block_sizes(self) -> np.ndarray:
+        return self.index.col_block_sizes
+
+    def occupation(self) -> float:
+        """Fraction of nonzero elements (``dbcsr_get_occupation``)."""
+        full = self.index.nfullrows * self.index.nfullcols
+        if full == 0:
+            return 0.0
+        if self.sym == SYM_NONE:
+            stored = self.index.nelems
+        else:
+            bm, bn = self.index.blk_shapes
+            diag = self.index.blk_rows == self.index.col_idx
+            sizes = bm.astype(np.int64) * bn
+            stored = int(2 * sizes.sum() - sizes[diag].sum())
+        return stored / full
+
+    def with_data(self, data: jax.Array) -> "BCSRMatrix":
+        dbcsr_assert(data.shape == (self.index.nelems,), "data size mismatch")
+        return replace(self, data=data)
+
+    def astype(self, dtype) -> "BCSRMatrix":
+        return replace(self, data=self.data.astype(dtype))
+
+    # -- block access (host convenience; hot paths use the flat array) ----
+    def get_block(self, row: int, col: int) -> Optional[np.ndarray]:
+        """Fetch one block to host; handles symmetric reflection; None if
+        absent (``dbcsr_get_block_p`` analog)."""
+        tr = False
+        if self.sym != SYM_NONE and row > col:
+            row, col, tr = col, row, True
+        b = self.index.block_id(row, col)
+        if b < 0:
+            return None
+        o0, o1 = int(self.index.blk_offset[b]), int(self.index.blk_offset[b + 1])
+        bm = int(self.index.row_block_sizes[row])
+        bn = int(self.index.col_block_sizes[col])
+        blk = np.asarray(self.data[o0:o1]).reshape(bm, bn)
+        if tr:
+            blk = blk.T
+            if self.sym == SYM_ANTISYMMETRIC:
+                blk = -blk
+            elif self.sym == SYM_HERMITIAN:
+                blk = np.conj(blk)
+        return blk
+
+    def iter_blocks(self) -> Iterator[Tuple[int, int, np.ndarray]]:
+        """Yield (row, col, block) over stored blocks
+        (``dbcsr_iterator_*`` analog; data fetched to host in one transfer)."""
+        host = np.asarray(self.data)
+        bm_all, bn_all = self.index.blk_shapes
+        rows = self.index.blk_rows
+        for b in range(self.nblks):
+            o0, o1 = int(self.index.blk_offset[b]), int(self.index.blk_offset[b + 1])
+            yield int(rows[b]), int(self.index.col_idx[b]), host[o0:o1].reshape(
+                int(bm_all[b]), int(bn_all[b])
+            )
+
+    # -- conversions ------------------------------------------------------
+    def to_dense(self) -> jax.Array:
+        """Full dense matrix (symmetry expanded). Device-side scatter."""
+        from ..mm.pack import dense_scatter_map
+
+        dest = dense_scatter_map(self.index)
+        n = self.index.nfullrows * self.index.nfullcols
+        out = jnp.zeros((n,), dtype=self.dtype).at[jnp.asarray(dest)].set(self.data)
+        out = out.reshape(self.index.nfullrows, self.index.nfullcols)
+        if self.sym != SYM_NONE:
+            # reflect the strictly-lower part from the stored upper half
+            lower = jnp.tril(jnp.ones(out.shape, dtype=bool), k=-1)
+            refl = out.T
+            if self.sym == SYM_ANTISYMMETRIC:
+                refl = -refl
+            elif self.sym == SYM_HERMITIAN:
+                refl = jnp.conj(refl)
+            out = jnp.where(lower, refl, out)
+        return out
+
+    @staticmethod
+    def from_dense(
+        dense,
+        row_block_sizes,
+        col_block_sizes,
+        *,
+        name: str = "from_dense",
+        keep_zero_blocks: bool = False,
+        tol: float = 0.0,
+        dist=None,
+    ) -> "BCSRMatrix":
+        """Blocked sparsification of a dense matrix (host-side; test/setup
+        utility, analog of the conversion helpers in
+        ``src/ops/dbcsr_test_methods.F``)."""
+        dense_np = np.asarray(dense)
+        rbs = np.asarray(row_block_sizes, dtype=np.int32)
+        cbs = np.asarray(col_block_sizes, dtype=np.int32)
+        ro = np.concatenate([[0], np.cumsum(rbs)])
+        co = np.concatenate([[0], np.cumsum(cbs)])
+        dbcsr_assert(dense_np.shape == (ro[-1], co[-1]), "shape mismatch")
+        rows: List[int] = []
+        cols: List[int] = []
+        blocks: List[np.ndarray] = []
+        for i in range(len(rbs)):
+            for j in range(len(cbs)):
+                blk = dense_np[ro[i]:ro[i + 1], co[j]:co[j + 1]]
+                if keep_zero_blocks or np.linalg.norm(blk) > tol:
+                    rows.append(i)
+                    cols.append(j)
+                    blocks.append(blk)
+        return BCSRMatrix.from_blocks(
+            rows, cols, blocks, rbs, cbs, name=name, dist=dist,
+            dtype=dense_np.dtype,
+        )
+
+    @staticmethod
+    def from_blocks(
+        rows,
+        cols,
+        blocks,
+        row_block_sizes,
+        col_block_sizes,
+        *,
+        name: str = "matrix",
+        sym: str = SYM_NONE,
+        dist=None,
+        dtype=None,
+    ) -> "BCSRMatrix":
+        """Construct from COO block lists (fast path around the builder)."""
+        rbs = np.asarray(row_block_sizes, dtype=np.int32)
+        cbs = np.asarray(col_block_sizes, dtype=np.int32)
+        idx, order = build_index(np.asarray(rows), np.asarray(cols), rbs, cbs)
+        if dtype is None:
+            dtype = blocks[0].dtype if blocks else np.float32
+        if idx.nblks:
+            flat = np.concatenate(
+                [np.asarray(blocks[int(o)], dtype=dtype).ravel() for o in order]
+            )
+        else:
+            flat = np.zeros((0,), dtype=dtype)
+        return BCSRMatrix(
+            name=name, index=idx, data=jnp.asarray(flat), sym=sym, dist=dist
+        )
+
+    @staticmethod
+    def empty(
+        row_block_sizes,
+        col_block_sizes,
+        *,
+        name: str = "empty",
+        dtype=jnp.float32,
+        sym: str = SYM_NONE,
+        dist=None,
+    ) -> "BCSRMatrix":
+        return BCSRMatrix.from_blocks(
+            [], [], [], row_block_sizes, col_block_sizes,
+            name=name, sym=sym, dist=dist, dtype=dtype,
+        )
+
+
+class BCSRBuilder:
+    """Mutable assembly buffer → immutable matrix at ``finalize``.
+
+    Analog of the reference's per-thread work matrices + ``dbcsr_finalize``
+    (``src/work/dbcsr_work_operations.F:101-958``): ``put_block`` appends or
+    accumulates (``sum=True`` adds into an existing staged block, matching
+    ``dbcsr_put_block``'s summation semantics); ``finalize`` sorts, merges
+    duplicates and produces the canonical index + flat device data.
+    """
+
+    def __init__(
+        self,
+        row_block_sizes,
+        col_block_sizes,
+        *,
+        name: str = "matrix",
+        dtype=np.float32,
+        sym: str = SYM_NONE,
+        dist=None,
+    ):
+        self.row_block_sizes = np.asarray(row_block_sizes, dtype=np.int32)
+        self.col_block_sizes = np.asarray(col_block_sizes, dtype=np.int32)
+        self.name = name
+        self.dtype = np.dtype(dtype)
+        self.sym = sym
+        self.dist = dist
+        self._blocks: Dict[Tuple[int, int], np.ndarray] = {}
+
+    def put_block(self, row: int, col: int, block, *, sum: bool = False) -> None:
+        if self.sym != SYM_NONE and row > col:
+            raise ValueError(
+                "symmetric builders store the upper block triangle (i <= j)"
+            )
+        bm = int(self.row_block_sizes[row])
+        bn = int(self.col_block_sizes[col])
+        blk = np.asarray(block, dtype=self.dtype).reshape(bm, bn)
+        key = (row, col)
+        if sum and key in self._blocks:
+            self._blocks[key] = self._blocks[key] + blk
+        else:
+            self._blocks[key] = blk
+
+    def reserve_block(self, row: int, col: int) -> None:
+        """Reserve a zero block (``dbcsr_reserve_block2d`` analog)."""
+        if (row, col) not in self._blocks:
+            self.put_block(
+                row,
+                col,
+                np.zeros(
+                    (self.row_block_sizes[row], self.col_block_sizes[col]),
+                    dtype=self.dtype,
+                ),
+            )
+
+    def finalize(self) -> BCSRMatrix:
+        keys = list(self._blocks.keys())
+        rows = [k[0] for k in keys]
+        cols = [k[1] for k in keys]
+        blocks = [self._blocks[k] for k in keys]
+        return BCSRMatrix.from_blocks(
+            rows, cols, blocks, self.row_block_sizes, self.col_block_sizes,
+            name=self.name, sym=self.sym, dist=self.dist, dtype=self.dtype,
+        )

@@ -1,0 +1,156 @@
+"""Typed configuration system with environment overrides and provenance.
+
+TPU-native analog of the reference's config/flag system
+(``src/core/dbcsr_config.F:100-246``): every parameter is typed, carries a
+Default/Environment/User provenance tag, and can be overridden by an
+environment variable ``DBCSR_<NAME>`` read at library init.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Iterator, Optional
+
+__all__ = [
+    "Config",
+    "get_config",
+    "set_config",
+    "reset_config",
+    "print_config",
+    "config_override",
+]
+
+_PROVENANCE_DEFAULT = "D"
+_PROVENANCE_ENV = "E"
+_PROVENANCE_USER = "U"
+
+
+@dataclasses.dataclass
+class Config:
+    """Global configuration (analog of ``dbcsr_config_type``).
+
+    Parameters mirror the reference's knobs where they still make sense on
+    TPU (``src/core/dbcsr_config.F:152-183``); GPU-only knobs (pinned
+    memory, stream priorities, ...) have no equivalent because XLA owns the
+    device runtime.
+    """
+
+    # --- multiply engine -------------------------------------------------
+    #: hardware tile edge for the packed panels (MXU native is 128)
+    tile_size: int = 128
+    #: engine selection: "auto" | "dense" | "stack" | "xla"
+    mm_driver: str = "auto"
+    #: tile-level occupancy above which the dense-panel path is used
+    #: (analog of the reference's dense-path heuristic, src/mm/dbcsr_mm.F:771)
+    dense_threshold: float = 0.30
+    #: max stack entries per Pallas launch bucket (rounded to powers of two)
+    max_stack_size: int = 1 << 16
+    #: use on-the-fly per-row epsilon thresholds (eps/row_count)**2 like
+    #: dbcsr_mm_cannon.F:1100-1113 (else a flat eps**2 block filter)
+    per_row_eps: bool = True
+    #: accumulate tile products in this dtype on the MXU
+    acc_dtype: str = "float32"
+    #: matmul precision for f32 inputs: "default" | "high" | "highest"
+    matmul_precision: str = "highest"
+    #: number of 2.5D C-reduction layers (3rd mesh axis), 1 = off
+    num_layers_3d: int = 1
+    #: avoid recompilation by bucketing dynamic lengths to powers of two
+    shape_bucketing: bool = True
+    #: use the native (C++) planner when available
+    use_native_planner: bool = True
+    #: use communication-optimal splitting in TAS multiplies
+    tas_split_factor: float = 1.0
+    #: randomly seeded value used by random matrix generators
+    default_seed: int = 0
+
+    # provenance bookkeeping: name -> D/E/U
+    _provenance: Dict[str, str] = dataclasses.field(
+        default_factory=dict, repr=False
+    )
+
+    def provenance(self, name: str) -> str:
+        return self._provenance.get(name, _PROVENANCE_DEFAULT)
+
+    def params(self) -> Iterator[str]:
+        for f in dataclasses.fields(self):
+            if not f.name.startswith("_"):
+                yield f.name
+
+
+_cfg: Optional[Config] = None
+
+
+def _coerce(value: str, like: Any) -> Any:
+    if isinstance(like, bool):
+        return value.strip().lower() in ("1", "true", "t", "yes", "on")
+    if isinstance(like, int):
+        return int(value)
+    if isinstance(like, float):
+        return float(value)
+    return value
+
+
+def _load_env(cfg: Config) -> None:
+    """Read ``DBCSR_<NAME>`` env vars (reference: dbcsr_config.F:214-246)."""
+    for name in cfg.params():
+        env = os.environ.get("DBCSR_" + name.upper())
+        if env is not None:
+            setattr(cfg, name, _coerce(env, getattr(cfg, name)))
+            cfg._provenance[name] = _PROVENANCE_ENV
+
+
+def get_config() -> Config:
+    global _cfg
+    if _cfg is None:
+        _cfg = Config()
+        _load_env(_cfg)
+    return _cfg
+
+
+def set_config(**kwargs: Any) -> None:
+    """User-level override (analog of ``dbcsr_set_config``)."""
+    cfg = get_config()
+    for name, value in kwargs.items():
+        if name not in set(cfg.params()):
+            raise KeyError(f"unknown config parameter: {name!r}")
+        setattr(cfg, name, value)
+        cfg._provenance[name] = _PROVENANCE_USER
+
+
+def reset_config() -> None:
+    global _cfg
+    _cfg = None
+
+
+class config_override:
+    """Context manager for scoped config changes (handy in tests)."""
+
+    def __init__(self, **kwargs: Any):
+        self._kwargs = kwargs
+        self._saved: Dict[str, Any] = {}
+
+    def __enter__(self) -> Config:
+        cfg = get_config()
+        for name, value in self._kwargs.items():
+            self._saved[name] = (getattr(cfg, name), cfg.provenance(name))
+        set_config(**self._kwargs)
+        return cfg
+
+    def __exit__(self, *exc: Any) -> None:
+        cfg = get_config()
+        for name, (value, prov) in self._saved.items():
+            setattr(cfg, name, value)
+            cfg._provenance[name] = prov
+
+
+def print_config(out=None) -> str:
+    """Render the provenance-tagged parameter table
+    (analog of ``dbcsr_print_config``)."""
+    cfg = get_config()
+    lines = [f"{'parameter':<24} {'value':<16} src"]
+    for name in cfg.params():
+        lines.append(f"{name:<24} {getattr(cfg, name)!s:<16} {cfg.provenance(name)}")
+    text = "\n".join(lines)
+    if out is not None:
+        print(text, file=out)
+    return text

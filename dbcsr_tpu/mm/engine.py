@@ -1,0 +1,276 @@
+"""The multiply engine: C := alpha * op(A) * op(B) + beta * C.
+
+TPU-native replacement for ``dbcsr_multiply_generic``
+(``src/mm/dbcsr_mm.F:336-1023``) for the local (single-device) product.
+The reference's five sub-layers (cannon/multrec/csr/sched/accdrv) collapse
+into: host symbolic plan (``plan.py``) → device pack (``pack.py``) →
+tile-granular GEMM (dense panel or Pallas tile stacks, ``kernels.py``) →
+device gather into the result layout. Distributed Cannon wraps this local
+engine per tick (``cannon.py``).
+
+Engine selection (config ``mm_driver``, analog of the reference's
+MM_DRIVER): "dense" packs full padded panels and runs one MXU GEMM (the
+``make_dense`` fast path, ``src/mm/dbcsr_mm.F:771-810``); "stack" runs
+tile-level sparse stacks; "auto" picks by tile occupancy against
+``dense_threshold``.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..block.bcsr import BCSRMatrix, SYM_NONE
+from ..block.index import BCSRIndex, build_index, merge_index
+from ..core.config import get_config
+from ..core.errors import dbcsr_assert
+from ..core.stats import get_stats
+from ..core.timing import timed
+from ..ops.norms import block_norms_sq
+from ..ops.transform import desymmetrize
+from .pack import panel_scatter_map, tile_panel_maps
+from .plan import symbolic_product
+
+__all__ = ["multiply"]
+
+
+def _bucket_len(n: int) -> int:
+    """Round up to the next power of two (>=16) to bound recompilation."""
+    if not get_config().shape_bucketing:
+        return max(n, 1)
+    m = 16
+    while m < n:
+        m <<= 1
+    return m
+
+
+def _pad_i32(arr: np.ndarray, length: int, fill: int) -> jax.Array:
+    out = np.full((length,), fill, dtype=np.int32)
+    out[: len(arr)] = arr
+    return jnp.asarray(out)
+
+
+def _pad_data(data: jax.Array, length: int) -> jax.Array:
+    if data.shape[0] == length:
+        return data
+    return jnp.zeros((length,), dtype=data.dtype).at[: data.shape[0]].set(data)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mp", "kp", "np_", "conj_a", "conj_b", "prec"),
+)
+def _dense_exec(
+    a_data,
+    b_data,
+    a_dest,
+    b_dest,
+    c_src,
+    old_pos,
+    old_data,
+    alpha,
+    beta,
+    *,
+    mp: int,
+    kp: int,
+    np_: int,
+    conj_a: bool,
+    conj_b: bool,
+    prec: str,
+):
+    """Pack → GEMM → gather, one fused jitted program.
+
+    ``a_dest``/``b_dest`` scatter flat block data into zero panels (padding
+    entries carry out-of-range indices and are dropped); ``c_src`` gathers
+    the product at the result blocks' element positions; ``old_pos`` adds
+    beta * old C data into its (aligned) slots of the new flat layout.
+    """
+    pa = (
+        jnp.zeros((mp * kp,), dtype=a_data.dtype)
+        .at[a_dest]
+        .set(a_data, mode="drop", unique_indices=True)
+        .reshape(mp, kp)
+    )
+    pb = (
+        jnp.zeros((kp * np_,), dtype=b_data.dtype)
+        .at[b_dest]
+        .set(b_data, mode="drop", unique_indices=True)
+        .reshape(kp, np_)
+    )
+    if conj_a:
+        pa = jnp.conj(pa)
+    if conj_b:
+        pb = jnp.conj(pb)
+    precision = {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[prec]
+    g = jnp.matmul(pa, pb, precision=precision)
+    out = alpha * g.reshape(-1).at[c_src].get(mode="fill", fill_value=0)
+    out = out.at[old_pos].add(beta * old_data, mode="drop")
+    return out
+
+
+def _effective_trans(trans: str) -> Tuple[bool, bool]:
+    trans = trans.upper()
+    dbcsr_assert(trans in ("N", "T", "C"), f"bad transpose flag {trans!r}")
+    return trans in ("T", "C"), trans == "C"
+
+
+def multiply(
+    transa: str,
+    transb: str,
+    alpha,
+    a: BCSRMatrix,
+    b: BCSRMatrix,
+    beta=0.0,
+    c: Optional[BCSRMatrix] = None,
+    *,
+    filter_eps: Optional[float] = None,
+    retain_sparsity: bool = False,
+    return_flops: bool = False,
+):
+    """Sparse multiply with the reference's full semantics
+    (``dbcsr_multiply``, ``src/dbcsr_api.F:1411``): transposes/conjugation,
+    alpha/beta scaling, product-block discovery, epsilon filtering,
+    retain-sparsity mode."""
+    cfg = get_config()
+    ta, ca = _effective_trans(transa)
+    tb, cb = _effective_trans(transb)
+
+    with timed("multiply"):
+        a = desymmetrize(a)
+        b = desymmetrize(b)
+
+        m_sizes = a.index.col_block_sizes if ta else a.index.row_block_sizes
+        k_sizes_a = a.index.row_block_sizes if ta else a.index.col_block_sizes
+        k_sizes_b = b.index.col_block_sizes if tb else b.index.row_block_sizes
+        n_sizes = b.index.row_block_sizes if tb else b.index.col_block_sizes
+        dbcsr_assert(
+            np.array_equal(k_sizes_a, k_sizes_b),
+            "inner block dimensions do not match",
+        )
+        if c is not None:
+            dbcsr_assert(
+                np.array_equal(c.index.row_block_sizes, m_sizes)
+                and np.array_equal(c.index.col_block_sizes, n_sizes),
+                "C block structure does not match the product",
+            )
+            dbcsr_assert(c.sym == SYM_NONE, "product into symmetric C not supported yet")
+
+        # ---- plan -------------------------------------------------------
+        with timed("multiply/plan"):
+            a_nsq = b_nsq = None
+            if filter_eps is not None:
+                a_nsq = np.asarray(block_norms_sq(a))
+                b_nsq = np.asarray(block_norms_sq(b))
+            symb = symbolic_product(
+                a.index, ta, b.index, tb,
+                a_norms_sq=a_nsq, b_norms_sq=b_nsq,
+                filter_eps=filter_eps, per_row_eps=cfg.per_row_eps,
+            )
+            if retain_sparsity:
+                dbcsr_assert(c is not None, "retain_sparsity requires c")
+                c_index = c.index
+                old_to_new = np.arange(c.nblks, dtype=np.int64)
+            else:
+                prod_index, _ = build_index(
+                    symb.rows, symb.cols, m_sizes, n_sizes
+                )
+                if c is not None and c.nblks:
+                    c_index, old_to_new, _ = merge_index(c.index, prod_index)
+                else:
+                    c_index = prod_index
+                    old_to_new = np.zeros(0, dtype=np.int64)
+
+        # ---- execute ----------------------------------------------------
+        with timed("multiply/exec"):
+            out_data = _execute_dense(
+                a, ta, ca, b, tb, cb, c, c_index, old_to_new, alpha, beta, cfg
+            )
+
+        result = BCSRMatrix(
+            name=(c.name if c is not None else "product"),
+            index=c_index,
+            data=out_data,
+            sym=SYM_NONE,
+            dist=(c.dist if c is not None else None),
+        )
+
+        # ---- final norm filter (multrec_filtering analog) ---------------
+        if filter_eps is not None and not retain_sparsity:
+            from ..ops.arithmetic import filter_blocks
+
+            result = filter_blocks(result, filter_eps)
+
+        stats = get_stats()
+        stats.num_multiplications += 1
+        stats.total_flops += symb.eff_flops
+
+    if return_flops:
+        return result, symb.eff_flops
+    return result
+
+
+def _execute_dense(
+    a: BCSRMatrix,
+    ta: bool,
+    ca: bool,
+    b: BCSRMatrix,
+    tb: bool,
+    cb: bool,
+    c: Optional[BCSRMatrix],
+    c_index: BCSRIndex,
+    old_to_new: np.ndarray,
+    alpha,
+    beta,
+    cfg,
+) -> jax.Array:
+    tile = cfg.tile_size
+    a_dest, (mp, kp) = panel_scatter_map(a.index, tile, ta)
+    b_dest, (kp2, np_) = panel_scatter_map(b.index, tile, tb)
+    dbcsr_assert(kp == kp2, "panel K mismatch")
+
+    # result gather positions inside the (mp, np_) padded product panel
+    c_src, (mp3, np3) = panel_scatter_map(c_index, tile, False)
+    dbcsr_assert((mp3, np3) == (mp, np_), "product panel mismatch")
+
+    # positions of old C elements inside the new flat layout
+    if c is not None and c.nblks:
+        b_old = c.index.elem_to_blk.astype(np.int64)
+        t = np.arange(c.index.nelems, dtype=np.int64) - c.index.blk_offset[b_old]
+        old_pos_np = c_index.blk_offset[old_to_new[b_old]] + t
+        old_data = c.data
+    else:
+        old_pos_np = np.zeros(0, dtype=np.int64)
+        old_data = jnp.zeros(0, dtype=a.dtype)
+
+    # bucket dynamic lengths to bound recompiles
+    la = _bucket_len(len(a_dest))
+    lb = _bucket_len(len(b_dest))
+    lc = _bucket_len(len(c_src))
+    lo = _bucket_len(len(old_pos_np))
+    out = _dense_exec(
+        _pad_data(a.data, la),
+        _pad_data(b.data, lb),
+        _pad_i32(a_dest, la, mp * kp),  # OOB → dropped
+        _pad_i32(b_dest, lb, kp * np_),
+        _pad_i32(c_src, lc, mp * np_),  # OOB gather → fill 0
+        _pad_i32(old_pos_np.astype(np.int64), lo, lc + 1),
+        _pad_data(old_data, lo),
+        jnp.asarray(alpha, dtype=a.dtype),
+        jnp.asarray(beta, dtype=a.dtype),
+        mp=mp,
+        kp=kp,
+        np_=np_,
+        conj_a=ca,
+        conj_b=cb,
+        prec=cfg.matmul_precision,
+    )
+    hw_flops = 2.0 * mp * kp * np_
+    get_stats().hardware_flops += hw_flops
+    return out[: c_index.nelems]

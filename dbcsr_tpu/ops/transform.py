@@ -1,0 +1,105 @@
+"""Structural transformations: transpose, desymmetrize, copy, redistribute.
+
+Analog of ``src/ops/dbcsr_transformations.F:101-150`` (``dbcsr_new_transposed``,
+``dbcsr_desymmetrize_deep``, ``dbcsr_complete_redistribute``). Every
+transformation is a host-side index rebuild plus one device gather through a
+host-built map (see ``block/gather.py``).
+"""
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..block.bcsr import (
+    BCSRMatrix,
+    SYM_ANTISYMMETRIC,
+    SYM_HERMITIAN,
+    SYM_NONE,
+    SYM_SYMMETRIC,
+)
+from ..block.gather import block_permutation_gather
+from ..block.index import BCSRIndex, build_index
+from ..core.errors import dbcsr_assert
+from ..core.timing import timed
+
+__all__ = ["transpose", "desymmetrize", "copy", "redistribute"]
+
+
+def transpose(m: BCSRMatrix, *, conjugate: bool = False) -> BCSRMatrix:
+    """Deep transpose (``dbcsr_new_transposed``). Symmetric inputs are
+    expanded first; the result has symmetry 'N'."""
+    if m.sym != SYM_NONE:
+        m = desymmetrize(m)
+    with timed("transpose"):
+        new_index, perm = m.index.transposed()
+        gmap = block_permutation_gather(
+            new_index, m.index, perm,
+            transpose_src=np.ones(new_index.nblks, dtype=bool),
+        )
+        data = jnp.take(m.data, jnp.asarray(gmap.astype(np.int32)))
+        if conjugate and jnp.iscomplexobj(m.data):
+            data = jnp.conj(data)
+        return BCSRMatrix(
+            name=m.name + "^T", index=new_index, data=data, sym=SYM_NONE,
+            dist=None if m.dist is None else m.dist.transposed(),
+        )
+
+
+def desymmetrize(m: BCSRMatrix) -> BCSRMatrix:
+    """Expand a symmetric/antisymmetric/hermitian matrix into full 'N'
+    storage (``dbcsr_desymmetrize_deep``). The reference does this inside
+    ``make_images`` before every multiply; we do the same in the engine."""
+    if m.sym == SYM_NONE:
+        return m
+    with timed("desymmetrize"):
+        rows_u = m.index.blk_rows
+        cols_u = m.index.col_idx
+        off_diag = rows_u != cols_u
+        # upper blocks keep their place; mirrored copies go to (j, i)
+        new_rows = np.concatenate([rows_u, cols_u[off_diag]])
+        new_cols = np.concatenate([cols_u, rows_u[off_diag]])
+        src_blks = np.concatenate(
+            [
+                np.arange(m.nblks, dtype=np.int64),
+                np.flatnonzero(off_diag).astype(np.int64),
+            ]
+        )
+        mirrored = np.concatenate(
+            [np.zeros(m.nblks, dtype=bool), np.ones(int(off_diag.sum()), dtype=bool)]
+        )
+        new_index, order = build_index(
+            new_rows, new_cols, m.index.row_block_sizes, m.index.col_block_sizes
+        )
+        src_of_new = src_blks[order]
+        mirrored = mirrored[order]
+        gmap = block_permutation_gather(
+            new_index, m.index, src_of_new, transpose_src=mirrored
+        )
+        data = jnp.take(m.data, jnp.asarray(gmap.astype(np.int32)))
+        if m.sym in (SYM_ANTISYMMETRIC, SYM_HERMITIAN):
+            elem_mirrored = jnp.asarray(mirrored[new_index.elem_to_blk])
+            if m.sym == SYM_ANTISYMMETRIC:
+                data = jnp.where(elem_mirrored, -data, data)
+            else:
+                data = jnp.where(elem_mirrored, jnp.conj(data), data)
+        return BCSRMatrix(
+            name=m.name, index=new_index, data=data, sym=SYM_NONE, dist=m.dist
+        )
+
+
+def copy(m: BCSRMatrix, *, name: Optional[str] = None) -> BCSRMatrix:
+    return replace(m, name=name or m.name)
+
+
+def redistribute(m: BCSRMatrix, dist) -> BCSRMatrix:
+    """Attach a new distribution (``dbcsr_complete_redistribute``). Data
+    movement is implicit: the engine packs per-device panels from the
+    distribution maps, so changing distribution is metadata-only here."""
+    dbcsr_assert(
+        dist is None or dist.compatible_with(m.index),
+        "distribution incompatible with block structure",
+    )
+    return replace(m, dist=dist)
