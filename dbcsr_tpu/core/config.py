@@ -43,8 +43,9 @@ class Config:
     #: tile-level occupancy above which the dense-panel path is used
     #: (analog of the reference's dense-path heuristic, src/mm/dbcsr_mm.F:771)
     dense_threshold: float = 0.30
-    #: max stack entries per Pallas launch bucket (rounded to powers of two)
-    max_stack_size: int = 1 << 16
+    #: max stack entries per Pallas launch (flat int32 triples must fit in
+    #: SMEM, ~1MB; 32768 entries = 384KB)
+    max_stack_size: int = 32768
     #: use on-the-fly per-row epsilon thresholds (eps/row_count)**2 like
     #: dbcsr_mm_cannon.F:1100-1113 (else a flat eps**2 block filter)
     per_row_eps: bool = True

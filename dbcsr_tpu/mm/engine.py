@@ -31,8 +31,10 @@ from ..core.stats import get_stats
 from ..core.timing import timed
 from ..ops.norms import block_norms_sq
 from ..ops.transform import desymmetrize
-from .pack import panel_scatter_map, tile_panel_maps
+from .kernels import tile_stack_matmul_pallas, tile_stack_matmul_xla
+from .pack import panel_scatter_map
 from .plan import symbolic_product
+from .tileplan import plan_tile_stacks, tile_gather_map
 
 __all__ = ["multiply"]
 
@@ -189,9 +191,26 @@ def multiply(
 
         # ---- execute ----------------------------------------------------
         with timed("multiply/exec"):
-            out_data = _execute_dense(
-                a, ta, ca, b, tb, cb, c, c_index, old_to_new, alpha, beta, cfg
-            )
+            driver = cfg.mm_driver
+            tplan = None
+            if driver in ("auto", "stack", "xla"):
+                with timed("multiply/tileplan"):
+                    tplan = plan_tile_stacks(
+                        a.index, ta, b.index, tb, cfg.tile_size
+                    )
+                mt, kt, nt = tplan.tile_grid  # tile counts per dimension
+                tdensity = len(tplan.stack) / max(mt * kt * nt, 1)
+                if driver == "auto" and tdensity >= cfg.dense_threshold:
+                    tplan = None  # dense panels win at this occupancy
+            if tplan is None:
+                out_data = _execute_dense(
+                    a, ta, ca, b, tb, cb, c, c_index, old_to_new, alpha, beta, cfg
+                )
+            else:
+                out_data = _execute_stack(
+                    a, ca, b, cb, c, c_index, old_to_new, alpha, beta, cfg,
+                    tplan, prefer_pallas=(driver != "xla"),
+                )
 
         result = BCSRMatrix(
             name=(c.name if c is not None else "product"),
@@ -273,4 +292,111 @@ def _execute_dense(
     )
     hw_flops = 2.0 * mp * kp * np_
     get_stats().hardware_flops += hw_flops
+    return out[: c_index.nelems]
+
+
+@partial(jax.jit, static_argnames=("n_tiles", "tile", "conj"))
+def _pack_tiles(data, dest, *, n_tiles: int, tile: int, conj: bool):
+    out = (
+        jnp.zeros((n_tiles * tile * tile,), dtype=data.dtype)
+        .at[dest]
+        .set(data, mode="drop", unique_indices=True)
+        .reshape(n_tiles, tile, tile)
+    )
+    return jnp.conj(out) if conj else out
+
+
+@jax.jit
+def _gather_combine(c_tiles, c_src, old_pos, old_data, alpha, beta):
+    out = alpha * c_tiles.reshape(-1).at[c_src].get(mode="fill", fill_value=0)
+    return out.at[old_pos].add(beta * old_data, mode="drop")
+
+
+def _old_positions(
+    c: Optional[BCSRMatrix], c_index: BCSRIndex, old_to_new: np.ndarray, dtype
+):
+    """Positions of old C elements inside the new flat layout."""
+    if c is not None and c.nblks:
+        b_old = c.index.elem_to_blk.astype(np.int64)
+        t = np.arange(c.index.nelems, dtype=np.int64) - c.index.blk_offset[b_old]
+        return c_index.blk_offset[old_to_new[b_old]] + t, c.data
+    return np.zeros(0, dtype=np.int64), jnp.zeros(0, dtype=dtype)
+
+
+def _execute_stack(
+    a: BCSRMatrix,
+    ca: bool,
+    b: BCSRMatrix,
+    cb: bool,
+    c: Optional[BCSRMatrix],
+    c_index: BCSRIndex,
+    old_to_new: np.ndarray,
+    alpha,
+    beta,
+    cfg,
+    tplan,
+    *,
+    prefer_pallas: bool,
+) -> jax.Array:
+    tile = cfg.tile_size
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    use_pallas = (
+        prefer_pallas
+        and on_tpu
+        and a.dtype in (jnp.float32, jnp.bfloat16)
+    )
+    old_pos_np, old_data = _old_positions(c, c_index, old_to_new, a.dtype)
+
+    if len(tplan.stack) == 0:
+        # empty symbolic product: result is beta * old C scattered in place
+        out = jnp.zeros((c_index.nelems,), dtype=a.dtype)
+        if old_data.shape[0]:
+            out = out.at[jnp.asarray(old_pos_np.astype(np.int32))].add(
+                jnp.asarray(beta, a.dtype) * old_data
+            )
+        return out
+
+    _, _, nt = tplan.tile_grid
+    c_src = tile_gather_map(c_index, tplan.c_tile_coords, tile, nt)
+
+    la = _bucket_len(len(tplan.a_dest))
+    lb = _bucket_len(len(tplan.b_dest))
+    lc = _bucket_len(len(c_src))
+    lo = _bucket_len(len(old_pos_np))
+    n_a = max(tplan.n_a_tiles, 1)
+    n_b = max(tplan.n_b_tiles, 1)
+    n_c = tplan.n_c_tiles  # > 0 here (stack nonempty)
+
+    a_tiles = _pack_tiles(
+        _pad_data(a.data, la),
+        _pad_i32(tplan.a_dest, la, n_a * tile * tile),
+        n_tiles=n_a, tile=tile, conj=ca,
+    )
+    b_tiles = _pack_tiles(
+        _pad_data(b.data, lb),
+        _pad_i32(tplan.b_dest, lb, n_b * tile * tile),
+        n_tiles=n_b, tile=tile, conj=cb,
+    )
+    if use_pallas:
+        c_tiles = tile_stack_matmul_pallas(
+            a_tiles, b_tiles, tplan.stack, n_c_tiles=n_c,
+            max_chunk=cfg.max_stack_size, precision=cfg.matmul_precision,
+        )
+    else:
+        ls = _bucket_len(len(tplan.stack))
+        pad_stack = np.zeros((ls, 3), dtype=np.int32)
+        pad_stack[:, 0] = n_c  # trash slot
+        pad_stack[: len(tplan.stack)] = tplan.stack
+        c_tiles = tile_stack_matmul_xla(
+            a_tiles, b_tiles, jnp.asarray(pad_stack), n_c_tiles=n_c
+        )
+    out = _gather_combine(
+        c_tiles,
+        _pad_i32(c_src, lc, n_c * tile * tile),
+        _pad_i32(old_pos_np.astype(np.int64), lo, lc + 1),
+        _pad_data(old_data, lo),
+        jnp.asarray(alpha, dtype=a.dtype),
+        jnp.asarray(beta, dtype=a.dtype),
+    )
+    get_stats().hardware_flops += 2.0 * len(tplan.stack) * tile**3
     return out[: c_index.nelems]

@@ -1,0 +1,227 @@
+"""Tile-stack batched GEMM kernels — the TPU-native libsmm_acc.
+
+The reference JIT-compiles per-(m,n,k) CUDA kernels that process "parameter
+stacks" of small GEMMs with atomicAdd into C
+(``src/acc/libsmm_acc/libsmm_acc.cpp``, kernels
+``smm_acc_dnt_{tiny,small,medium,largeDB*}.h``). Here the stack entries are
+(c_tile, a_tile, b_tile) triples over T×T hardware tiles (T=128 → every
+matmul is MXU-native), the stack is **sorted by output tile** on the host,
+and accumulation uses Pallas output-window revisiting — deterministic, no
+atomics (SURVEY.md §7 "scatter-add contention").
+
+Two implementations with identical semantics:
+- ``tile_stack_matmul_pallas``: scalar-prefetch gather GEMM, one grid step
+  per stack entry, first-visit zeroing of the output window, Pallas's
+  pipeline double-buffers the tile DMAs under the MXU (the role of the
+  reference's double-buffered largeDB kernels). The stack rides in SMEM as
+  a FLAT int32 array (a [S,3] shape would be lane-padded to [S,128] and
+  blow the ~1MB SMEM budget), and launches are chunked at output-tile
+  boundaries (``max_chunk`` entries) so arbitrarily large stacks fit.
+- ``tile_stack_matmul_xla``: gather → batched matmul → segment-sum. Works
+  on any backend (CPU tests, f64/complex dtypes).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # Pallas TPU lowering is unavailable on pure-CPU builds
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+__all__ = [
+    "tile_stack_matmul",
+    "tile_stack_matmul_pallas",
+    "tile_stack_matmul_xla",
+]
+
+
+@partial(jax.jit, static_argnames=("n_c_tiles", "acc_dtype"))
+def tile_stack_matmul_xla(
+    a_tiles: jax.Array,  # [nA, T, T]
+    b_tiles: jax.Array,  # [nB, T, T]
+    stack: jax.Array,  # [S, 3] int32 (c, a, b), sorted by c
+    *,
+    n_c_tiles: int,
+    acc_dtype=jnp.float32,
+) -> jax.Array:
+    """Reference implementation: gather, batched matmul, segment-sum."""
+    acc = jnp.promote_types(acc_dtype, a_tiles.dtype)
+    ga = jnp.take(a_tiles, stack[:, 1], axis=0)
+    gb = jnp.take(b_tiles, stack[:, 2], axis=0)
+    prods = jax.lax.dot_general(
+        ga,
+        gb,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=acc,
+    )
+    out = jax.ops.segment_sum(prods, stack[:, 0], num_segments=n_c_tiles + 1)
+    return out[:n_c_tiles].astype(a_tiles.dtype)
+
+
+def _stack_kernel(stack_ref, a_ref, b_ref, out_ref, *, precision):
+    """One stack entry per grid step; the output window is revisited while
+    consecutive entries share a C tile (host-sorted), so accumulation stays
+    in VMEM and each C tile is written back exactly once."""
+    i = pl.program_id(0)
+    c_here = stack_ref[3 * i]
+    c_prev = stack_ref[3 * jnp.maximum(i, 1) - 3]
+    first = jnp.logical_or(i == 0, c_here != c_prev)
+
+    prod = jnp.dot(
+        a_ref[0], b_ref[0],
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+    @pl.when(first)
+    def _():
+        out_ref[0] = prod.astype(out_ref.dtype)
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[0] = out_ref[0] + prod.astype(out_ref.dtype)
+
+
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+@partial(jax.jit, static_argnames=("n_c", "tile", "interpret", "precision"))
+def _pallas_launch(
+    a_tiles, b_tiles, flat_stack, *, n_c: int, tile: int, interpret: bool,
+    precision: str = "highest",
+):
+    s = flat_stack.shape[0] // 3
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(s,),
+        in_specs=[
+            pl.BlockSpec((1, tile, tile), lambda i, st: (st[3 * i + 1], 0, 0)),
+            pl.BlockSpec((1, tile, tile), lambda i, st: (st[3 * i + 2], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile, tile), lambda i, st: (st[3 * i], 0, 0)),
+    )
+    out = pl.pallas_call(
+        partial(_stack_kernel, precision=_PRECISIONS[precision]),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_c + 1, tile, tile), a_tiles.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * s * tile * tile * tile,
+            bytes_accessed=(2 * s + n_c) * tile * tile * a_tiles.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(flat_stack, a_tiles, b_tiles)
+    return out
+
+
+def _bucket(n: int) -> int:
+    m = 16
+    while m < n:
+        m <<= 1
+    return m
+
+
+def tile_stack_matmul_pallas(
+    a_tiles: jax.Array,
+    b_tiles: jax.Array,
+    stack_np: np.ndarray,  # host-side int32 [S, 3], sorted by c
+    *,
+    n_c_tiles: int,
+    max_chunk: int = 32768,
+    interpret: bool = False,
+    precision: str = "highest",
+) -> jax.Array:
+    """Pallas TPU stack processor (f32/bf16), chunked at c boundaries.
+
+    Chunk boundaries never split one output tile's run (every C tile is
+    finalized within a single launch), so launch results are disjoint,
+    consecutive c-slot ranges that concatenate into the full tile store.
+    Padding entries inside a launch compute a (real) product into a local
+    trash slot that is sliced off.
+    """
+    tile = a_tiles.shape[1]
+    s_total = len(stack_np)
+    if s_total == 0:
+        return jnp.zeros((n_c_tiles, tile, tile), dtype=a_tiles.dtype)
+    c_col = stack_np[:, 0]
+    outs = []
+    start = 0
+    while start < s_total:
+        end = min(start + max_chunk, s_total)
+        if end < s_total:
+            # retreat to the start of the c-run that straddles the cut
+            boundary = int(np.searchsorted(c_col, c_col[end], side="left"))
+            if boundary <= start:
+                raise ValueError(
+                    "a single output tile has more contributions than "
+                    f"max_chunk={max_chunk}; raise max_stack_size"
+                )
+            end = boundary
+        c_lo = int(c_col[start])
+        c_hi = int(c_col[end - 1]) + 1
+        n_c_local = c_hi - c_lo
+        length = _bucket(end - start)
+        chunk = np.empty((length, 3), dtype=np.int32)
+        chunk[: end - start] = stack_np[start:end]
+        chunk[: end - start, 0] -= c_lo
+        chunk[end - start :] = (n_c_local, 0, 0)  # trash entries
+        out = _pallas_launch(
+            a_tiles,
+            b_tiles,
+            jnp.asarray(chunk.reshape(-1)),
+            n_c=n_c_local,
+            tile=tile,
+            interpret=interpret,
+            precision=precision,
+        )
+        outs.append(out[:n_c_local])
+        start = end
+    full = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    # every c slot in [0, n_c_tiles) appears in the stack by construction
+    assert full.shape[0] == n_c_tiles, (full.shape, n_c_tiles)
+    return full
+
+
+def tile_stack_matmul(
+    a_tiles: jax.Array,
+    b_tiles: jax.Array,
+    stack_np: np.ndarray,
+    *,
+    n_c_tiles: int,
+    acc_dtype=jnp.float32,
+    prefer_pallas: bool = True,
+    max_chunk: int = 32768,
+    precision: str = "highest",
+) -> jax.Array:
+    """Dispatch: Pallas on TPU for f32/bf16, XLA everywhere else."""
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    if (
+        prefer_pallas
+        and _HAVE_PALLAS
+        and on_tpu
+        and a_tiles.dtype in (jnp.float32, jnp.bfloat16)
+    ):
+        return tile_stack_matmul_pallas(
+            a_tiles, b_tiles, stack_np, n_c_tiles=n_c_tiles,
+            max_chunk=max_chunk, precision=precision,
+        )
+    return tile_stack_matmul_xla(
+        a_tiles,
+        b_tiles,
+        jnp.asarray(stack_np),
+        n_c_tiles=n_c_tiles,
+        acc_dtype=acc_dtype,
+    )
