@@ -32,7 +32,7 @@ from ..core.timing import timed
 from ..ops.norms import block_norms_sq
 from ..ops.transform import desymmetrize
 from .kernels import tile_stack_matmul_pallas, tile_stack_matmul_xla
-from .pack import panel_scatter_map
+from .pack import inverse_map, panel_gather_map, panel_scatter_map
 from .plan import symbolic_product
 from .tileplan import plan_tile_stacks, tile_gather_map
 
@@ -68,10 +68,10 @@ def _pad_data(data: jax.Array, length: int) -> jax.Array:
 def _dense_exec(
     a_data,
     b_data,
-    a_dest,
-    b_dest,
+    a_inv,
+    b_inv,
     c_src,
-    old_pos,
+    old_inv,
     old_data,
     alpha,
     beta,
@@ -85,23 +85,14 @@ def _dense_exec(
 ):
     """Pack → GEMM → gather, one fused jitted program.
 
-    ``a_dest``/``b_dest`` scatter flat block data into zero panels (padding
-    entries carry out-of-range indices and are dropped); ``c_src`` gathers
-    the product at the result blocks' element positions; ``old_pos`` adds
-    beta * old C data into its (aligned) slots of the new flat layout.
+    Everything is a GATHER through host-inverted maps (TPU scatters with
+    arbitrary indices serialize; gathers vectorize): ``a_inv``/``b_inv``
+    pull flat block data into the panels (holes gather 0), ``c_src`` pulls
+    the product at the result blocks' element positions, ``old_inv`` pulls
+    beta * old C data into its slots of the new flat layout.
     """
-    pa = (
-        jnp.zeros((mp * kp,), dtype=a_data.dtype)
-        .at[a_dest]
-        .set(a_data, mode="drop", unique_indices=True)
-        .reshape(mp, kp)
-    )
-    pb = (
-        jnp.zeros((kp * np_,), dtype=b_data.dtype)
-        .at[b_dest]
-        .set(b_data, mode="drop", unique_indices=True)
-        .reshape(kp, np_)
-    )
+    pa = a_data.at[a_inv].get(mode="fill", fill_value=0).reshape(mp, kp)
+    pb = b_data.at[b_inv].get(mode="fill", fill_value=0).reshape(kp, np_)
     if conj_a:
         pa = jnp.conj(pa)
     if conj_b:
@@ -113,7 +104,7 @@ def _dense_exec(
     }[prec]
     g = jnp.matmul(pa, pb, precision=precision)
     out = alpha * g.reshape(-1).at[c_src].get(mode="fill", fill_value=0)
-    out = out.at[old_pos].add(beta * old_data, mode="drop")
+    out = out + beta * old_data.at[old_inv].get(mode="fill", fill_value=0)
     return out
 
 
@@ -135,11 +126,18 @@ def multiply(
     filter_eps: Optional[float] = None,
     retain_sparsity: bool = False,
     return_flops: bool = False,
+    dist=None,
+    k_dist: Optional[np.ndarray] = None,
 ):
     """Sparse multiply with the reference's full semantics
     (``dbcsr_multiply``, ``src/dbcsr_api.F:1411``): transposes/conjugation,
     alpha/beta scaling, product-block discovery, epsilon filtering,
-    retain-sparsity mode."""
+    retain-sparsity mode.
+
+    With a ``dist`` (explicit, or carried by ``c``/``a``) the product runs
+    distributed over the 2-D device mesh via Cannon ring shifts
+    (``cannon.py``); otherwise on the local engine.
+    """
     cfg = get_config()
     ta, ca = _effective_trans(transa)
     tb, cb = _effective_trans(transb)
@@ -190,34 +188,49 @@ def multiply(
                     old_to_new = np.zeros(0, dtype=np.int64)
 
         # ---- execute ----------------------------------------------------
-        with timed("multiply/exec"):
-            driver = cfg.mm_driver
-            tplan = None
-            if driver in ("auto", "stack", "xla"):
-                with timed("multiply/tileplan"):
-                    tplan = plan_tile_stacks(
-                        a.index, ta, b.index, tb, cfg.tile_size
+        eff_dist = dist
+        if eff_dist is None and c is not None:
+            eff_dist = c.dist
+        if eff_dist is None:
+            eff_dist = a.dist
+        if eff_dist is not None:
+            from .cannon import execute_cannon
+
+            with timed("multiply/cannon"):
+                out_data = execute_cannon(
+                    a, ta, ca, b, tb, cb, c, c_index, old_to_new,
+                    alpha, beta, eff_dist, k_dist, cfg,
+                )
+        else:
+            with timed("multiply/exec"):
+                driver = cfg.mm_driver
+                tplan = None
+                if driver in ("auto", "stack", "xla"):
+                    with timed("multiply/tileplan"):
+                        tplan = plan_tile_stacks(
+                            a.index, ta, b.index, tb, cfg.tile_size
+                        )
+                    mt, kt, nt = tplan.tile_grid  # tile counts per dim
+                    tdensity = len(tplan.stack) / max(mt * kt * nt, 1)
+                    if driver == "auto" and tdensity >= cfg.dense_threshold:
+                        tplan = None  # dense panels win at this occupancy
+                if tplan is None:
+                    out_data = _execute_dense(
+                        a, ta, ca, b, tb, cb, c, c_index, old_to_new,
+                        alpha, beta, cfg,
                     )
-                mt, kt, nt = tplan.tile_grid  # tile counts per dimension
-                tdensity = len(tplan.stack) / max(mt * kt * nt, 1)
-                if driver == "auto" and tdensity >= cfg.dense_threshold:
-                    tplan = None  # dense panels win at this occupancy
-            if tplan is None:
-                out_data = _execute_dense(
-                    a, ta, ca, b, tb, cb, c, c_index, old_to_new, alpha, beta, cfg
-                )
-            else:
-                out_data = _execute_stack(
-                    a, ca, b, cb, c, c_index, old_to_new, alpha, beta, cfg,
-                    tplan, prefer_pallas=(driver != "xla"),
-                )
+                else:
+                    out_data = _execute_stack(
+                        a, ca, b, cb, c, c_index, old_to_new, alpha, beta,
+                        cfg, tplan, prefer_pallas=(driver != "xla"),
+                    )
 
         result = BCSRMatrix(
             name=(c.name if c is not None else "product"),
             index=c_index,
             data=out_data,
             sym=SYM_NONE,
-            dist=(c.dist if c is not None else None),
+            dist=(c.dist if c is not None else eff_dist),
         )
 
         # ---- final norm filter (multrec_filtering analog) ---------------
@@ -250,36 +263,24 @@ def _execute_dense(
     cfg,
 ) -> jax.Array:
     tile = cfg.tile_size
-    a_dest, (mp, kp) = panel_scatter_map(a.index, tile, ta)
-    b_dest, (kp2, np_) = panel_scatter_map(b.index, tile, tb)
+    a_inv, (mp, kp) = panel_gather_map(a.index, tile, ta)
+    b_inv, (kp2, np_) = panel_gather_map(b.index, tile, tb)
     dbcsr_assert(kp == kp2, "panel K mismatch")
 
     # result gather positions inside the (mp, np_) padded product panel
     c_src, (mp3, np3) = panel_scatter_map(c_index, tile, False)
     dbcsr_assert((mp3, np3) == (mp, np_), "product panel mismatch")
 
-    # positions of old C elements inside the new flat layout
-    if c is not None and c.nblks:
-        b_old = c.index.elem_to_blk.astype(np.int64)
-        t = np.arange(c.index.nelems, dtype=np.int64) - c.index.blk_offset[b_old]
-        old_pos_np = c_index.blk_offset[old_to_new[b_old]] + t
-        old_data = c.data
-    else:
-        old_pos_np = np.zeros(0, dtype=np.int64)
-        old_data = jnp.zeros(0, dtype=a.dtype)
-
-    # bucket dynamic lengths to bound recompiles
-    la = _bucket_len(len(a_dest))
-    lb = _bucket_len(len(b_dest))
     lc = _bucket_len(len(c_src))
-    lo = _bucket_len(len(old_pos_np))
+    old_inv, old_data = _old_inverse(c, c_index, old_to_new, a.dtype, lc)
+    lo = _bucket_len(max(len(old_data), 1))
     out = _dense_exec(
-        _pad_data(a.data, la),
-        _pad_data(b.data, lb),
-        _pad_i32(a_dest, la, mp * kp),  # OOB → dropped
-        _pad_i32(b_dest, lb, kp * np_),
+        a.data,
+        b.data,
+        jnp.asarray(a_inv),
+        jnp.asarray(b_inv),
         _pad_i32(c_src, lc, mp * np_),  # OOB gather → fill 0
-        _pad_i32(old_pos_np.astype(np.int64), lo, lc + 1),
+        jnp.asarray(old_inv),
         _pad_data(old_data, lo),
         jnp.asarray(alpha, dtype=a.dtype),
         jnp.asarray(beta, dtype=a.dtype),
@@ -296,20 +297,19 @@ def _execute_dense(
 
 
 @partial(jax.jit, static_argnames=("n_tiles", "tile", "conj"))
-def _pack_tiles(data, dest, *, n_tiles: int, tile: int, conj: bool):
+def _pack_tiles(data, inv, *, n_tiles: int, tile: int, conj: bool):
     out = (
-        jnp.zeros((n_tiles * tile * tile,), dtype=data.dtype)
-        .at[dest]
-        .set(data, mode="drop", unique_indices=True)
+        data.at[inv]
+        .get(mode="fill", fill_value=0)
         .reshape(n_tiles, tile, tile)
     )
     return jnp.conj(out) if conj else out
 
 
 @jax.jit
-def _gather_combine(c_tiles, c_src, old_pos, old_data, alpha, beta):
+def _gather_combine(c_tiles, c_src, old_inv, old_data, alpha, beta):
     out = alpha * c_tiles.reshape(-1).at[c_src].get(mode="fill", fill_value=0)
-    return out.at[old_pos].add(beta * old_data, mode="drop")
+    return out + beta * old_data.at[old_inv].get(mode="fill", fill_value=0)
 
 
 def _old_positions(
@@ -321,6 +321,17 @@ def _old_positions(
         t = np.arange(c.index.nelems, dtype=np.int64) - c.index.blk_offset[b_old]
         return c_index.blk_offset[old_to_new[b_old]] + t, c.data
     return np.zeros(0, dtype=np.int64), jnp.zeros(0, dtype=dtype)
+
+
+def _old_inverse(
+    c, c_index, old_to_new: np.ndarray, dtype, out_len: int
+):
+    """Gather map (len out_len) pulling old C elements into the new layout."""
+    from .pack import inverse_map
+
+    old_pos, old_data = _old_positions(c, c_index, old_to_new, dtype)
+    inv = inverse_map(old_pos.astype(np.int64), out_len)
+    return inv, old_data
 
 
 def _execute_stack(
@@ -345,36 +356,35 @@ def _execute_stack(
         and on_tpu
         and a.dtype in (jnp.float32, jnp.bfloat16)
     )
-    old_pos_np, old_data = _old_positions(c, c_index, old_to_new, a.dtype)
-
     if len(tplan.stack) == 0:
-        # empty symbolic product: result is beta * old C scattered in place
-        out = jnp.zeros((c_index.nelems,), dtype=a.dtype)
+        # empty symbolic product: result is beta * old C gathered in place
+        old_inv, old_data = _old_inverse(
+            c, c_index, old_to_new, a.dtype, c_index.nelems
+        )
         if old_data.shape[0]:
-            out = out.at[jnp.asarray(old_pos_np.astype(np.int32))].add(
-                jnp.asarray(beta, a.dtype) * old_data
-            )
-        return out
+            return jnp.asarray(beta, a.dtype) * old_data.at[
+                jnp.asarray(old_inv)
+            ].get(mode="fill", fill_value=0)
+        return jnp.zeros((c_index.nelems,), dtype=a.dtype)
 
     _, _, nt = tplan.tile_grid
     c_src = tile_gather_map(c_index, tplan.c_tile_coords, tile, nt)
 
-    la = _bucket_len(len(tplan.a_dest))
-    lb = _bucket_len(len(tplan.b_dest))
     lc = _bucket_len(len(c_src))
-    lo = _bucket_len(len(old_pos_np))
+    old_inv, old_data = _old_inverse(c, c_index, old_to_new, a.dtype, lc)
+    lo = _bucket_len(max(len(old_data), 1))
     n_a = max(tplan.n_a_tiles, 1)
     n_b = max(tplan.n_b_tiles, 1)
     n_c = tplan.n_c_tiles  # > 0 here (stack nonempty)
 
     a_tiles = _pack_tiles(
-        _pad_data(a.data, la),
-        _pad_i32(tplan.a_dest, la, n_a * tile * tile),
+        a.data,
+        jnp.asarray(inverse_map(tplan.a_dest, n_a * tile * tile)),
         n_tiles=n_a, tile=tile, conj=ca,
     )
     b_tiles = _pack_tiles(
-        _pad_data(b.data, lb),
-        _pad_i32(tplan.b_dest, lb, n_b * tile * tile),
+        b.data,
+        jnp.asarray(inverse_map(tplan.b_dest, n_b * tile * tile)),
         n_tiles=n_b, tile=tile, conj=cb,
     )
     if use_pallas:
@@ -393,10 +403,108 @@ def _execute_stack(
     out = _gather_combine(
         c_tiles,
         _pad_i32(c_src, lc, n_c * tile * tile),
-        _pad_i32(old_pos_np.astype(np.int64), lo, lc + 1),
+        jnp.asarray(old_inv),
         _pad_data(old_data, lo),
         jnp.asarray(alpha, dtype=a.dtype),
         jnp.asarray(beta, dtype=a.dtype),
     )
     get_stats().hardware_flops += 2.0 * len(tplan.stack) * tile**3
     return out[: c_index.nelems]
+
+
+def build_multiply_executor(
+    transa: str,
+    transb: str,
+    a: BCSRMatrix,
+    b: BCSRMatrix,
+    *,
+    driver: Optional[str] = None,
+):
+    """Plan once, execute many: returns ``(fn, c_index, eff_flops)`` where
+    ``fn(a_data, b_data) -> c_data`` is a pure jittable function computing
+    op(A)·op(B) for NEW DATA with the SAME sparsity patterns.
+
+    The analog of the reference's batched-multiply state machine
+    (``dbcsr_tas_batched_mm_*``): iterative algorithms (SCF, matrix
+    iterations) repeat products over fixed patterns — the symbolic plan and
+    all maps are reused, so steady-state cost is pure device time.
+    """
+    cfg = get_config()
+    ta, ca = _effective_trans(transa)
+    tb, cb = _effective_trans(transb)
+    a = desymmetrize(a)
+    b = desymmetrize(b)
+    m_sizes = a.index.col_block_sizes if ta else a.index.row_block_sizes
+    n_sizes = b.index.row_block_sizes if tb else b.index.col_block_sizes
+    symb = symbolic_product(a.index, ta, b.index, tb)
+    c_index, _ = build_index(symb.rows, symb.cols, m_sizes, n_sizes)
+    tile = cfg.tile_size
+
+    drv = driver or cfg.mm_driver
+    tplan = None
+    if drv in ("auto", "stack", "xla"):
+        tplan = plan_tile_stacks(a.index, ta, b.index, tb, tile)
+        mt, kt, nt = tplan.tile_grid
+        if drv == "auto" and len(tplan.stack) / max(mt * kt * nt, 1) >= cfg.dense_threshold:
+            tplan = None
+
+    nelems = c_index.nelems
+    zero_old = jnp.zeros(1, dtype=a.dtype)
+    one = jnp.asarray(1.0, dtype=a.dtype)
+    zero = jnp.asarray(0.0, dtype=a.dtype)
+
+    if tplan is None:
+        a_inv, (mp, kp) = panel_gather_map(a.index, tile, ta)
+        b_inv, (kp2, np_) = panel_gather_map(b.index, tile, tb)
+        c_src, _ = panel_scatter_map(c_index, tile, False)
+        a_inv_j = jnp.asarray(a_inv)
+        b_inv_j = jnp.asarray(b_inv)
+        c_src_j = jnp.asarray(c_src)
+        prec = cfg.matmul_precision
+
+        no_old = jnp.full((len(c_src),), np.iinfo(np.int32).max, jnp.int32)
+
+        def fn(a_data, b_data):
+            return _dense_exec(
+                a_data, b_data, a_inv_j, b_inv_j, c_src_j,
+                no_old, zero_old, one, zero,
+                mp=mp, kp=kp, np_=np_, conj_a=ca, conj_b=cb, prec=prec,
+            )[:nelems]
+
+        return fn, c_index, symb.eff_flops
+
+    plan = tplan
+    n_a = max(plan.n_a_tiles, 1)
+    n_b = max(plan.n_b_tiles, 1)
+    n_c = max(plan.n_c_tiles, 1)
+    _, _, nt = plan.tile_grid
+    c_src = tile_gather_map(c_index, plan.c_tile_coords, tile, nt)
+    a_inv_j = jnp.asarray(inverse_map(plan.a_dest, n_a * tile * tile))
+    b_inv_j = jnp.asarray(inverse_map(plan.b_dest, n_b * tile * tile))
+    c_src_j = jnp.asarray(c_src)
+    stack_np = plan.stack
+    no_old = jnp.full((len(c_src),), np.iinfo(np.int32).max, jnp.int32)
+    use_pallas = (
+        drv != "xla"
+        and any(d.platform == "tpu" for d in jax.devices())
+        and a.dtype in (jnp.float32, jnp.bfloat16)
+    )
+    prec = cfg.matmul_precision
+
+    def fn(a_data, b_data):
+        a_tiles = _pack_tiles(a_data, a_inv_j, n_tiles=n_a, tile=tile, conj=ca)
+        b_tiles = _pack_tiles(b_data, b_inv_j, n_tiles=n_b, tile=tile, conj=cb)
+        if use_pallas:
+            c_tiles = tile_stack_matmul_pallas(
+                a_tiles, b_tiles, stack_np, n_c_tiles=n_c,
+                max_chunk=cfg.max_stack_size, precision=prec,
+            )
+        else:
+            c_tiles = tile_stack_matmul_xla(
+                a_tiles, b_tiles, jnp.asarray(stack_np), n_c_tiles=n_c
+            )
+        return _gather_combine(
+            c_tiles, c_src_j, no_old, zero_old, one, zero
+        )[:nelems]
+
+    return fn, c_index, symb.eff_flops

@@ -122,3 +122,30 @@ def tile_panel_maps(
         return dest.astype(np.int32), tile_coords, (ntr, ntc)
 
     return index._cached(key, mk)
+
+
+_I32_OOB = np.iinfo(np.int32).max
+
+
+def inverse_map(dest: np.ndarray, total: int) -> np.ndarray:
+    """Invert a scatter map into a gather map.
+
+    TPU scatters with arbitrary indices serialize badly; gathers are fast.
+    Every pack therefore runs as ``data.at[inv].get(mode='fill')`` where
+    ``inv[pos]`` is the source element of panel position ``pos`` (holes get
+    an out-of-range marker that gathers as 0).
+    """
+    inv = np.full(total, _I32_OOB, dtype=np.int32)
+    inv[dest] = np.arange(len(dest), dtype=np.int32)
+    return inv
+
+
+def panel_gather_map(index: "BCSRIndex", tile: int, transpose: bool):
+    """Inverse (gather) form of ``panel_scatter_map``, cached."""
+    key = ("panel_gather", tile, transpose)
+
+    def mk():
+        dest, (mp, np_) = panel_scatter_map(index, tile, transpose)
+        return inverse_map(dest, mp * np_), (mp, np_)
+
+    return index._cached(key, mk)

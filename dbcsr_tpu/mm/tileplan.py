@@ -19,7 +19,12 @@ import scipy.sparse as sp
 from ..block.index import BCSRIndex
 from .pack import tile_panel_maps
 
-__all__ = ["TileStackPlan", "plan_tile_stacks", "tile_gather_map"]
+__all__ = [
+    "TileStackPlan",
+    "enumerate_tile_triples",
+    "plan_tile_stacks",
+    "tile_gather_map",
+]
 
 
 @dataclass
@@ -48,6 +53,37 @@ def _tile_csr(coords: np.ndarray, shape: Tuple[int, int]) -> sp.csr_matrix:
     )
 
 
+def enumerate_tile_triples(
+    amat: sp.spmatrix, bmat: sp.spmatrix
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """All (c_row, c_col, a_slot, b_slot) triples of two tile patterns
+    (values = slot + 1). Fully vectorized: for each tile-column k of A and
+    tile-row k of B, the cartesian product of their nonzero tiles
+    contributes triples — built with repeat/arange arithmetic, no Python
+    loop over k."""
+    amat = amat.tocsc()
+    bmat = bmat.tocsr()
+    na_k = np.diff(amat.indptr).astype(np.int64)  # A tiles in tile-col k
+    nb_k = np.diff(bmat.indptr).astype(np.int64)  # B tiles in tile-row k
+    counts = na_k * nb_k
+    total = int(counts.sum())
+    if total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, z
+    kt = len(na_k)
+    k_of_t = np.repeat(np.arange(kt, dtype=np.int64), counts)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    t_local = np.arange(total, dtype=np.int64) - starts[k_of_t]
+    nb = nb_k[k_of_t]
+    a_pos = amat.indptr[k_of_t] + t_local // nb
+    b_pos = bmat.indptr[k_of_t] + t_local % nb
+    a_slot = (amat.data[a_pos] - 1).astype(np.int64)
+    b_slot = (bmat.data[b_pos] - 1).astype(np.int64)
+    c_row = amat.indices[a_pos].astype(np.int64)
+    c_col = bmat.indices[b_pos].astype(np.int64)
+    return c_row, c_col, a_slot, b_slot
+
+
 def plan_tile_stacks(
     a_index: BCSRIndex,
     ta: bool,
@@ -55,25 +91,16 @@ def plan_tile_stacks(
     tb: bool,
     tile: int,
 ) -> TileStackPlan:
-    """Enumerate all tile triples of op(A)·op(B).
-
-    Fully vectorized: for each tile-column k of A and tile-row k of B, the
-    cartesian product of their nonzero tiles contributes triples — built
-    with repeat/arange arithmetic, no Python loop over k.
-    """
+    """Enumerate all tile triples of op(A)·op(B) for the local engine."""
     a_dest, a_coords, (mt, kt) = tile_panel_maps(a_index, tile, ta)
     b_dest, b_coords, (kt2, nt) = tile_panel_maps(b_index, tile, tb)
     assert kt == kt2, "tile grid K mismatch"
 
-    amat = _tile_csr(a_coords, (mt, kt)).tocsc()
-    bmat = _tile_csr(b_coords, (kt, nt)).tocsr()
+    amat = _tile_csr(a_coords, (mt, kt))
+    bmat = _tile_csr(b_coords, (kt, nt))
+    c_row, c_col, a_slot, b_slot = enumerate_tile_triples(amat, bmat)
 
-    # per-k counts
-    na_k = np.diff(amat.indptr).astype(np.int64)  # A tiles in tile-col k
-    nb_k = np.diff(bmat.indptr).astype(np.int64)  # B tiles in tile-row k
-    counts = na_k * nb_k
-    total = int(counts.sum())
-    if total == 0:
+    if len(c_row) == 0:
         return TileStackPlan(
             stack=np.zeros((0, 3), dtype=np.int32),
             a_dest=a_dest,
@@ -84,18 +111,6 @@ def plan_tile_stacks(
             c_tile_coords=np.zeros((0, 2), dtype=np.int32),
             tile_grid=(mt, kt, nt),
         )
-
-    k_of_t = np.repeat(np.arange(kt, dtype=np.int64), counts)
-    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    t_local = np.arange(total, dtype=np.int64) - starts[k_of_t]
-    nb = nb_k[k_of_t]
-    a_pos = amat.indptr[k_of_t] + t_local // nb
-    b_pos = bmat.indptr[k_of_t] + t_local % nb
-
-    a_slot = (amat.data[a_pos] - 1).astype(np.int64)
-    b_slot = (bmat.data[b_pos] - 1).astype(np.int64)
-    c_row = amat.indices[a_pos].astype(np.int64)  # tile row of A tile
-    c_col = bmat.indices[b_pos].astype(np.int64)  # tile col of B tile
 
     # C tile slots: unique (c_row, c_col)
     c_key = c_row * nt + c_col
