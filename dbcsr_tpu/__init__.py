@@ -51,6 +51,14 @@ from .ops.norms import (
     norm_gershgorin,
     norm_maxabs,
 )
+from .ops.csr import csr_write, from_csr, to_csr, to_csr_filter
+from .ops.io import (
+    binary_read,
+    binary_write,
+    checksum,
+    print_block_sum,
+    print_matrix,
+)
 from .ops.random import random_block_sizes, random_dist_vector, random_matrix
 from .ops.transform import copy, desymmetrize, redistribute, transpose
 
