@@ -1,0 +1,191 @@
+"""TAS matrix type + block-subset extraction/merge utilities.
+
+Analog of ``dbcsr_tas_type`` (``src/tas/dbcsr_tas_types.F:78-100``): a TAS
+matrix wraps an ordinary BCSR matrix plus split info for its long dimension.
+The reference additionally carries int8 global distributions as function
+objects so huge index arrays never materialize; at Python/numpy block
+granularity the group map is cheap, so it IS materialized (int32 per block
+of the long dimension only).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..block.bcsr import BCSRMatrix, SYM_NONE
+from ..block.index import BCSRIndex, build_index
+from ..core.errors import dbcsr_assert
+from .split import COLSPLIT, ROWSPLIT, TASSplit
+
+__all__ = ["TASMatrix", "tas_from_matrix", "extract_block_subset", "merge_row_groups"]
+
+
+@dataclass(frozen=True)
+class TASMatrix:
+    """A BCSR matrix + split of its long dimension."""
+
+    matrix: BCSRMatrix
+    split: TASSplit
+
+    def __post_init__(self):
+        nblk = (
+            self.matrix.nblkrows
+            if self.split.rowcol == ROWSPLIT
+            else self.matrix.nblkcols
+        )
+        dbcsr_assert(
+            self.split.nblk_long == nblk,
+            "split length does not match the split dimension",
+        )
+
+    @property
+    def nsplit(self) -> int:
+        return self.split.nsplit
+
+    @property
+    def name(self) -> str:
+        return self.matrix.name
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return self.matrix.shape
+
+    def group_matrix(self, g: int) -> Tuple[BCSRMatrix, np.ndarray]:
+        """The compacted submatrix of group ``g`` plus the global block ids
+        of its (compacted) long dimension — the analog of the reference's
+        per-subgroup local matrix (``dbcsr_tas_split.F`` subgroup views)."""
+        blocks = self.split.blocks_of_group(g)
+        if self.split.rowcol == ROWSPLIT:
+            sub = extract_block_subset(self.matrix, row_blocks=blocks)
+        else:
+            sub = extract_block_subset(self.matrix, col_blocks=blocks)
+        return sub, blocks
+
+    def with_split(self, split: TASSplit) -> "TASMatrix":
+        """Change the split layout (``dbcsr_tas_reshape`` analog,
+        ``src/tas/dbcsr_tas_reshape_ops.F:95``). Locally this is metadata —
+        group extraction picks different blocks; on a distributed mesh the
+        executor reshards (all_to_all) when packing group panels."""
+        return replace(self, split=split)
+
+
+def tas_from_matrix(
+    m: BCSRMatrix,
+    *,
+    rowcol: Optional[str] = None,
+    nsplit: int = 1,
+    split: Optional[TASSplit] = None,
+) -> TASMatrix:
+    """Wrap a matrix as TAS. With no explicit split, the longer block
+    dimension is chosen and split cyclically."""
+    if split is None:
+        if rowcol is None:
+            rowcol = ROWSPLIT if m.nblkrows >= m.nblkcols else COLSPLIT
+        nblk = m.nblkrows if rowcol == ROWSPLIT else m.nblkcols
+        split = TASSplit.cyclic(rowcol, nblk, nsplit)
+    return TASMatrix(matrix=m, split=split)
+
+
+def extract_block_subset(
+    m: BCSRMatrix,
+    *,
+    row_blocks: Optional[np.ndarray] = None,
+    col_blocks: Optional[np.ndarray] = None,
+) -> BCSRMatrix:
+    """Compacted submatrix over a subset of block rows and/or columns.
+
+    The new matrix's block dimensions are the subsets themselves (global
+    block ``row_blocks[i]`` becomes block row ``i``). One host index rebuild
+    plus one device gather — the TPU-native form of the reference's subgroup
+    matrix extraction inside TAS reshape (``dbcsr_tas_reshape_ops.F``).
+    """
+    dbcsr_assert(m.sym == SYM_NONE, "desymmetrize before subset extraction")
+    idx = m.index
+    rows_sel = (
+        np.arange(idx.nblkrows, dtype=np.int32)
+        if row_blocks is None
+        else np.asarray(row_blocks, dtype=np.int32)
+    )
+    cols_sel = (
+        np.arange(idx.nblkcols, dtype=np.int32)
+        if col_blocks is None
+        else np.asarray(col_blocks, dtype=np.int32)
+    )
+    # old -> new block-row/col id (-1 = dropped)
+    rmap = np.full(idx.nblkrows, -1, dtype=np.int64)
+    rmap[rows_sel] = np.arange(len(rows_sel))
+    cmap = np.full(idx.nblkcols, -1, dtype=np.int64)
+    cmap[cols_sel] = np.arange(len(cols_sel))
+    old_rows = idx.blk_rows
+    old_cols = idx.col_idx
+    keep = (rmap[old_rows] >= 0) & (cmap[old_cols] >= 0)
+    kept = np.flatnonzero(keep)
+    new_index, order = build_index(
+        rmap[old_rows[kept]],
+        cmap[old_cols[kept]],
+        idx.row_block_sizes[rows_sel],
+        idx.col_block_sizes[cols_sel],
+    )
+    src_blks = kept[order].astype(np.int64)
+    # element gather: blocks are contiguous runs in the flat buffer
+    if new_index.nblks:
+        from ..block.gather import block_permutation_gather
+
+        gmap = block_permutation_gather(new_index, idx, src_blks)
+        data = jnp.take(m.data, jnp.asarray(gmap.astype(np.int64)))
+    else:
+        data = jnp.zeros((0,), dtype=m.dtype)
+    return BCSRMatrix(
+        name=m.name, index=new_index, data=data, sym=SYM_NONE, dist=None
+    )
+
+
+def merge_row_groups(
+    parts: List[Tuple[BCSRMatrix, np.ndarray]],
+    row_block_sizes: np.ndarray,
+    col_block_sizes: np.ndarray,
+    *,
+    name: str = "merged",
+    dtype=None,
+) -> BCSRMatrix:
+    """Assemble a full matrix from disjoint row-group submatrices.
+
+    ``parts`` — (submatrix, global row-block ids of its rows). The inverse
+    of per-group extraction; analog of ``dbcsr_tas_merge``
+    (``src/tas/dbcsr_tas_mm.F:477``) for the row-split case.
+    """
+    rows_all: List[np.ndarray] = []
+    cols_all: List[np.ndarray] = []
+    datas = []
+    offsets = []
+    pos = 0
+    for sub, rows_of in parts:
+        gr = np.asarray(rows_of, dtype=np.int64)[sub.index.blk_rows]
+        rows_all.append(gr.astype(np.int32))
+        cols_all.append(sub.index.col_idx)
+        datas.append(sub.data)
+        offsets.append(
+            pos + sub.index.blk_offset[:-1]
+        )  # flat offset of each block in the concatenated buffer
+        pos += sub.index.nelems
+    if not rows_all or sum(len(r) for r in rows_all) == 0:
+        return BCSRMatrix.empty(
+            row_block_sizes, col_block_sizes, name=name,
+            dtype=dtype or (datas[0].dtype if datas else np.float32),
+        )
+    rows = np.concatenate(rows_all)
+    cols = np.concatenate(cols_all)
+    blk_src_off = np.concatenate(offsets)
+    new_index, order = build_index(rows, cols, row_block_sizes, col_block_sizes)
+    # gather elements from the concatenated part buffers
+    big = jnp.concatenate([d for d in datas]) if datas else jnp.zeros((0,))
+    b = new_index.elem_to_blk.astype(np.int64)
+    t = np.arange(new_index.nelems, dtype=np.int64) - new_index.blk_offset[b]
+    src = blk_src_off[order][b] + t
+    data = jnp.take(big, jnp.asarray(src))
+    return BCSRMatrix(
+        name=name, index=new_index, data=data, sym=SYM_NONE, dist=None
+    )
