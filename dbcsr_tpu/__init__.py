@@ -61,5 +61,8 @@ from .ops.io import (
 )
 from .ops.random import random_block_sizes, random_dist_vector, random_matrix
 from .ops.transform import copy, desymmetrize, redistribute, transpose
+from . import tas, tensors
+from .tas import TASMatrix, tas_multiply
+from .tensors import NDMapping, Tensor, TensorBuilder, contract
 
 __version__ = "0.1.0"
