@@ -204,9 +204,13 @@ class BCSRMatrix:
         if dtype is None:
             dtype = blocks[0].dtype if blocks else np.float32
         if idx.nblks:
-            flat = np.concatenate(
-                [np.asarray(blocks[int(o)], dtype=dtype).ravel() for o in order]
-            )
+            from ..native import flatten_blocks
+
+            flat = flatten_blocks(blocks, order, dtype)
+            if flat is None:
+                flat = np.concatenate(
+                    [np.asarray(blocks[int(o)], dtype=dtype).ravel() for o in order]
+                )
         else:
             flat = np.zeros((0,), dtype=dtype)
         return BCSRMatrix(

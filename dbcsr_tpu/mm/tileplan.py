@@ -98,6 +98,40 @@ def plan_tile_stacks(
 
     amat = _tile_csr(a_coords, (mt, kt))
     bmat = _tile_csr(b_coords, (kt, nt))
+
+    # native (C++) fused enumerate+sort+slot-assign path (the analog of the
+    # reference's compiled stack builder, see native/stackbuild.cpp)
+    from ..core.config import get_config
+
+    if get_config().use_native_planner:
+        from ..native import stack_build
+
+        acsc = amat.tocsc()
+        bcsr_ = bmat.tocsr()
+        nat = stack_build(
+            kt, nt,
+            acsc.indptr.astype(np.int64), acsc.indices.astype(np.int64),
+            (acsc.data - 1).astype(np.int64),
+            bcsr_.indptr.astype(np.int64), bcsr_.indices.astype(np.int64),
+            (bcsr_.data - 1).astype(np.int64),
+        )
+        if nat is not None:
+            stack, c_keys = nat
+            c_tile_coords = np.stack(
+                [(c_keys // nt).astype(np.int32), (c_keys % nt).astype(np.int32)],
+                axis=1,
+            )
+            return TileStackPlan(
+                stack=stack,
+                a_dest=a_dest,
+                b_dest=b_dest,
+                n_a_tiles=len(a_coords),
+                n_b_tiles=len(b_coords),
+                n_c_tiles=len(c_tile_coords),
+                c_tile_coords=c_tile_coords,
+                tile_grid=(mt, kt, nt),
+            )
+
     c_row, c_col, a_slot, b_slot = enumerate_tile_triples(amat, bmat)
 
     if len(c_row) == 0:

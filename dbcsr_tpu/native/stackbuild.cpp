@@ -1,0 +1,128 @@
+// Native planner core: fused tile-stack enumeration + sort + C-slot
+// assignment.
+//
+// TPU-native counterpart of the reference's hot host-side index machinery:
+// the csr stack builder (`dbcsr_mm_csr_multiply_low`,
+// src/mm/dbcsr_mm_csr.F:178-360 — triple loop + per-row hash tables) and the
+// stack sort/binning of the GPU driver (`stack_sort`/`stack_binning`,
+// src/mm/dbcsr_mm_accdrv.F:364-386). Where the reference discovers C blocks
+// with hash tables at user-block granularity, this enumerates
+// (c_tile, a_tile, b_tile) triples over the hardware tile grids, sorts by
+// output tile (deterministic accumulation order for the Pallas kernel) and
+// assigns dense C-slot ids — one pass, no numpy temporaries.
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this image).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Number of (c,a,b) triples of the tile product: sum_k na_k * nb_k.
+// a_indptr: CSC-by-k pointer of A's tile pattern [kt+1]
+// b_indptr: CSR-by-k pointer of B's tile pattern [kt+1]
+int64_t dbcsr_stack_count(int64_t kt, const int64_t* a_indptr,
+                          const int64_t* b_indptr) {
+  int64_t total = 0;
+  for (int64_t k = 0; k < kt; ++k) {
+    total += (a_indptr[k + 1] - a_indptr[k]) * (b_indptr[k + 1] - b_indptr[k]);
+  }
+  return total;
+}
+
+// Enumerate all triples, sort by C tile (row-major key c_row*nt + c_col,
+// ties kept in enumeration order => deterministic), assign dense C slots.
+//
+// Inputs:
+//   kt, nt           tile-grid extents (K tiles, N tiles)
+//   a_indptr[kt+1], a_rows[nnza], a_slots[nnza]   A pattern CSC-by-k
+//   b_indptr[kt+1], b_cols[nnzb], b_slots[nnzb]   B pattern CSR-by-k
+//   total            result of dbcsr_stack_count
+// Outputs (caller-allocated):
+//   stack[total*3]   int32 (c_slot, a_slot, b_slot) sorted by c_slot
+//   c_keys[total]    int64 scratch; on return the first n_c entries hold
+//                    the sorted unique C tile keys (row*nt + col)
+// Returns n_c (number of distinct C tiles), or -1 on overflow.
+int64_t dbcsr_stack_build(int64_t kt, int64_t nt, const int64_t* a_indptr,
+                          const int64_t* a_rows, const int64_t* a_slots,
+                          const int64_t* b_indptr, const int64_t* b_cols,
+                          const int64_t* b_slots, int64_t total,
+                          int32_t* stack, int64_t* c_keys) {
+  struct Triple {
+    int64_t ckey;
+    int32_t a;
+    int32_t b;
+  };
+  std::vector<Triple> triples;
+  triples.reserve(static_cast<size_t>(total));
+  for (int64_t k = 0; k < kt; ++k) {
+    for (int64_t ia = a_indptr[k]; ia < a_indptr[k + 1]; ++ia) {
+      const int64_t crow = a_rows[ia];
+      const int64_t aslot = a_slots[ia];
+      for (int64_t ib = b_indptr[k]; ib < b_indptr[k + 1]; ++ib) {
+        triples.push_back(Triple{crow * nt + b_cols[ib],
+                                 static_cast<int32_t>(aslot),
+                                 static_cast<int32_t>(b_slots[ib])});
+      }
+    }
+  }
+  // stable: equal keys keep enumeration (k-ascending) order, matching the
+  // reference's deterministic stack processing order
+  std::stable_sort(triples.begin(), triples.end(),
+                   [](const Triple& x, const Triple& y) {
+                     return x.ckey < y.ckey;
+                   });
+  int64_t n_c = 0;
+  int64_t prev = -1;
+  for (int64_t i = 0; i < total; ++i) {
+    const Triple& t = triples[static_cast<size_t>(i)];
+    if (t.ckey != prev) {
+      c_keys[n_c++] = t.ckey;
+      prev = t.ckey;
+    }
+    if (n_c - 1 > INT32_MAX) return -1;
+    stack[i * 3 + 0] = static_cast<int32_t>(n_c - 1);
+    stack[i * 3 + 1] = t.a;
+    stack[i * 3 + 2] = t.b;
+  }
+  return n_c;
+}
+
+// Flatten a batch of variable-size blocks into one buffer: the assembly
+// fast path behind BCSRMatrix.from_blocks (reference: work-matrix merge in
+// dbcsr_finalize, src/work/dbcsr_work_operations.F:749-958). Copies
+// src[order[i]] (sizes[order[i]] doubles) consecutively into dst.
+void dbcsr_flatten_f64(const double* const* src, const int64_t* sizes,
+                       const int64_t* order, int64_t n, double* dst) {
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t b = order[i];
+    std::memcpy(dst + pos, src[b], static_cast<size_t>(sizes[b]) * 8);
+    pos += sizes[b];
+  }
+}
+
+void dbcsr_flatten_f32(const float* const* src, const int64_t* sizes,
+                       const int64_t* order, int64_t n, float* dst) {
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t b = order[i];
+    std::memcpy(dst + pos, src[b], static_cast<size_t>(sizes[b]) * 4);
+    pos += sizes[b];
+  }
+}
+
+// Invert a scatter map: dst[map[i]] = i for i in [0, n), others = fill.
+// (pack.inverse_map hot path: every multiply builds several of these.)
+void dbcsr_inverse_map(const int64_t* map, int64_t n, int32_t* dst,
+                       int64_t out_len, int32_t fill) {
+  for (int64_t i = 0; i < out_len; ++i) dst[i] = fill;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t d = map[i];
+    if (d >= 0 && d < out_len) dst[d] = static_cast<int32_t>(i);
+  }
+}
+
+}  // extern "C"
