@@ -128,6 +128,7 @@ def multiply(
     return_flops: bool = False,
     dist=None,
     k_dist: Optional[np.ndarray] = None,
+    limits: Optional[dict] = None,
 ):
     """Sparse multiply with the reference's full semantics
     (``dbcsr_multiply``, ``src/dbcsr_api.F:1411``): transposes/conjugation,
@@ -141,6 +142,13 @@ def multiply(
     cfg = get_config()
     ta, ca = _effective_trans(transa)
     tb, cb = _effective_trans(transb)
+
+    if limits is not None:
+        return _multiply_limited(
+            transa, transb, alpha, a, b, beta, c,
+            filter_eps=filter_eps, return_flops=return_flops,
+            dist=dist, limits=limits,
+        )
 
     with timed("multiply"):
         a = desymmetrize(a)
@@ -246,6 +254,96 @@ def multiply(
     if return_flops:
         return result, symb.eff_flops
     return result
+
+
+def _multiply_limited(
+    transa: str,
+    transb: str,
+    alpha,
+    a: BCSRMatrix,
+    b: BCSRMatrix,
+    beta,
+    c: Optional[BCSRMatrix],
+    *,
+    filter_eps,
+    return_flops: bool,
+    dist,
+    limits: dict,
+):
+    """Sub-matrix multiplication window (the reference's
+    ``first_row/last_row/first_column/last_column/first_k/last_k``
+    parameters, ``src/mm/dbcsr_mm.F:630-709``): the product is computed only
+    over the given half-open BLOCK-index ranges ``limits={"rows": (r0, r1),
+    "cols": ..., "k": ...}``, while ``beta * C`` applies to the whole C.
+
+    Runs as extract → multiply (compacted) → re-expand — the TPU-native form
+    of the reference's crop-to-limits in ``make_images``
+    (``src/mm/dbcsr_mm_cannon.F:146``)."""
+    from ..ops.arithmetic import add
+    from ..ops.transform import desymmetrize as desym
+    from ..tas.matrix import extract_block_subset
+
+    ta, _ = _effective_trans(transa)
+    tb, _ = _effective_trans(transb)
+    a = desym(a)
+    b = desym(b)
+    m_sizes = a.index.col_block_sizes if ta else a.index.row_block_sizes
+    k_sizes = a.index.row_block_sizes if ta else a.index.col_block_sizes
+    n_sizes = b.index.row_block_sizes if tb else b.index.col_block_sizes
+
+    def _range(key, n):
+        lo, hi = limits.get(key, (0, n))
+        dbcsr_assert(0 <= lo <= hi <= n, f"bad {key} limits ({lo},{hi})")
+        return np.arange(lo, hi, dtype=np.int64)
+
+    rows_sel = _range("rows", len(m_sizes))
+    cols_sel = _range("cols", len(n_sizes))
+    k_sel = _range("k", len(k_sizes))
+
+    a_sub = (
+        extract_block_subset(a, row_blocks=k_sel, col_blocks=rows_sel)
+        if ta
+        else extract_block_subset(a, row_blocks=rows_sel, col_blocks=k_sel)
+    )
+    b_sub = (
+        extract_block_subset(b, row_blocks=cols_sel, col_blocks=k_sel)
+        if tb
+        else extract_block_subset(b, row_blocks=k_sel, col_blocks=cols_sel)
+    )
+    window, fl = multiply(
+        transa, transb, alpha, a_sub, b_sub,
+        filter_eps=filter_eps, dist=dist, return_flops=True,
+    )
+    # re-expand into the full C block space (selections are ascending ranges,
+    # so canonical order — and hence the flat data layout — is preserved)
+    w_idx = window.index
+    full_index, order = build_index(
+        rows_sel[w_idx.blk_rows].astype(np.int64),
+        cols_sel[w_idx.col_idx].astype(np.int64),
+        m_sizes,
+        n_sizes,
+    )
+    dbcsr_assert(
+        np.array_equal(order, np.arange(len(order))),
+        "window expansion must preserve block order",
+    )
+    expanded = BCSRMatrix(
+        name="product", index=full_index, data=window.data, dist=dist
+    )
+    if c is not None:
+        result = add(1.0, expanded, beta, c)
+        result = replace_name(result, c.name)
+    else:
+        result = expanded
+    if return_flops:
+        return result, fl
+    return result
+
+
+def replace_name(m: BCSRMatrix, name: str) -> BCSRMatrix:
+    from dataclasses import replace as _replace
+
+    return _replace(m, name=name)
 
 
 def _execute_dense(

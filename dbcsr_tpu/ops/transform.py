@@ -25,7 +25,16 @@ from ..block.index import BCSRIndex, build_index
 from ..core.errors import dbcsr_assert
 from ..core.timing import timed
 
-__all__ = ["transpose", "desymmetrize", "copy", "redistribute"]
+__all__ = [
+    "transpose",
+    "desymmetrize",
+    "copy",
+    "redistribute",
+    "replicate_all",
+    "distribute",
+    "sum_replicated",
+    "complete_redistribute",
+]
 
 
 def transpose(m: BCSRMatrix, *, conjugate: bool = False) -> BCSRMatrix:
@@ -95,11 +104,51 @@ def copy(m: BCSRMatrix, *, name: Optional[str] = None) -> BCSRMatrix:
 
 
 def redistribute(m: BCSRMatrix, dist) -> BCSRMatrix:
-    """Attach a new distribution (``dbcsr_complete_redistribute``). Data
-    movement is implicit: the engine packs per-device panels from the
-    distribution maps, so changing distribution is metadata-only here."""
+    """Attach a new distribution (``dbcsr_redistribute``). Data movement is
+    implicit: the engine packs per-device panels from the distribution maps,
+    so changing distribution is metadata-only here."""
     dbcsr_assert(
         dist is None or dist.compatible_with(m.index),
         "distribution incompatible with block structure",
     )
     return replace(m, dist=dist)
+
+
+def complete_redistribute(m: BCSRMatrix, dist) -> BCSRMatrix:
+    """Arbitrary dist→dist move (``dbcsr_complete_redistribute``,
+    ``src/ops/dbcsr_transformations.F:101``). In the TPU data model the flat
+    buffer is layout-independent (per-device panels are packed from the
+    distribution maps at multiply time), so this is :func:`redistribute`;
+    kept as a separate name for API parity with the reference."""
+    return redistribute(m, dist)
+
+
+def replicate_all(m: BCSRMatrix) -> BCSRMatrix:
+    """Full replication (``dbcsr_replicate_all``,
+    ``src/ops/dbcsr_transformations.F:106``): every process holds the whole
+    matrix. TPU-native form: drop the distribution → the engine treats the
+    buffer as replicated (on a multi-host mesh this is the ``all_gather`` of
+    the block panels, which packing performs implicitly)."""
+    return replace(m, dist=None)
+
+
+def distribute(m: BCSRMatrix, dist) -> BCSRMatrix:
+    """Replicated → distributed (``dbcsr_distribute``): the inverse of
+    :func:`replicate_all`; attaches ``dist`` so subsequent multiplies run
+    the Cannon path over its mesh."""
+    return redistribute(m, dist)
+
+
+def sum_replicated(copies) -> BCSRMatrix:
+    """Element-sum independently updated replicas
+    (``dbcsr_sum_replicated``, ``src/ops/dbcsr_operations.F:118`` — the
+    reference's ``psum`` over replica contributions). Index patterns may
+    differ; the result is the merged pattern."""
+    from .arithmetic import add
+
+    copies = list(copies)
+    dbcsr_assert(len(copies) > 0, "sum_replicated needs at least one matrix")
+    out = copies[0]
+    for nxt in copies[1:]:
+        out = add(1.0, out, 1.0, nxt)
+    return out

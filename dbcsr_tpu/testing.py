@@ -1,0 +1,173 @@
+"""Built-in self-test API.
+
+Analog of the reference's embedded test infrastructure
+(``dbcsr_run_tests`` / ``dbcsr_test_mm`` / ``dbcsr_test_binary_io``,
+``src/ops/dbcsr_tests.F:62``; helpers ``src/ops/dbcsr_test_methods.F``):
+embedding applications can self-check the installed library on their own
+machine without the pytest suite. The correctness oracle is the same as the
+reference's (``tests/dbcsr_test_multiply.F:523-700``): convert operands to
+replicated dense, compare ``multiply`` against dense GEMM with
+norm-scaled residuals, imposing C's sparsity when ``retain_sparsity``.
+"""
+from __future__ import annotations
+
+import tempfile
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .block.bcsr import BCSRMatrix
+from .mm.engine import multiply
+from .ops.io import binary_read, binary_write, checksum
+from .ops.random import random_block_sizes, random_matrix
+
+__all__ = [
+    "to_dense_local",
+    "impose_sparsity",
+    "check_multiply",
+    "test_mm",
+    "test_binary_io",
+    "run_tests",
+]
+
+
+def to_dense_local(m: BCSRMatrix) -> np.ndarray:
+    """Replicated dense copy on host (``dbcsr_to_dense_local``,
+    ``src/ops/dbcsr_test_methods.F:213``)."""
+    return np.asarray(m.to_dense())
+
+
+def impose_sparsity(dense: np.ndarray, like: BCSRMatrix) -> np.ndarray:
+    """Zero ``dense`` outside the block pattern of ``like``
+    (``dbcsr_impose_sparsity``, ``src/ops/dbcsr_test_methods.F:102``)."""
+    out = np.zeros_like(dense)
+    ro = like.index.row_offsets
+    co = like.index.col_offsets
+    rows = like.index.blk_rows
+    cols = like.index.col_idx
+    for b in range(like.nblks):
+        i, j = int(rows[b]), int(cols[b])
+        out[ro[i]:ro[i + 1], co[j]:co[j + 1]] = dense[
+            ro[i]:ro[i + 1], co[j]:co[j + 1]
+        ]
+        if like.sym != "N" and i != j:
+            out[ro[j]:ro[j + 1], co[i]:co[i + 1]] = dense[
+                ro[j]:ro[j + 1], co[i]:co[i + 1]
+            ]
+    return out
+
+
+def check_multiply(
+    transa: str,
+    transb: str,
+    alpha,
+    a: BCSRMatrix,
+    b: BCSRMatrix,
+    beta,
+    c_in: Optional[BCSRMatrix],
+    c_out: BCSRMatrix,
+    *,
+    retain_sparsity: bool = False,
+    eps_factor: float = 100.0,
+) -> bool:
+    """Norm-scaled residual acceptance test (``dbcsr_check_multiply``,
+    ``tests/dbcsr_test_multiply.F:616-640``): accept when
+    ``|C_dense − C_sparse|_max <= eps_factor · ε_machine · scale`` with
+    ``scale = max(|A|, |B|, |C|)`` 1-norm products."""
+    da = to_dense_local(a)
+    db = to_dense_local(b)
+    if transa.upper() in ("T", "C"):
+        da = da.T.conj() if transa.upper() == "C" else da.T
+    if transb.upper() in ("T", "C"):
+        db = db.T.conj() if transb.upper() == "C" else db.T
+    ref = alpha * (da @ db)
+    if c_in is not None:
+        ref = ref + beta * to_dense_local(c_in)
+    if retain_sparsity and c_in is not None:
+        ref = impose_sparsity(ref, c_in)
+    got = to_dense_local(c_out)
+    eps = np.finfo(np.asarray(got).real.dtype).eps
+    scale = max(
+        np.abs(da).sum(axis=0).max() * np.abs(db).sum(axis=0).max(),
+        np.abs(ref).max(),
+        1.0,
+    )
+    resid = np.abs(got - ref).max()
+    return bool(resid <= eps_factor * eps * scale)
+
+
+def test_mm(
+    *,
+    nblkrows: int = 60,
+    nblkcols: int = 50,
+    nblkks: int = 55,
+    block_sizes: Sequence[int] = (2, 3, 5),
+    occupancy: float = 0.3,
+    dtype=np.float64,
+    seed: int = 0,
+    verbose: bool = False,
+) -> bool:
+    """Multiply self-test sweep (``dbcsr_test_mm``): transposes × alpha/beta
+    on random matrices, dense-oracle checked. Returns True if all pass."""
+    rng = np.random.default_rng(seed)
+    mbs = random_block_sizes(nblkrows, block_sizes, rng)
+    kbs = random_block_sizes(nblkks, block_sizes, rng)
+    nbs = random_block_sizes(nblkcols, block_sizes, rng)
+    ok = True
+    for transa in ("N", "T"):
+        for transb in ("N", "T"):
+            a = random_matrix(
+                kbs if transa == "T" else mbs,
+                mbs if transa == "T" else kbs,
+                occupancy, rng, dtype=dtype, name="A",
+            )
+            b = random_matrix(
+                nbs if transb == "T" else kbs,
+                kbs if transb == "T" else nbs,
+                occupancy, rng, dtype=dtype, name="B",
+            )
+            for alpha, beta, with_c in ((1.0, 0.0, False), (2.0, 0.5, True)):
+                c_in = (
+                    random_matrix(mbs, nbs, occupancy, rng, dtype=dtype, name="C")
+                    if with_c
+                    else None
+                )
+                c_out = multiply(transa, transb, alpha, a, b, beta, c_in)
+                good = check_multiply(
+                    transa, transb, alpha, a, b, beta, c_in, c_out
+                )
+                if verbose or not good:
+                    print(
+                        f"test_mm {transa}{transb} alpha={alpha} beta={beta} "
+                        f"c={'Y' if with_c else 'N'}: "
+                        f"{'OK' if good else 'FAILED'}"
+                    )
+                ok = ok and good
+    return ok
+
+
+def test_binary_io(*, seed: int = 0, verbose: bool = False) -> bool:
+    """Checkpoint self-test (``dbcsr_test_binary_io``): write → read →
+    checksum compare."""
+    rng = np.random.default_rng(seed)
+    rbs = random_block_sizes(40, [2, 3, 5], rng)
+    m = random_matrix(rbs, rbs, 0.3, rng, dtype=np.float64, name="io_test")
+    with tempfile.NamedTemporaryFile(suffix=".dbcsr") as f:
+        binary_write(m, f.name)
+        m2 = binary_read(f.name)
+    good = (
+        m2.nblks == m.nblks
+        and abs(checksum(m2) - checksum(m)) <= 1e-12 * max(checksum(m), 1.0)
+    )
+    if verbose or not good:
+        print(f"test_binary_io: {'OK' if good else 'FAILED'}")
+    return good
+
+
+def run_tests(*, verbose: bool = False) -> bool:
+    """Run every built-in self-test (``dbcsr_run_tests``)."""
+    ok = test_mm(verbose=verbose)
+    ok = test_binary_io(verbose=verbose) and ok
+    if verbose:
+        print(f"run_tests: {'ALL OK' if ok else 'FAILURES'}")
+    return ok
