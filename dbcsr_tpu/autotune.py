@@ -1,0 +1,227 @@
+"""Autotuning: sweep engine/kernel configs per workload class, store the
+winners in a JSON parameter table keyed by device kind.
+
+Analog of the reference's autotuning pipeline
+(``src/acc/libsmm_acc/tune/tune_setup.py`` + per-GPU
+``parameters/parameters_*.json``, selection logic
+``kernels/smm_acc_predict.py``): the reference sweeps CUDA launch
+parameters per (m,n,k) triplet and records GFLOP/s; here the sweep covers
+the TPU engine's knobs — hardware tile size, driver choice, dense-path
+threshold, Pallas chunk size, matmul precision — per *workload class*
+(block-size profile × occupancy bucket), because the two-level design makes
+per-triplet kernels unnecessary (every stack entry is an MXU-native T×T×T
+matmul regardless of user block sizes).
+
+Usage:
+  python -m dbcsr_tpu.autotune --out dbcsr_tpu/params/<device>.json
+  dbcsr_tpu.autotune.apply_tuned()   # adopt stored winners at runtime
+"""
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+__all__ = [
+    "WORKLOADS",
+    "steady_state_time",
+    "sweep",
+    "save_params",
+    "load_params",
+    "apply_tuned",
+    "workload_class",
+]
+
+PARAMS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "params")
+
+# knobs swept per workload class (the TPU analog of the reference's
+# threads/grouping/minblocks/tile_m/tile_n/w/v template space)
+DEFAULT_GRID = {
+    "tile_size": [128, 256],
+    "mm_driver": ["dense", "stack"],
+    "max_stack_size": [8192, 32768],
+    "matmul_precision": ["default", "highest"],
+}
+
+
+def _mk_workload(block_sizes, occupancy):
+    def build(rng):
+        import dbcsr_tpu as dt
+
+        rbs = dt.random_block_sizes(1500, block_sizes, rng)
+        a = dt.random_matrix(rbs, rbs, occupancy, rng, dtype=np.float32, name="A")
+        b = dt.random_matrix(rbs, rbs, occupancy, rng, dtype=np.float32, name="B")
+        return a, b
+
+    return build
+
+
+#: workload classes mirroring BASELINE.md configs: uniform 23³ dense-blocked,
+#: uniform 5×5 sparse (dbcsr_example_3), mixed 5/13/23 (perf-driver recipe)
+WORKLOADS: Dict[str, Callable] = {
+    "block23_dense": _mk_workload([23], 1.0),
+    "block5_sparse10": _mk_workload([5], 0.10),
+    "mixed_5_13_23_sparse20": _mk_workload([5, 13, 23], 0.20),
+}
+
+
+def workload_class(block_sizes, occupancy: float) -> str:
+    """Classify a matrix into the nearest tuned workload class."""
+    mean_bs = float(np.mean(block_sizes))
+    if occupancy > 0.6:
+        return "block23_dense"
+    if mean_bs <= 8:
+        return "block5_sparse10"
+    return "mixed_5_13_23_sparse20"
+
+
+def steady_state_time(fn, args, *, n_lo: int = 2, n_hi: int = 10,
+                      reps: int = 3) -> float:
+    """Marginal per-iteration device time of ``fn(*args)`` via a jitted
+    dependent fori_loop at two trip counts (tunnel-robust methodology, see
+    bench.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    a_data = args[0]
+
+    @partial(jax.jit, static_argnames="n")
+    def loop(a_data, rest, n):
+        out0 = fn(a_data, *rest)  # fixes the carry shape (output != input)
+
+        def body(i, carry):
+            a_data, out = carry
+            out = fn(a_data, *rest)
+            a_data = a_data + out.reshape(-1)[0] * 1e-30
+            return (a_data, out)
+
+        return jax.lax.fori_loop(0, n, body, (a_data, out0))[1]
+
+    rest = tuple(args[1:])
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = loop(a_data, rest, n)
+        _ = float(jnp.asarray(out).ravel()[0])
+        return time.perf_counter() - t0
+
+    run(n_lo)
+    run(n_hi)
+    lo = float(np.median([run(n_lo) for _ in range(reps)]))
+    hi = float(np.median([run(n_hi) for _ in range(reps)]))
+    return max((hi - lo) / (n_hi - n_lo), 1e-9)
+
+
+def sweep(
+    *,
+    grid: Optional[Dict[str, list]] = None,
+    workloads: Optional[List[str]] = None,
+    seed: int = 0,
+    verbose: bool = True,
+) -> dict:
+    """Time every config combo on every workload class; returns
+    ``{device_kind, results: {class: {best: {...}, all: [...]}}}``."""
+    import jax
+
+    import dbcsr_tpu as dt
+    from dbcsr_tpu.core.config import config_override
+    from dbcsr_tpu.mm.engine import build_multiply_executor
+
+    grid = grid or DEFAULT_GRID
+    names = list(grid)
+    device_kind = jax.devices()[0].device_kind
+    results: Dict[str, dict] = {}
+    for wname in workloads or list(WORKLOADS):
+        rng = np.random.default_rng(seed)
+        a, b = WORKLOADS[wname](rng)
+        rows = []
+        for combo in itertools.product(*(grid[n] for n in names)):
+            cfg = dict(zip(names, combo))
+            try:
+                with config_override(**cfg):
+                    fn, _, eff_flops = build_multiply_executor(
+                        "N", "N", a, b, driver=cfg.get("mm_driver")
+                    )
+                    dt_per = steady_state_time(fn, (a.data, b.data))
+            except Exception as e:  # config invalid for this workload
+                if verbose:
+                    print(f"  {wname} {cfg}: failed ({type(e).__name__})")
+                continue
+            gflops = eff_flops / dt_per / 1e9
+            rows.append({**cfg, "gflops": round(gflops, 2)})
+            if verbose:
+                print(f"  {wname} {cfg}: {gflops:9.1f} GFLOP/s")
+        rows.sort(key=lambda r: -r["gflops"])
+        results[wname] = {"best": rows[0] if rows else None, "all": rows}
+    return {"device_kind": device_kind, "results": results}
+
+
+def save_params(table: dict, path: Optional[str] = None) -> str:
+    os.makedirs(PARAMS_DIR, exist_ok=True)
+    if path is None:
+        safe = table["device_kind"].replace(" ", "_").replace("/", "_")
+        path = os.path.join(PARAMS_DIR, f"{safe}.json")
+    with open(path, "w") as f:
+        json.dump(table, f, indent=1)
+    return path
+
+
+def load_params(device_kind: Optional[str] = None) -> Optional[dict]:
+    """Load the stored parameter table for this (or the given) device."""
+    if device_kind is None:
+        import jax
+
+        device_kind = jax.devices()[0].device_kind
+    safe = device_kind.replace(" ", "_").replace("/", "_")
+    path = os.path.join(PARAMS_DIR, f"{safe}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def apply_tuned(
+    workload: Optional[str] = None, *, table: Optional[dict] = None
+) -> bool:
+    """Adopt the stored winner config (the reference's runtime parameter
+    lookup, ``libsmm_acc_init.cpp`` parameter-table load). Returns True if
+    a tuned config was applied."""
+    from dbcsr_tpu.core.config import set_config
+
+    table = table or load_params()
+    if table is None:
+        return False
+    classes = table["results"]
+    w = workload or next(iter(classes))
+    best = classes.get(w, {}).get("best")
+    if not best:
+        return False
+    set_config(
+        **{k: v for k, v in best.items() if k != "gflops"}
+    )
+    return True
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="dbcsr_tpu autotuner")
+    p.add_argument("--out", default=None, help="output JSON path")
+    p.add_argument("--workloads", nargs="*", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    table = sweep(workloads=args.workloads, seed=args.seed)
+    path = save_params(table, args.out)
+    print(f"wrote {path}")
+    for wname, res in table["results"].items():
+        print(f"{wname}: best = {res['best']}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,67 @@
+"""Autotune subsystem tests (small grids/workloads for CI speed)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import dbcsr_tpu as dt
+from dbcsr_tpu import autotune
+from dbcsr_tpu.core.config import get_config, reset_config
+
+
+@pytest.fixture(autouse=True)
+def _fresh_config():
+    yield
+    reset_config()
+
+
+def _tiny_workload(rng):
+    rbs = dt.random_block_sizes(80, [5, 13], rng)
+    a = dt.random_matrix(rbs, rbs, 0.3, rng, dtype=np.float32, name="A")
+    b = dt.random_matrix(rbs, rbs, 0.3, rng, dtype=np.float32, name="B")
+    return a, b
+
+
+def test_sweep_and_apply(tmp_path, monkeypatch):
+    monkeypatch.setitem(autotune.WORKLOADS, "tiny", _tiny_workload)
+    table = autotune.sweep(
+        grid={"mm_driver": ["dense", "xla"], "tile_size": [64]},
+        workloads=["tiny"],
+        verbose=False,
+    )
+    best = table["results"]["tiny"]["best"]
+    assert best is not None and best["gflops"] > 0
+    assert len(table["results"]["tiny"]["all"]) == 2
+
+    path = autotune.save_params(table, str(tmp_path / "params.json"))
+    with open(path) as f:
+        loaded = json.load(f)
+    assert loaded["device_kind"] == table["device_kind"]
+
+    assert autotune.apply_tuned("tiny", table=loaded)
+    cfg = get_config()
+    assert cfg.mm_driver == best["mm_driver"]
+    assert cfg.tile_size == best["tile_size"]
+
+
+def test_workload_class_buckets():
+    assert autotune.workload_class([23], 1.0) == "block23_dense"
+    assert autotune.workload_class([5], 0.1) == "block5_sparse10"
+    assert autotune.workload_class([5, 13, 23], 0.2) == "mixed_5_13_23_sparse20"
+
+
+def test_steady_state_time_positive():
+    import jax.numpy as jnp
+
+    def fn(x):
+        return (x * 2.0).sum(keepdims=True)
+
+    t = autotune.steady_state_time(
+        fn, (jnp.ones(1024, dtype=jnp.float32),), n_lo=1, n_hi=4, reps=2
+    )
+    assert t > 0
+
+
+def test_apply_tuned_missing_table_returns_false():
+    assert not autotune.apply_tuned("nope", table={"results": {}})
