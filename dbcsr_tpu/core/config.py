@@ -59,6 +59,9 @@ class Config:
     shape_bucketing: bool = True
     #: use the native (C++) planner when available
     use_native_planner: bool = True
+    #: collect per-(m,n,k) block-class multiplication statistics (the
+    #: reference's STATISTICS report; skipped for many-class workloads)
+    collect_mnk_stats: bool = True
     #: use communication-optimal splitting in TAS multiplies
     tas_split_factor: float = 1.0
     #: randomly seeded value used by random matrix generators

@@ -27,16 +27,24 @@ def init_lib(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    enable_x64: bool = True,
 ) -> None:
     """Initialize the library.
 
     ``distributed=True`` brings up ``jax.distributed`` (the analog of the
     reference's MPI_Init-time setup); on single-host it is a no-op.
+
+    ``enable_x64`` (default on) enables 64-bit types in jax — the reference
+    is a double-precision-first library, and without this flag f64/c128
+    matrices silently degrade to f32/c64 on device. Pass False for
+    pure-f32/bf16 throughput workloads.
     """
     global _initialized
     if _initialized:
         return
     cfg = get_config()  # triggers DBCSR_* env var loading
+    if enable_x64:
+        jax.config.update("jax_enable_x64", True)
     if distributed:
         kwargs = {}
         if coordinator_address is not None:

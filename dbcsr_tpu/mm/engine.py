@@ -250,6 +250,16 @@ def multiply(
         stats = get_stats()
         stats.num_multiplications += 1
         stats.total_flops += symb.eff_flops
+        if cfg.collect_mnk_stats:
+            from .plan import mnk_statistics
+
+            for (m_, n_, k_), cnt in mnk_statistics(
+                a.index, ta, b.index, tb, symb.rows, symb.cols
+            ).items():
+                prev_cnt, prev_fl = stats.by_mnk.get((m_, n_, k_), (0, 0.0))
+                stats.by_mnk[(m_, n_, k_)] = (
+                    prev_cnt + cnt, prev_fl + 2.0 * m_ * n_ * k_ * cnt
+                )
 
     if return_flops:
         return result, symb.eff_flops

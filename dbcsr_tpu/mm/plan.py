@@ -24,7 +24,7 @@ import scipy.sparse as sp
 
 from ..block.index import BCSRIndex, build_index
 
-__all__ = ["SymbolicProduct", "symbolic_product"]
+__all__ = ["SymbolicProduct", "symbolic_product", "mnk_statistics"]
 
 
 @dataclass
@@ -121,3 +121,53 @@ def symbolic_product(
     return SymbolicProduct(
         rows=rows, cols=cols, eff_flops=eff, nnz_triples=int(tsel.sum())
     )
+
+
+def mnk_statistics(
+    a_index: BCSRIndex,
+    transa: bool,
+    b_index: BCSRIndex,
+    transb: bool,
+    rows: np.ndarray,
+    cols: np.ndarray,
+    *,
+    max_classes: int = 8,
+) -> dict:
+    """Per-(m,n,k) block-triple counts of the product restricted to the
+    surviving C blocks — the reference's multiplication statistics
+    (``src/mm/dbcsr_mm_sched.F:392-663``, STATISTICS report
+    ``dbcsr_mm.F:214-305``). Computed with one pattern product per distinct
+    k block size (skipped when any dimension has more than ``max_classes``
+    distinct sizes — the table would be unreadable anyway)."""
+    m_sizes = (a_index.col_block_sizes if transa else a_index.row_block_sizes)
+    k_sizes = (a_index.row_block_sizes if transa else a_index.col_block_sizes)
+    n_sizes = (b_index.row_block_sizes if transb else b_index.col_block_sizes)
+    ku = np.unique(k_sizes)
+    if (
+        len(ku) > max_classes
+        or len(np.unique(m_sizes)) > max_classes
+        or len(np.unique(n_sizes)) > max_classes
+        or len(rows) == 0
+    ):
+        return {}
+    pa = _weighted_pattern(a_index, transa, None)
+    pb = _weighted_pattern(b_index, transb, None)
+    out: dict = {}
+    mn_key = (
+        m_sizes.astype(np.int64)[rows] << 32
+    ) | n_sizes.astype(np.int64)[cols]
+    for ks in ku:
+        sel = np.flatnonzero(k_sizes == ks)
+        cnt = (pa[:, sel] @ pb[sel, :]).tocsr()
+        per_c = np.asarray(cnt[rows, cols]).ravel()
+        nz = per_c > 0
+        if not nz.any():
+            continue
+        # aggregate triple counts per (m, n) class for this k size
+        uk, inv = np.unique(mn_key[nz], return_inverse=True)
+        sums = np.bincount(inv, weights=per_c[nz])
+        for key, s in zip(uk, sums):
+            m = int(key >> 32)
+            n = int(key & 0xFFFFFFFF)
+            out[(m, n, int(ks))] = out.get((m, n, int(ks)), 0) + int(s)
+    return out

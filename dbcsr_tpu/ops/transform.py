@@ -34,6 +34,9 @@ __all__ = [
     "distribute",
     "sum_replicated",
     "complete_redistribute",
+    "make_dense",
+    "make_undense",
+    "may_be_dense",
 ]
 
 
@@ -137,6 +140,56 @@ def distribute(m: BCSRMatrix, dist) -> BCSRMatrix:
     :func:`replicate_all`; attaches ``dist`` so subsequent multiplies run
     the Cannon path over its mesh."""
     return redistribute(m, dist)
+
+
+def may_be_dense(m: BCSRMatrix, threshold: float = 0.5) -> bool:
+    """Occupancy heuristic for the dense fast path (``dbcsr_may_be_dense``,
+    ``src/ops/dbcsr_operations.F``)."""
+    return m.occupation() >= threshold
+
+
+def make_dense(m: BCSRMatrix) -> BCSRMatrix:
+    """Sparse-blocked → dense-blocked: one block holding the full matrix
+    (``dbcsr_make_dense``, ``src/ops/dbcsr_transformations.F:107`` — the
+    reference densifies per distribution bin to hit its dense fast path;
+    the engine's dense driver packs panels anyway, so the API-level form
+    densifies to a single block)."""
+    if m.sym != SYM_NONE:
+        m = desymmetrize(m)
+    with timed("make_dense"):
+        dense = m.to_dense()
+        idx, _ = build_index(
+            np.array([0]), np.array([0]),
+            np.array([m.index.nfullrows], dtype=np.int32),
+            np.array([m.index.nfullcols], dtype=np.int32),
+        )
+        return BCSRMatrix(
+            name=m.name, index=idx, data=dense.reshape(-1), sym=SYM_NONE,
+            dist=None,
+        )
+
+
+def make_undense(
+    m: BCSRMatrix,
+    row_block_sizes,
+    col_block_sizes,
+    *,
+    tol: float = 0.0,
+    keep_zero_blocks: bool = False,
+) -> BCSRMatrix:
+    """Dense-blocked → sparse-blocked re-blocking (``dbcsr_make_undense``):
+    blocks with Frobenius norm <= ``tol`` are dropped unless
+    ``keep_zero_blocks``."""
+    with timed("make_undense"):
+        return BCSRMatrix.from_dense(
+            np.asarray(m.to_dense()),
+            row_block_sizes,
+            col_block_sizes,
+            name=m.name,
+            tol=tol,
+            keep_zero_blocks=keep_zero_blocks,
+            dist=m.dist,
+        )
 
 
 def sum_replicated(copies) -> BCSRMatrix:

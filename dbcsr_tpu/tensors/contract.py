@@ -111,6 +111,7 @@ def contract(
     filter_eps: Optional[float] = None,
     bounds: Optional[Dict[str, Dict[int, Tuple[int, int]]]] = None,
     nsplit: Optional[int] = None,
+    dist=None,
     return_flops: bool = False,
 ):
     """Contract ``contract_1`` dims of ``a`` with ``contract_2`` dims of
@@ -200,7 +201,8 @@ def contract(
         # --- folded product through the TAS layer --------------------------
         out_tas, fl = tas_multiply(
             "N", "N", alpha, ma, mb, beta, c_in_matrix,
-            filter_eps=filter_eps, nsplit=nsplit, return_flops=True,
+            filter_eps=filter_eps, nsplit=nsplit, dist=dist,
+            return_flops=True,
         )
 
         result = Tensor(
