@@ -66,14 +66,13 @@ def main():
 
     @partial(jax.jit, static_argnames="n")
     def loop(a_data, b_data, n):
-        def body(i, carry):
-            a_data, acc = carry
-            out = fn(a_data, b_data)
-            # loop-carried dependency so iterations cannot be elided
-            a_data = a_data + out * 1e-30
-            return (a_data, out)
+        # C := A·B, A ← C each iteration (square dense-blocked pattern, so
+        # C's store layout equals A's): the real iterative-caller shape
+        # (SCF / matrix powers) and a true loop-carried dependency.
+        def body(i, a_data):
+            return fn(a_data, b_data)
 
-        return jax.lax.fori_loop(0, n, body, (a_data, a_data))[1]
+        return jax.lax.fori_loop(0, n, body, a_data)
 
     def run(n):
         t0 = time.perf_counter()
@@ -81,8 +80,9 @@ def main():
         _ = float(jnp.asarray(out).ravel()[0])  # force full execution
         return time.perf_counter() - t0
 
-    # warm both trip counts (compile), then take medians
-    n_lo, n_hi = 2, 12
+    # warm both trip counts (compile), then take medians; trip counts high
+    # enough that the marginal time dwarfs tunnel dispatch jitter
+    n_lo, n_hi = 10, 210
     run(n_lo)
     run(n_hi)
     lo = float(np.median([run(n_lo) for _ in range(5)]))

@@ -1,21 +1,24 @@
-"""The central matrix type: logical BCSR with host index + flat device data.
+"""The central matrix type: host block index + device TILE STORE.
 
 TPU-native redesign of ``dbcsr_type`` (``src/core/dbcsr_types.F:362-461``):
 
 - the CSR-of-blocks index lives on the host (numpy, see ``index.py``);
-- all block elements live in ONE flat device array (``data``), the analog of
-  the reference's typed ``data_area`` — block b occupies
-  ``data[blk_offset[b] : blk_offset[b+1]]`` in row-major order;
-- matrices are immutable pytree-like values (functional JAX style); the
-  mutable assembly phase (reference work matrices,
-  ``src/work/dbcsr_work_operations.F``) is a separate ``BCSRBuilder``.
+- the device data is the matrix's own **tile store** — ``[n_tiles, T, T]``
+  holding the dense content of every T×T tile that overlaps a stored block,
+  exactly 0 everywhere no block covers (the *padding-zero invariant*; see
+  ``store.py`` for why: element-granular device gathers are ~1000× slower
+  than tile-granular ones on TPU, so the at-rest layout must already BE the
+  layout the MXU consumes);
+- the reference's element-contiguous ``data_area`` layout survives host-side
+  only, as the interchange format for assembly, I/O and block access
+  (``flat_host``/``with_flat``).
 
 Symmetry (``N``/``S``/``A``/``H`` as in ``dbcsr_types.F:468-474``) stores
 only the upper block triangle (i <= j); consumers desymmetrize on demand.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass, field, replace
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import jax
@@ -24,8 +27,9 @@ import numpy as np
 
 from ..core.errors import dbcsr_assert
 from .index import BCSRIndex, build_index
+from .store import StoreLayout, store_layout
 
-__all__ = ["BCSRMatrix", "BCSRBuilder", "SYM_NONE", "SYM_SYMMETRIC", "SYM_ANTISYMMETRIC", "SYM_HERMITIAN"]
+__all__ = ["BCSRMatrix", "BCSRBuilder", "SYM_NONE", "SYM_SYMMETRIC", "SYM_ANTISYMMETRIC", "SYM_HERMITIAN", "default_tile"]
 
 SYM_NONE = "N"
 SYM_SYMMETRIC = "S"
@@ -34,16 +38,35 @@ SYM_HERMITIAN = "H"
 _SYMS = (SYM_NONE, SYM_SYMMETRIC, SYM_ANTISYMMETRIC, SYM_HERMITIAN)
 
 
+def default_tile() -> int:
+    from ..core.config import get_config
+
+    return get_config().tile_size
+
+
 @dataclass(frozen=True)
 class BCSRMatrix:
     name: str
     index: BCSRIndex
-    data: jax.Array  # flat [nelems]
+    data: jax.Array  # tile store [n_tiles, T, T]; padding positions == 0
     sym: str = SYM_NONE
     dist: Optional[object] = None  # dist.Distribution, None = local/replicated
 
     def __post_init__(self):
         dbcsr_assert(self.sym in _SYMS, f"bad symmetry {self.sym!r}")
+        dbcsr_assert(
+            self.data.ndim == 3 and self.data.shape[1] == self.data.shape[2],
+            f"data must be a [n_tiles, T, T] tile store, got {self.data.shape}",
+        )
+
+    # -- layout -------------------------------------------------------------
+    @property
+    def tile(self) -> int:
+        return int(self.data.shape[1])
+
+    @property
+    def layout(self) -> StoreLayout:
+        return store_layout(self.index, self.tile)
 
     # -- shape / structure ------------------------------------------------
     @property
@@ -89,13 +112,27 @@ class BCSRMatrix:
         return stored / full
 
     def with_data(self, data: jax.Array) -> "BCSRMatrix":
-        dbcsr_assert(data.shape == (self.index.nelems,), "data size mismatch")
+        dbcsr_assert(data.shape == self.data.shape, "store shape mismatch")
         return replace(self, data=data)
+
+    def with_flat(self, flat) -> "BCSRMatrix":
+        """Replace data from host-side flat block data (reference layout)."""
+        flat = np.asarray(flat).reshape(-1)
+        dbcsr_assert(len(flat) == self.index.nelems, "flat size mismatch")
+        return replace(
+            self, data=jnp.asarray(self.layout.store_from_flat(flat))
+        )
 
     def astype(self, dtype) -> "BCSRMatrix":
         return replace(self, data=self.data.astype(dtype))
 
-    # -- block access (host convenience; hot paths use the flat array) ----
+    # -- host access (block granularity) ------------------------------------
+    def flat_host(self) -> np.ndarray:
+        """Flat block data on host (the reference's ``data_area`` layout:
+        block b occupies ``flat[blk_offset[b]:blk_offset[b+1]]`` row-major).
+        One device fetch + numpy gather."""
+        return self.layout.flat_from_store(np.asarray(self.data))
+
     def get_block(self, row: int, col: int) -> Optional[np.ndarray]:
         """Fetch one block to host; handles symmetric reflection; None if
         absent (``dbcsr_get_block_p`` analog)."""
@@ -108,7 +145,10 @@ class BCSRMatrix:
         o0, o1 = int(self.index.blk_offset[b]), int(self.index.blk_offset[b + 1])
         bm = int(self.index.row_block_sizes[row])
         bn = int(self.index.col_block_sizes[col])
-        blk = np.asarray(self.data[o0:o1]).reshape(bm, bn)
+        flat = np.asarray(self.data).reshape(-1)[
+            self.layout.elem_dest[o0:o1]
+        ]
+        blk = flat.reshape(bm, bn)
         if tr:
             blk = blk.T
             if self.sym == SYM_ANTISYMMETRIC:
@@ -120,7 +160,7 @@ class BCSRMatrix:
     def iter_blocks(self) -> Iterator[Tuple[int, int, np.ndarray]]:
         """Yield (row, col, block) over stored blocks
         (``dbcsr_iterator_*`` analog; data fetched to host in one transfer)."""
-        host = np.asarray(self.data)
+        host = self.flat_host()
         bm_all, bn_all = self.index.blk_shapes
         rows = self.index.blk_rows
         for b in range(self.nblks):
@@ -131,15 +171,22 @@ class BCSRMatrix:
 
     # -- conversions ------------------------------------------------------
     def to_dense(self) -> jax.Array:
-        """Full dense matrix (symmetry expanded). Device-side scatter."""
-        from ..mm.pack import dense_scatter_map
-
-        dest = dense_scatter_map(self.index)
-        n = self.index.nfullrows * self.index.nfullcols
-        out = jnp.zeros((n,), dtype=self.dtype).at[jnp.asarray(dest)].set(self.data)
-        out = out.reshape(self.index.nfullrows, self.index.nfullcols)
+        """Full dense matrix (symmetry expanded). Tile-granular device
+        scatter — runs at HBM bandwidth."""
+        lay = self.layout
+        t = self.tile
+        grid = jnp.zeros(
+            (lay.ntr * lay.ntc, t, t), dtype=self.dtype
+        )
+        if lay.n_tiles:
+            grid = grid.at[jnp.asarray(lay.tile_keys())].set(self.data)
+        dense = (
+            grid.reshape(lay.ntr, lay.ntc, t, t)
+            .transpose(0, 2, 1, 3)
+            .reshape(lay.ntr * t, lay.ntc * t)
+        )
+        out = dense[: self.index.nfullrows, : self.index.nfullcols]
         if self.sym != SYM_NONE:
-            # reflect the strictly-lower part from the stored upper half
             lower = jnp.tril(jnp.ones(out.shape, dtype=bool), k=-1)
             refl = out.T
             if self.sym == SYM_ANTISYMMETRIC:
@@ -185,6 +232,24 @@ class BCSRMatrix:
         )
 
     @staticmethod
+    def from_flat(
+        index: BCSRIndex,
+        flat: np.ndarray,
+        *,
+        name: str = "matrix",
+        sym: str = SYM_NONE,
+        dist=None,
+        tile: Optional[int] = None,
+    ) -> "BCSRMatrix":
+        """Construct from a canonical index + host flat block data."""
+        t = tile or default_tile()
+        lay = store_layout(index, t)
+        store = lay.store_from_flat(np.asarray(flat).reshape(-1))
+        return BCSRMatrix(
+            name=name, index=index, data=jnp.asarray(store), sym=sym, dist=dist
+        )
+
+    @staticmethod
     def from_blocks(
         rows,
         cols,
@@ -196,6 +261,7 @@ class BCSRMatrix:
         sym: str = SYM_NONE,
         dist=None,
         dtype=None,
+        tile: Optional[int] = None,
     ) -> "BCSRMatrix":
         """Construct from COO block lists (fast path around the builder)."""
         rbs = np.asarray(row_block_sizes, dtype=np.int32)
@@ -213,8 +279,8 @@ class BCSRMatrix:
                 )
         else:
             flat = np.zeros((0,), dtype=dtype)
-        return BCSRMatrix(
-            name=name, index=idx, data=jnp.asarray(flat), sym=sym, dist=dist
+        return BCSRMatrix.from_flat(
+            idx, flat, name=name, sym=sym, dist=dist, tile=tile
         )
 
     @staticmethod
@@ -226,10 +292,11 @@ class BCSRMatrix:
         dtype=jnp.float32,
         sym: str = SYM_NONE,
         dist=None,
+        tile: Optional[int] = None,
     ) -> "BCSRMatrix":
         return BCSRMatrix.from_blocks(
             [], [], [], row_block_sizes, col_block_sizes,
-            name=name, sym=sym, dist=dist, dtype=dtype,
+            name=name, sym=sym, dist=dist, dtype=dtype, tile=tile,
         )
 
 
@@ -240,7 +307,7 @@ class BCSRBuilder:
     (``src/work/dbcsr_work_operations.F:101-958``): ``put_block`` appends or
     accumulates (``sum=True`` adds into an existing staged block, matching
     ``dbcsr_put_block``'s summation semantics); ``finalize`` sorts, merges
-    duplicates and produces the canonical index + flat device data.
+    duplicates and produces the canonical index + device tile store.
     """
 
     def __init__(
@@ -252,6 +319,7 @@ class BCSRBuilder:
         dtype=np.float32,
         sym: str = SYM_NONE,
         dist=None,
+        tile: Optional[int] = None,
     ):
         self.row_block_sizes = np.asarray(row_block_sizes, dtype=np.int32)
         self.col_block_sizes = np.asarray(col_block_sizes, dtype=np.int32)
@@ -259,6 +327,7 @@ class BCSRBuilder:
         self.dtype = np.dtype(dtype)
         self.sym = sym
         self.dist = dist
+        self.tile = tile
         self._blocks: Dict[Tuple[int, int], np.ndarray] = {}
 
     def put_block(self, row: int, col: int, block, *, sum: bool = False) -> None:
@@ -295,4 +364,5 @@ class BCSRBuilder:
         return BCSRMatrix.from_blocks(
             rows, cols, blocks, self.row_block_sizes, self.col_block_sizes,
             name=self.name, sym=self.sym, dist=self.dist, dtype=self.dtype,
+            tile=self.tile,
         )

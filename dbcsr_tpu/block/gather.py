@@ -14,7 +14,11 @@ import numpy as np
 
 from .index import BCSRIndex
 
-__all__ = ["block_permutation_gather", "block_subset_gather"]
+__all__ = [
+    "block_permutation_gather",
+    "block_subset_gather",
+    "apply_flat_gather",
+]
 
 
 def block_permutation_gather(
@@ -55,3 +59,47 @@ def block_subset_gather(index: BCSRIndex, keep_mask: np.ndarray) -> np.ndarray:
     canonical order — the data-compaction map for filtering."""
     keep_elem = keep_mask[index.elem_to_blk]
     return np.flatnonzero(keep_elem).astype(np.int64)
+
+
+def apply_flat_gather(new_index, tile, src, src_flat_of_new: np.ndarray):
+    """Build a new matrix's tile-store data from a FLAT-layout gather map.
+
+    ``src_flat_of_new[e]`` is the source flat-element position of the new
+    matrix's flat element ``e``. The map is composed with both tile-store
+    layouts on the host, then applied as ONE device element gather.
+
+    This is the compatibility path for block-compacting/permuting
+    transformations that cannot be expressed at tile granularity
+    (sub-matrix extraction across arbitrary block subsets, tensor layout
+    refolds). It is correct everywhere but element-granular — ~0.5 GB/s on
+    TPU — so hot paths must not rely on it (see store.py).
+    """
+    import jax.numpy as jnp
+
+    from .store import store_layout
+
+    new_lay = store_layout(new_index, tile)
+    fmap = np.asarray(src_flat_of_new, np.int64)
+    oob = np.iinfo(np.int32).max
+    if len(src.layout.elem_dest):
+        src_store_pos = np.where(
+            fmap >= 0,
+            src.layout.elem_dest[np.minimum(fmap, len(src.layout.elem_dest) - 1)],
+            oob,  # missing -> gathers 0
+        )
+    else:
+        src_store_pos = np.full(len(fmap), oob, dtype=np.int64)
+    total = new_lay.n_tiles * tile * tile
+    inv = np.full(total, np.iinfo(np.int32).max, dtype=np.int64)
+    inv[new_lay.elem_dest] = src_store_pos
+    if total == 0 or src.data.size == 0:
+        return jnp.zeros(
+            (new_lay.n_tiles, tile, tile), dtype=src.data.dtype
+        )
+    out = (
+        src.data.reshape(-1)
+        .at[jnp.asarray(inv)]
+        .get(mode="fill", fill_value=0)
+        .reshape(new_lay.n_tiles, tile, tile)
+    )
+    return out

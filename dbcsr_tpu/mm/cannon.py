@@ -418,6 +418,15 @@ def _cannon_exec(
     return cannon(a_store, b_store, stacks6)
 
 
+def _inverse_map_values(
+    dest: np.ndarray, values: np.ndarray, total: int
+) -> np.ndarray:
+    """Gather map: inv[dest[i]] = values[i], holes = OOB (gathers 0)."""
+    inv = np.full(total, np.iinfo(np.int32).max, dtype=np.int64)
+    inv[dest] = values
+    return inv
+
+
 def execute_cannon(
     a: BCSRMatrix,
     ta: bool,
@@ -427,18 +436,23 @@ def execute_cannon(
     cb: bool,
     c: Optional[BCSRMatrix],
     c_index: BCSRIndex,
-    old_to_new: np.ndarray,
     alpha,
     beta,
     dist: Distribution,
     k_dist: Optional[np.ndarray],
     cfg,
 ) -> jax.Array:
-    """Distributed execution path called from the engine."""
-    from .engine import _bucket_len, _old_inverse, _pad_data, _pad_i32
-    from .pack import inverse_map
+    """Distributed execution path called from the engine.
 
-    tile = cfg.tile_size
+    Panels are packed out of the at-rest tile stores through composed
+    element maps (local panel coordinates reorder elements arbitrarily, so
+    this packing is element-granular; tile-aligned distributions that make
+    it tile-granular are the planned fast path). Returns C's tile store.
+    """
+    from ..block.store import store_layout
+    from .engine import _align_old_c
+
+    tile = a.tile
     p = dist.grid.nprow
     k_sizes = a.index.row_block_sizes if ta else a.index.col_block_sizes
     if k_dist is None:
@@ -450,26 +464,27 @@ def execute_cannon(
         )
 
     with timed("cannon/exec"):
-        a_data = a.data
-        b_data = b.data
+        a_data = a.data.reshape(-1)
+        b_data = b.data.reshape(-1)
         if ca:
             a_data = jnp.conj(a_data)
         if cb:
             b_data = jnp.conj(b_data)
         layers = plan.layers
+        # panel gather maps: panel position -> at-rest STORE position
+        a_inv = _inverse_map_values(
+            plan.a_dest, a.layout.elem_dest,
+            p * p * layers * plan.n_a * tile * tile,
+        )
+        b_inv = _inverse_map_values(
+            plan.b_dest, b.layout.elem_dest,
+            p * p * layers * plan.n_b * tile * tile,
+        )
         c_tiles = _cannon_exec(
             a_data,
             b_data,
-            jnp.asarray(
-                inverse_map(
-                    plan.a_dest, p * p * layers * plan.n_a * tile * tile
-                )
-            ),
-            jnp.asarray(
-                inverse_map(
-                    plan.b_dest, p * p * layers * plan.n_b * tile * tile
-                )
-            ),
+            jnp.asarray(a_inv),
+            jnp.asarray(b_inv),
             jnp.asarray(plan.stacks),
             p=p,
             layers=layers,
@@ -481,20 +496,22 @@ def execute_cannon(
             prec=cfg.matmul_precision,
             mesh=dist.grid.mesh,
         )
-        lc = _bucket_len(len(plan.c_src))
-        old_inv, old_data = _old_inverse(c, c_index, old_to_new, a.dtype, lc)
-        lo = _bucket_len(max(len(old_data), 1))
-        from .engine import _gather_combine
-
-        out = _gather_combine(
-            c_tiles.reshape(-1),
-            _pad_i32(plan.c_src, lc, p * p * plan.n_c * tile * tile),
-            jnp.asarray(old_inv),
-            _pad_data(old_data, lo),
-            jnp.asarray(alpha, dtype=a.dtype),
-            jnp.asarray(beta, dtype=a.dtype),
+        # result: C's at-rest tile store, gathered from the cannon panels
+        c_lay = store_layout(c_index, tile)
+        total = c_lay.n_tiles * tile * tile
+        sg = _inverse_map_values(c_lay.elem_dest, plan.c_src, total)
+        prod = (
+            c_tiles.reshape(-1)
+            .at[jnp.asarray(sg)]
+            .get(mode="fill", fill_value=0)
+            .reshape(c_lay.n_tiles, tile, tile)
         )
+        old = _align_old_c(c, c_index, tile)
+        alpha_ = jnp.asarray(alpha, dtype=a.dtype)
+        out = alpha_ * prod
+        if old is not None:
+            out = out + jnp.asarray(beta, dtype=a.dtype) * old
         get_stats().hardware_flops += 2.0 * float(
             (plan.stacks[..., 0] < plan.n_c).sum()
         ) * tile**3
-    return out[: c_index.nelems]
+    return out

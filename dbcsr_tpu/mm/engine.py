@@ -3,19 +3,25 @@
 TPU-native replacement for ``dbcsr_multiply_generic``
 (``src/mm/dbcsr_mm.F:336-1023``) for the local (single-device) product.
 The reference's five sub-layers (cannon/multrec/csr/sched/accdrv) collapse
-into: host symbolic plan (``plan.py``) → device pack (``pack.py``) →
-tile-granular GEMM (dense panel or Pallas tile stacks, ``kernels.py``) →
-device gather into the result layout. Distributed Cannon wraps this local
-engine per tick (``cannon.py``).
+into: host symbolic plan (``plan.py``) → tile-granular GEMM on the operand
+TILE STORES (dense panel or Pallas tile stacks, ``kernels.py``) → tile-level
+alignment into the result's store.
+
+With the at-rest layout being the tile store (``block/store.py``), the
+'N','N' steady-state path needs ZERO data movement before the MXU: the
+store IS the operand panel. op='T'/'C' costs one tile permutation plus a
+vectorized per-tile transpose. The result is produced directly in C's store
+layout; beta-accumulation and pattern merging are tile-level gathers.
 
 Engine selection (config ``mm_driver``, analog of the reference's
-MM_DRIVER): "dense" packs full padded panels and runs one MXU GEMM (the
-``make_dense`` fast path, ``src/mm/dbcsr_mm.F:771-810``); "stack" runs
-tile-level sparse stacks; "auto" picks by tile occupancy against
+MM_DRIVER): "dense" scatters tiles into full padded panels and runs one MXU
+GEMM (the ``make_dense`` fast path, ``src/mm/dbcsr_mm.F:771-810``); "stack"
+runs tile-level sparse stacks; "auto" picks by tile occupancy against
 ``dense_threshold``.
 """
 from __future__ import annotations
 
+from dataclasses import replace as _dc_replace
 from functools import partial
 from typing import Optional, Tuple
 
@@ -25,93 +31,92 @@ import numpy as np
 
 from ..block.bcsr import BCSRMatrix, SYM_NONE
 from ..block.index import BCSRIndex, build_index, merge_index
+from ..block.store import store_layout
+from ..block.tileops import (
+    block_mask_store,
+    take_tiles,
+    tile_align_map,
+    transpose_store,
+    valid_mask,
+)
 from ..core.config import get_config
 from ..core.errors import dbcsr_assert
 from ..core.stats import get_stats
 from ..core.timing import timed
-from ..ops.norms import block_norms_sq
-from ..ops.transform import desymmetrize
 from .kernels import tile_stack_matmul_pallas, tile_stack_matmul_xla
-from .pack import inverse_map, panel_gather_map, panel_scatter_map
 from .plan import symbolic_product
-from .tileplan import plan_tile_stacks, tile_gather_map
+from .tileplan import plan_tile_stacks_stores
 
-__all__ = ["multiply"]
+__all__ = ["multiply", "build_multiply_executor"]
 
-
-def _bucket_len(n: int) -> int:
-    """Round up to the next power of two (>=16) to bound recompilation."""
-    if not get_config().shape_bucketing:
-        return max(n, 1)
-    m = 16
-    while m < n:
-        m <<= 1
-    return m
-
-
-def _pad_i32(arr: np.ndarray, length: int, fill: int) -> jax.Array:
-    out = np.full((length,), fill, dtype=np.int32)
-    out[: len(arr)] = arr
-    return jnp.asarray(out)
-
-
-def _pad_data(data: jax.Array, length: int) -> jax.Array:
-    if data.shape[0] == length:
-        return data
-    return jnp.zeros((length,), dtype=data.dtype).at[: data.shape[0]].set(data)
-
-
-@partial(
-    jax.jit,
-    static_argnames=("mp", "kp", "np_", "conj_a", "conj_b", "prec"),
-)
-def _dense_exec(
-    a_data,
-    b_data,
-    a_inv,
-    b_inv,
-    c_src,
-    old_inv,
-    old_data,
-    alpha,
-    beta,
-    *,
-    mp: int,
-    kp: int,
-    np_: int,
-    conj_a: bool,
-    conj_b: bool,
-    prec: str,
-):
-    """Pack → GEMM → gather, one fused jitted program.
-
-    Everything is a GATHER through host-inverted maps (TPU scatters with
-    arbitrary indices serialize; gathers vectorize): ``a_inv``/``b_inv``
-    pull flat block data into the panels (holes gather 0), ``c_src`` pulls
-    the product at the result blocks' element positions, ``old_inv`` pulls
-    beta * old C data into its slots of the new flat layout.
-    """
-    pa = a_data.at[a_inv].get(mode="fill", fill_value=0).reshape(mp, kp)
-    pb = b_data.at[b_inv].get(mode="fill", fill_value=0).reshape(kp, np_)
-    if conj_a:
-        pa = jnp.conj(pa)
-    if conj_b:
-        pb = jnp.conj(pb)
-    precision = {
-        "default": jax.lax.Precision.DEFAULT,
-        "high": jax.lax.Precision.HIGH,
-        "highest": jax.lax.Precision.HIGHEST,
-    }[prec]
-    g = jnp.matmul(pa, pb, precision=precision)
-    out = alpha * g.reshape(-1).at[c_src].get(mode="fill", fill_value=0)
-    out = out + beta * old_data.at[old_inv].get(mode="fill", fill_value=0)
-    return out
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
 
 
 def _effective_trans(trans: str) -> Tuple[bool, bool]:
     trans = trans.upper()
     dbcsr_assert(trans in ("N", "T", "C"), f"bad transpose flag {trans!r}")
     return trans in ("T", "C"), trans == "C"
+
+
+def _op_store(m: BCSRMatrix, trans: bool, conj: bool):
+    """(tile store of op(M), row-major tile coords of op(M), op tile grid).
+    'N' is free; 'T' is a tile permutation + vectorized transpose."""
+    lay = m.layout
+    if not trans:
+        st = jnp.conj(m.data) if conj else m.data
+        return st, lay.tile_coords, (lay.ntr, lay.ntc)
+    st, coords = transpose_store(m.index, m.tile, m.data, conj=conj)
+    return st, coords, (lay.ntc, lay.ntr)
+
+
+@partial(jax.jit, static_argnames=("ntr", "ntc", "t"))
+def _stores_to_panel(store, keys, *, ntr: int, ntc: int, t: int):
+    """Tile-level scatter of a store into the full padded dense panel.
+
+    When the store is tile-COMPLETE (every tile of the grid is occupied,
+    keys are row-major so the store is already grid-ordered) the scatter
+    disappears into a reshape+transpose that XLA fuses with the matmul."""
+    if store.shape[0] == ntr * ntc:
+        grid = store
+    else:
+        grid = jnp.zeros((ntr * ntc, t, t), dtype=store.dtype)
+        if store.shape[0]:
+            grid = grid.at[keys].set(store)
+    return (
+        grid.reshape(ntr, ntc, t, t).transpose(0, 2, 1, 3).reshape(ntr * t, ntc * t)
+    )
+
+
+@partial(jax.jit, static_argnames=("ntr", "ntc", "t"))
+def _panel_to_tiles(panel, keys, *, ntr: int, ntc: int, t: int):
+    """Tile-level gather of selected tiles out of a dense panel (identity
+    reshape when the target tile set is complete)."""
+    tiles = (
+        panel.reshape(ntr, t, ntc, t).transpose(0, 2, 1, 3).reshape(ntr * ntc, t, t)
+    )
+    if keys.shape[0] == ntr * ntc:
+        return tiles
+    return jnp.take(tiles, keys, axis=0)
+
+
+@jax.jit
+def _combine(prod_aligned, old_aligned, alpha, beta):
+    return alpha * prod_aligned + beta * old_aligned
+
+
+def _align_old_c(
+    c: Optional[BCSRMatrix], c_index: BCSRIndex, tile: int
+) -> Optional[jax.Array]:
+    """Old C's store gathered into the new C tile layout (tile-level)."""
+    if c is None or c.nblks == 0:
+        return None
+    new_lay = store_layout(c_index, tile)
+    amap = tile_align_map(new_lay.tile_keys(), c.layout.tile_keys())
+    return take_tiles(c.data, amap, tile)
 
 
 def multiply(
@@ -133,12 +138,14 @@ def multiply(
     """Sparse multiply with the reference's full semantics
     (``dbcsr_multiply``, ``src/dbcsr_api.F:1411``): transposes/conjugation,
     alpha/beta scaling, product-block discovery, epsilon filtering,
-    retain-sparsity mode.
+    retain-sparsity mode, sub-matrix limits.
 
     With a ``dist`` (explicit, or carried by ``c``/``a``) the product runs
     distributed over the 2-D device mesh via Cannon ring shifts
     (``cannon.py``); otherwise on the local engine.
     """
+    from ..ops.transform import desymmetrize
+
     cfg = get_config()
     ta, ca = _effective_trans(transa)
     tb, cb = _effective_trans(transb)
@@ -153,6 +160,7 @@ def multiply(
     with timed("multiply"):
         a = desymmetrize(a)
         b = desymmetrize(b)
+        dbcsr_assert(a.tile == b.tile, "operand tile sizes differ")
 
         m_sizes = a.index.col_block_sizes if ta else a.index.row_block_sizes
         k_sizes_a = a.index.row_block_sizes if ta else a.index.col_block_sizes
@@ -174,6 +182,8 @@ def multiply(
         with timed("multiply/plan"):
             a_nsq = b_nsq = None
             if filter_eps is not None:
+                from ..ops.norms import block_norms_sq
+
                 a_nsq = np.asarray(block_norms_sq(a))
                 b_nsq = np.asarray(block_norms_sq(b))
             symb = symbolic_product(
@@ -184,16 +194,14 @@ def multiply(
             if retain_sparsity:
                 dbcsr_assert(c is not None, "retain_sparsity requires c")
                 c_index = c.index
-                old_to_new = np.arange(c.nblks, dtype=np.int64)
             else:
                 prod_index, _ = build_index(
                     symb.rows, symb.cols, m_sizes, n_sizes
                 )
                 if c is not None and c.nblks:
-                    c_index, old_to_new, _ = merge_index(c.index, prod_index)
+                    c_index, _, _ = merge_index(c.index, prod_index)
                 else:
                     c_index = prod_index
-                    old_to_new = np.zeros(0, dtype=np.int64)
 
         # ---- execute ----------------------------------------------------
         eff_dist = dist
@@ -206,32 +214,15 @@ def multiply(
 
             with timed("multiply/cannon"):
                 out_data = execute_cannon(
-                    a, ta, ca, b, tb, cb, c, c_index, old_to_new,
+                    a, ta, ca, b, tb, cb, c, c_index,
                     alpha, beta, eff_dist, k_dist, cfg,
                 )
         else:
             with timed("multiply/exec"):
-                driver = cfg.mm_driver
-                tplan = None
-                if driver in ("auto", "stack", "xla"):
-                    with timed("multiply/tileplan"):
-                        tplan = plan_tile_stacks(
-                            a.index, ta, b.index, tb, cfg.tile_size
-                        )
-                    mt, kt, nt = tplan.tile_grid  # tile counts per dim
-                    tdensity = len(tplan.stack) / max(mt * kt * nt, 1)
-                    if driver == "auto" and tdensity >= cfg.dense_threshold:
-                        tplan = None  # dense panels win at this occupancy
-                if tplan is None:
-                    out_data = _execute_dense(
-                        a, ta, ca, b, tb, cb, c, c_index, old_to_new,
-                        alpha, beta, cfg,
-                    )
-                else:
-                    out_data = _execute_stack(
-                        a, ca, b, cb, c, c_index, old_to_new, alpha, beta,
-                        cfg, tplan, prefer_pallas=(driver != "xla"),
-                    )
+                out_data = _execute_local(
+                    a, ta, ca, b, tb, cb, c, c_index, alpha, beta, cfg,
+                    mask_result=(filter_eps is not None or retain_sparsity),
+                )
 
         result = BCSRMatrix(
             name=(c.name if c is not None else "product"),
@@ -264,6 +255,88 @@ def multiply(
     if return_flops:
         return result, symb.eff_flops
     return result
+
+
+def _execute_local(
+    a: BCSRMatrix,
+    ta: bool,
+    ca: bool,
+    b: BCSRMatrix,
+    tb: bool,
+    cb: bool,
+    c: Optional[BCSRMatrix],
+    c_index: BCSRIndex,
+    alpha,
+    beta,
+    cfg,
+    *,
+    mask_result: bool,
+) -> jax.Array:
+    tile = a.tile
+    a_st, a_coords, (mt, kt) = _op_store(a, ta, ca)
+    b_st, b_coords, (kt2, nt) = _op_store(b, tb, cb)
+    dbcsr_assert(kt == kt2, "tile grid K mismatch")
+
+    c_lay = store_layout(c_index, tile)
+    c_keys = c_lay.tile_keys()
+
+    driver = cfg.mm_driver
+    tplan = None
+    if driver in ("auto", "stack", "xla"):
+        with timed("multiply/tileplan"):
+            tplan = plan_tile_stacks_stores(a_coords, (mt, kt), b_coords, (kt, nt))
+        tdensity = len(tplan.stack) / max(mt * kt * nt, 1)
+        if driver == "auto" and tdensity >= cfg.dense_threshold:
+            tplan = None
+
+    prec = cfg.matmul_precision
+    if tplan is None:
+        pa = _stores_to_panel(
+            a_st, jnp.asarray(a_coords[:, 0].astype(np.int64) * kt + a_coords[:, 1]),
+            ntr=mt, ntc=kt, t=tile,
+        )
+        pb = _stores_to_panel(
+            b_st, jnp.asarray(b_coords[:, 0].astype(np.int64) * nt + b_coords[:, 1]),
+            ntr=kt, ntc=nt, t=tile,
+        )
+        g = jnp.matmul(pa, pb, precision=_PRECISIONS[prec])
+        prod = _panel_to_tiles(
+            g, jnp.asarray(c_keys), ntr=mt, ntc=nt, t=tile
+        ) if len(c_keys) else jnp.zeros((0, tile, tile), dtype=a.dtype)
+        get_stats().hardware_flops += 2.0 * float(mt) * kt * nt * tile**3
+    else:
+        if len(tplan.stack) == 0:
+            prod = jnp.zeros((len(c_keys), tile, tile), dtype=a.dtype)
+        else:
+            use_pallas = (
+                driver != "xla"
+                and any(d.platform == "tpu" for d in jax.devices())
+                and a.dtype in (jnp.float32, jnp.bfloat16)
+            )
+            if use_pallas:
+                prod_tiles = tile_stack_matmul_pallas(
+                    a_st, b_st, tplan.stack, n_c_tiles=tplan.n_c_tiles,
+                    max_chunk=cfg.max_stack_size, precision=prec,
+                )
+            else:
+                prod_tiles = tile_stack_matmul_xla(
+                    a_st, b_st, jnp.asarray(tplan.stack),
+                    n_c_tiles=tplan.n_c_tiles,
+                )
+            # align product tiles (sorted by product key) to C's tile set
+            amap = tile_align_map(c_keys, tplan.c_tile_keys)
+            prod = take_tiles(prod_tiles, amap, tile)
+            get_stats().hardware_flops += 2.0 * len(tplan.stack) * tile**3
+
+    if mask_result and len(c_keys):
+        prod = prod * valid_mask(c_index, tile).astype(prod.dtype)
+
+    old = _align_old_c(c, c_index, tile)
+    alpha_ = jnp.asarray(alpha, dtype=a.dtype)
+    beta_ = jnp.asarray(beta, dtype=a.dtype)
+    if old is None:
+        return (alpha_ * prod).astype(a.dtype)
+    return _combine(prod.astype(a.dtype), old, alpha_, beta_)
 
 
 def _multiply_limited(
@@ -325,7 +398,7 @@ def _multiply_limited(
         filter_eps=filter_eps, dist=dist, return_flops=True,
     )
     # re-expand into the full C block space (selections are ascending ranges,
-    # so canonical order — and hence the flat data layout — is preserved)
+    # so canonical block order — and the flat layout — are preserved)
     w_idx = window.index
     full_index, order = build_index(
         rows_sel[w_idx.blk_rows].astype(np.int64),
@@ -337,187 +410,18 @@ def _multiply_limited(
         np.array_equal(order, np.arange(len(order))),
         "window expansion must preserve block order",
     )
-    expanded = BCSRMatrix(
-        name="product", index=full_index, data=window.data, dist=dist
+    expanded = BCSRMatrix.from_flat(
+        full_index, window.flat_host(), name="product", dist=dist,
+        tile=window.tile,
     )
     if c is not None:
         result = add(1.0, expanded, beta, c)
-        result = replace_name(result, c.name)
+        result = _dc_replace(result, name=c.name)
     else:
         result = expanded
     if return_flops:
         return result, fl
     return result
-
-
-def replace_name(m: BCSRMatrix, name: str) -> BCSRMatrix:
-    from dataclasses import replace as _replace
-
-    return _replace(m, name=name)
-
-
-def _execute_dense(
-    a: BCSRMatrix,
-    ta: bool,
-    ca: bool,
-    b: BCSRMatrix,
-    tb: bool,
-    cb: bool,
-    c: Optional[BCSRMatrix],
-    c_index: BCSRIndex,
-    old_to_new: np.ndarray,
-    alpha,
-    beta,
-    cfg,
-) -> jax.Array:
-    tile = cfg.tile_size
-    a_inv, (mp, kp) = panel_gather_map(a.index, tile, ta)
-    b_inv, (kp2, np_) = panel_gather_map(b.index, tile, tb)
-    dbcsr_assert(kp == kp2, "panel K mismatch")
-
-    # result gather positions inside the (mp, np_) padded product panel
-    c_src, (mp3, np3) = panel_scatter_map(c_index, tile, False)
-    dbcsr_assert((mp3, np3) == (mp, np_), "product panel mismatch")
-
-    lc = _bucket_len(len(c_src))
-    old_inv, old_data = _old_inverse(c, c_index, old_to_new, a.dtype, lc)
-    lo = _bucket_len(max(len(old_data), 1))
-    out = _dense_exec(
-        a.data,
-        b.data,
-        jnp.asarray(a_inv),
-        jnp.asarray(b_inv),
-        _pad_i32(c_src, lc, mp * np_),  # OOB gather → fill 0
-        jnp.asarray(old_inv),
-        _pad_data(old_data, lo),
-        jnp.asarray(alpha, dtype=a.dtype),
-        jnp.asarray(beta, dtype=a.dtype),
-        mp=mp,
-        kp=kp,
-        np_=np_,
-        conj_a=ca,
-        conj_b=cb,
-        prec=cfg.matmul_precision,
-    )
-    hw_flops = 2.0 * mp * kp * np_
-    get_stats().hardware_flops += hw_flops
-    return out[: c_index.nelems]
-
-
-@partial(jax.jit, static_argnames=("n_tiles", "tile", "conj"))
-def _pack_tiles(data, inv, *, n_tiles: int, tile: int, conj: bool):
-    out = (
-        data.at[inv]
-        .get(mode="fill", fill_value=0)
-        .reshape(n_tiles, tile, tile)
-    )
-    return jnp.conj(out) if conj else out
-
-
-@jax.jit
-def _gather_combine(c_tiles, c_src, old_inv, old_data, alpha, beta):
-    out = alpha * c_tiles.reshape(-1).at[c_src].get(mode="fill", fill_value=0)
-    return out + beta * old_data.at[old_inv].get(mode="fill", fill_value=0)
-
-
-def _old_positions(
-    c: Optional[BCSRMatrix], c_index: BCSRIndex, old_to_new: np.ndarray, dtype
-):
-    """Positions of old C elements inside the new flat layout."""
-    if c is not None and c.nblks:
-        b_old = c.index.elem_to_blk.astype(np.int64)
-        t = np.arange(c.index.nelems, dtype=np.int64) - c.index.blk_offset[b_old]
-        return c_index.blk_offset[old_to_new[b_old]] + t, c.data
-    return np.zeros(0, dtype=np.int64), jnp.zeros(0, dtype=dtype)
-
-
-def _old_inverse(
-    c, c_index, old_to_new: np.ndarray, dtype, out_len: int
-):
-    """Gather map (len out_len) pulling old C elements into the new layout."""
-    from .pack import inverse_map
-
-    old_pos, old_data = _old_positions(c, c_index, old_to_new, dtype)
-    inv = inverse_map(old_pos.astype(np.int64), out_len)
-    return inv, old_data
-
-
-def _execute_stack(
-    a: BCSRMatrix,
-    ca: bool,
-    b: BCSRMatrix,
-    cb: bool,
-    c: Optional[BCSRMatrix],
-    c_index: BCSRIndex,
-    old_to_new: np.ndarray,
-    alpha,
-    beta,
-    cfg,
-    tplan,
-    *,
-    prefer_pallas: bool,
-) -> jax.Array:
-    tile = cfg.tile_size
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
-    use_pallas = (
-        prefer_pallas
-        and on_tpu
-        and a.dtype in (jnp.float32, jnp.bfloat16)
-    )
-    if len(tplan.stack) == 0:
-        # empty symbolic product: result is beta * old C gathered in place
-        old_inv, old_data = _old_inverse(
-            c, c_index, old_to_new, a.dtype, c_index.nelems
-        )
-        if old_data.shape[0]:
-            return jnp.asarray(beta, a.dtype) * old_data.at[
-                jnp.asarray(old_inv)
-            ].get(mode="fill", fill_value=0)
-        return jnp.zeros((c_index.nelems,), dtype=a.dtype)
-
-    _, _, nt = tplan.tile_grid
-    c_src = tile_gather_map(c_index, tplan.c_tile_coords, tile, nt)
-
-    lc = _bucket_len(len(c_src))
-    old_inv, old_data = _old_inverse(c, c_index, old_to_new, a.dtype, lc)
-    lo = _bucket_len(max(len(old_data), 1))
-    n_a = max(tplan.n_a_tiles, 1)
-    n_b = max(tplan.n_b_tiles, 1)
-    n_c = tplan.n_c_tiles  # > 0 here (stack nonempty)
-
-    a_tiles = _pack_tiles(
-        a.data,
-        jnp.asarray(inverse_map(tplan.a_dest, n_a * tile * tile)),
-        n_tiles=n_a, tile=tile, conj=ca,
-    )
-    b_tiles = _pack_tiles(
-        b.data,
-        jnp.asarray(inverse_map(tplan.b_dest, n_b * tile * tile)),
-        n_tiles=n_b, tile=tile, conj=cb,
-    )
-    if use_pallas:
-        c_tiles = tile_stack_matmul_pallas(
-            a_tiles, b_tiles, tplan.stack, n_c_tiles=n_c,
-            max_chunk=cfg.max_stack_size, precision=cfg.matmul_precision,
-        )
-    else:
-        ls = _bucket_len(len(tplan.stack))
-        pad_stack = np.zeros((ls, 3), dtype=np.int32)
-        pad_stack[:, 0] = n_c  # trash slot
-        pad_stack[: len(tplan.stack)] = tplan.stack
-        c_tiles = tile_stack_matmul_xla(
-            a_tiles, b_tiles, jnp.asarray(pad_stack), n_c_tiles=n_c
-        )
-    out = _gather_combine(
-        c_tiles,
-        _pad_i32(c_src, lc, n_c * tile * tile),
-        jnp.asarray(old_inv),
-        _pad_data(old_data, lo),
-        jnp.asarray(alpha, dtype=a.dtype),
-        jnp.asarray(beta, dtype=a.dtype),
-    )
-    get_stats().hardware_flops += 2.0 * len(tplan.stack) * tile**3
-    return out[: c_index.nelems]
 
 
 def build_multiply_executor(
@@ -529,90 +433,106 @@ def build_multiply_executor(
     driver: Optional[str] = None,
 ):
     """Plan once, execute many: returns ``(fn, c_index, eff_flops)`` where
-    ``fn(a_data, b_data) -> c_data`` is a pure jittable function computing
+    ``fn(a_store, b_store) -> c_store`` is a pure jittable function computing
     op(A)·op(B) for NEW DATA with the SAME sparsity patterns.
 
     The analog of the reference's batched-multiply state machine
     (``dbcsr_tas_batched_mm_*``): iterative algorithms (SCF, matrix
     iterations) repeat products over fixed patterns — the symbolic plan and
-    all maps are reused, so steady-state cost is pure device time.
+    all tile maps are reused, so steady-state cost is pure MXU + HBM time
+    (for 'N','N' there is NO packing at all: the at-rest store is the
+    operand panel and the output is C's store).
     """
+    from ..ops.transform import desymmetrize
+
     cfg = get_config()
     ta, ca = _effective_trans(transa)
     tb, cb = _effective_trans(transb)
     a = desymmetrize(a)
     b = desymmetrize(b)
+    tile = a.tile
     m_sizes = a.index.col_block_sizes if ta else a.index.row_block_sizes
     n_sizes = b.index.row_block_sizes if tb else b.index.col_block_sizes
     symb = symbolic_product(a.index, ta, b.index, tb)
     c_index, _ = build_index(symb.rows, symb.cols, m_sizes, n_sizes)
-    tile = cfg.tile_size
+    c_lay = store_layout(c_index, tile)
+    c_keys = c_lay.tile_keys()
+
+    # host-side op-pattern metadata (reused across calls)
+    a_lay, b_lay = a.layout, b.layout
+    if ta:
+        _, a_coords = transpose_store(a.index, tile, a.data)
+        a_perm_keys = a.layout.tile_coords[:, 1].astype(np.int64) * a_lay.ntr + a.layout.tile_coords[:, 0]
+        a_perm = jnp.asarray(np.argsort(a_perm_keys).astype(np.int32))
+        mt, kt = a_lay.ntc, a_lay.ntr
+    else:
+        a_coords, a_perm = a_lay.tile_coords, None
+        mt, kt = a_lay.ntr, a_lay.ntc
+    if tb:
+        _, b_coords = transpose_store(b.index, tile, b.data)
+        b_perm_keys = b.layout.tile_coords[:, 1].astype(np.int64) * b_lay.ntr + b.layout.tile_coords[:, 0]
+        b_perm = jnp.asarray(np.argsort(b_perm_keys).astype(np.int32))
+        kt2, nt = b_lay.ntc, b_lay.ntr
+    else:
+        b_coords, b_perm = b_lay.tile_coords, None
+        kt2, nt = b_lay.ntr, b_lay.ntc
+    dbcsr_assert(kt == kt2, "tile grid K mismatch")
 
     drv = driver or cfg.mm_driver
     tplan = None
     if drv in ("auto", "stack", "xla"):
-        tplan = plan_tile_stacks(a.index, ta, b.index, tb, tile)
-        mt, kt, nt = tplan.tile_grid
+        tplan = plan_tile_stacks_stores(a_coords, (mt, kt), b_coords, (kt, nt))
         if drv == "auto" and len(tplan.stack) / max(mt * kt * nt, 1) >= cfg.dense_threshold:
             tplan = None
 
-    nelems = c_index.nelems
-    zero_old = jnp.zeros(1, dtype=a.dtype)
-    one = jnp.asarray(1.0, dtype=a.dtype)
-    zero = jnp.asarray(0.0, dtype=a.dtype)
-
-    if tplan is None:
-        a_inv, (mp, kp) = panel_gather_map(a.index, tile, ta)
-        b_inv, (kp2, np_) = panel_gather_map(b.index, tile, tb)
-        c_src, _ = panel_scatter_map(c_index, tile, False)
-        a_inv_j = jnp.asarray(a_inv)
-        b_inv_j = jnp.asarray(b_inv)
-        c_src_j = jnp.asarray(c_src)
-        prec = cfg.matmul_precision
-
-        no_old = jnp.full((len(c_src),), np.iinfo(np.int32).max, jnp.int32)
-
-        def fn(a_data, b_data):
-            return _dense_exec(
-                a_data, b_data, a_inv_j, b_inv_j, c_src_j,
-                no_old, zero_old, one, zero,
-                mp=mp, kp=kp, np_=np_, conj_a=ca, conj_b=cb, prec=prec,
-            )[:nelems]
-
-        return fn, c_index, symb.eff_flops
-
-    plan = tplan
-    n_a = max(plan.n_a_tiles, 1)
-    n_b = max(plan.n_b_tiles, 1)
-    n_c = max(plan.n_c_tiles, 1)
-    _, _, nt = plan.tile_grid
-    c_src = tile_gather_map(c_index, plan.c_tile_coords, tile, nt)
-    a_inv_j = jnp.asarray(inverse_map(plan.a_dest, n_a * tile * tile))
-    b_inv_j = jnp.asarray(inverse_map(plan.b_dest, n_b * tile * tile))
-    c_src_j = jnp.asarray(c_src)
-    stack_np = plan.stack
-    no_old = jnp.full((len(c_src),), np.iinfo(np.int32).max, jnp.int32)
+    prec = cfg.matmul_precision
     use_pallas = (
         drv != "xla"
         and any(d.platform == "tpu" for d in jax.devices())
         and a.dtype in (jnp.float32, jnp.bfloat16)
     )
-    prec = cfg.matmul_precision
+
+    def op_store(data, perm, conj):
+        st = data
+        if perm is not None:
+            st = jnp.swapaxes(jnp.take(st, perm, axis=0), 1, 2)
+        return jnp.conj(st) if conj else st
+
+    if tplan is None:
+        a_keys = jnp.asarray(a_coords[:, 0].astype(np.int64) * kt + a_coords[:, 1])
+        b_keys = jnp.asarray(b_coords[:, 0].astype(np.int64) * nt + b_coords[:, 1])
+        c_keys_j = jnp.asarray(c_keys)
+
+        def fn(a_data, b_data):
+            pa = _stores_to_panel(
+                op_store(a_data, a_perm, ca), a_keys, ntr=mt, ntc=kt, t=tile
+            )
+            pb = _stores_to_panel(
+                op_store(b_data, b_perm, cb), b_keys, ntr=kt, ntc=nt, t=tile
+            )
+            g = jnp.matmul(pa, pb, precision=_PRECISIONS[prec])
+            return _panel_to_tiles(g, c_keys_j, ntr=mt, ntc=nt, t=tile)
+
+        return fn, c_index, symb.eff_flops
+
+    plan = tplan
+    amap = tile_align_map(c_keys, plan.c_tile_keys)
+    amap_j = jnp.asarray(amap)
+    stack_np = plan.stack
+    n_c = plan.n_c_tiles
 
     def fn(a_data, b_data):
-        a_tiles = _pack_tiles(a_data, a_inv_j, n_tiles=n_a, tile=tile, conj=ca)
-        b_tiles = _pack_tiles(b_data, b_inv_j, n_tiles=n_b, tile=tile, conj=cb)
+        a_st = op_store(a_data, a_perm, ca)
+        b_st = op_store(b_data, b_perm, cb)
         if use_pallas:
-            c_tiles = tile_stack_matmul_pallas(
-                a_tiles, b_tiles, stack_np, n_c_tiles=n_c,
+            prod = tile_stack_matmul_pallas(
+                a_st, b_st, stack_np, n_c_tiles=n_c,
                 max_chunk=cfg.max_stack_size, precision=prec,
             )
         else:
-            c_tiles = tile_stack_matmul_xla(
-                a_tiles, b_tiles, jnp.asarray(stack_np), n_c_tiles=n_c
+            prod = tile_stack_matmul_xla(
+                a_st, b_st, jnp.asarray(stack_np), n_c_tiles=n_c
             )
-        return _gather_combine(
-            c_tiles, c_src_j, no_old, zero_old, one, zero
-        )[:nelems]
+        return jnp.take(prod, amap_j, axis=0, mode="fill", fill_value=0)
 
     return fn, c_index, symb.eff_flops

@@ -2,8 +2,9 @@
 
 Analog of ``src/ops/dbcsr_operations.F:109-125``: add (index-merge), scale,
 scale-by-vector, set/zero, trace, dot, hadamard product, epsilon filtering,
-elementwise function application, triu, diagonal access. All data math runs
-on device over the flat buffer; index work stays on host.
+elementwise function application, triu, diagonal access, crop. All device
+math runs at TILE granularity on the tile stores (block/store.py invariant:
+padding positions are exactly 0); index work stays on host.
 """
 from __future__ import annotations
 
@@ -15,11 +16,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..block.bcsr import BCSRMatrix, SYM_NONE
-from ..block.gather import block_subset_gather
 from ..block.index import BCSRIndex, build_index, merge_index
+from ..block.store import store_layout
+from ..block.tileops import (
+    block_mask_store,
+    coord_mask,
+    take_tiles,
+    tile_align_map,
+    valid_mask,
+)
 from ..core.errors import dbcsr_assert
 from ..core.timing import timed
-from ..mm.pack import elem_coords
 from .norms import block_norms_sq
 from .transform import desymmetrize
 
@@ -48,28 +55,27 @@ def _same_structure(a: BCSRMatrix, b: BCSRMatrix) -> bool:
     )
 
 
+def _align_to(keys: np.ndarray, m: BCSRMatrix) -> jax.Array:
+    """m's store gathered onto the tile set ``keys`` (tile-level take)."""
+    amap = tile_align_map(keys, m.layout.tile_keys())
+    return take_tiles(m.data, amap, m.tile)
+
+
 def add(alpha, a: BCSRMatrix, beta, b: BCSRMatrix) -> BCSRMatrix:
-    """alpha*A + beta*B with index union (``dbcsr_add``)."""
+    """alpha*A + beta*B with index union (``dbcsr_add``). The tile stores
+    are dense-on-tiles with zero padding, so the union-aligned element sum
+    IS the matrix sum — one tile gather per operand, one add."""
     dbcsr_assert(_same_structure(a, b), "incompatible block structures")
     if a.sym != b.sym:
         a, b = desymmetrize(a), desymmetrize(b)
+    dbcsr_assert(a.tile == b.tile, "tile sizes differ")
     with timed("add"):
-        merged, a_map, b_map = merge_index(a.index, b.index)
-        out = jnp.zeros((merged.nelems,), dtype=jnp.result_type(a.dtype, b.dtype))
-
-        def positions(src: BCSRIndex, blk_map: np.ndarray) -> np.ndarray:
-            if src.nblks == 0:
-                return np.zeros(0, dtype=np.int64)
-            eb = src.elem_to_blk.astype(np.int64)
-            t = np.arange(src.nelems, dtype=np.int64) - src.blk_offset[eb]
-            return merged.blk_offset[blk_map[eb]] + t
-
-        out = out.at[jnp.asarray(positions(a.index, a_map).astype(np.int32))].add(
-            jnp.asarray(alpha, out.dtype) * a.data.astype(out.dtype)
-        )
-        out = out.at[jnp.asarray(positions(b.index, b_map).astype(np.int32))].add(
-            jnp.asarray(beta, out.dtype) * b.data.astype(out.dtype)
-        )
+        merged, _, _ = merge_index(a.index, b.index)
+        keys = store_layout(merged, a.tile).tile_keys()
+        dtype = jnp.result_type(a.dtype, b.dtype)
+        out = jnp.asarray(alpha, dtype) * _align_to(keys, a).astype(dtype) + jnp.asarray(
+            beta, dtype
+        ) * _align_to(keys, b).astype(dtype)
         return BCSRMatrix(
             name=a.name, index=merged, data=out, sym=a.sym, dist=a.dist
         )
@@ -81,64 +87,75 @@ def scale(m: BCSRMatrix, alpha) -> BCSRMatrix:
 
 def scale_by_vector(m: BCSRMatrix, vec, side: str = "right") -> BCSRMatrix:
     """Scale columns (side='right': A·diag(v)) or rows (side='left':
-    diag(v)·A) — ``dbcsr_scale_by_vector``."""
+    diag(v)·A) — ``dbcsr_scale_by_vector``. The vector is re-tiled to
+    [n_tiles, T] by a tile-level gather and broadcast-multiplied."""
     dbcsr_assert(side in ("left", "right"), "side must be left|right")
-    rows, cols = elem_coords(m.index)
-    which = rows if side == "left" else cols
-    n = m.index.nfullrows if side == "left" else m.index.nfullcols
-    v = jnp.asarray(vec, dtype=m.dtype).reshape(n)
-    return m.with_data(m.data * v[jnp.asarray(which.astype(np.int32))])
+    lay = m.layout
+    t = m.tile
+    if side == "left":
+        n, ntiles_dim, coord = m.index.nfullrows, lay.ntr, lay.tile_coords[:, 0]
+    else:
+        n, ntiles_dim, coord = m.index.nfullcols, lay.ntc, lay.tile_coords[:, 1]
+    v = jnp.zeros((ntiles_dim * t,), dtype=m.dtype).at[:n].set(
+        jnp.asarray(vec, dtype=m.dtype).reshape(n)
+    )
+    per_tile = jnp.take(v.reshape(ntiles_dim, t), jnp.asarray(coord), axis=0)
+    if side == "left":
+        return m.with_data(m.data * per_tile[:, :, None])
+    return m.with_data(m.data * per_tile[:, None, :])
 
 
 def set_value(m: BCSRMatrix, value) -> BCSRMatrix:
-    """Set every stored element (``dbcsr_set``)."""
-    return m.with_data(jnp.full_like(m.data, value))
+    """Set every stored element (``dbcsr_set``); padding stays zero via the
+    validity mask."""
+    if value == 0:
+        return zero(m)
+    vm = valid_mask(m.index, m.tile).astype(m.dtype)
+    return m.with_data(vm * jnp.asarray(value, m.dtype))
 
 
 def zero(m: BCSRMatrix) -> BCSRMatrix:
-    return set_value(m, 0)
+    return m.with_data(jnp.zeros_like(m.data))
+
+
+def _diag_slots(m: BCSRMatrix) -> np.ndarray:
+    lay = m.layout
+    return np.flatnonzero(lay.tile_coords[:, 0] == lay.tile_coords[:, 1])
 
 
 def trace(m: BCSRMatrix) -> float:
-    """Sum of diagonal elements (``dbcsr_trace``)."""
+    """Sum of diagonal elements (``dbcsr_trace``). Only diagonal tiles
+    (tr == tc) intersect the diagonal; padding zeros make the raw diagonal
+    sum exact."""
     mm = desymmetrize(m)
-    rows, cols = elem_coords(mm.index)
-    on_diag = rows == cols
-    if not on_diag.any():
+    slots = _diag_slots(mm)
+    if len(slots) == 0:
         return 0.0
-    sel = jnp.asarray(np.flatnonzero(on_diag).astype(np.int32))
-    return complex(jnp.sum(jnp.take(mm.data, sel))) if jnp.iscomplexobj(
-        mm.data
-    ) else float(jnp.sum(jnp.take(mm.data, sel)))
+    d = jnp.take(mm.data, jnp.asarray(slots.astype(np.int32)), axis=0)
+    val = jnp.sum(jnp.diagonal(d, axis1=1, axis2=2))
+    return complex(val) if jnp.iscomplexobj(d) else float(val)
 
 
 def dot(a: BCSRMatrix, b: BCSRMatrix) -> float:
-    """Frobenius inner product Tr(A^T B) over the shared pattern
-    (``dbcsr_dot``)."""
+    """Frobenius inner product Tr(A^T B) (``dbcsr_dot``): elementwise on the
+    tile intersection — positions where either operand stores nothing are 0."""
     dbcsr_assert(_same_structure(a, b), "incompatible block structures")
     a = desymmetrize(a)
     b = desymmetrize(b)
-    merged, a_map, b_map = merge_index(a.index, b.index)
-
-    def spread(src: BCSRIndex, blk_map, data):
-        eb = src.elem_to_blk.astype(np.int64)
-        t = np.arange(src.nelems, dtype=np.int64) - src.blk_offset[eb]
-        pos = merged.blk_offset[blk_map[eb]] + t
-        return (
-            jnp.zeros((merged.nelems,), dtype=data.dtype)
-            .at[jnp.asarray(pos.astype(np.int32))]
-            .set(data)
-        )
-
-    fa = spread(a.index, a_map, a.data)
-    fb = spread(b.index, b_map, b.data)
+    ka, kb = a.layout.tile_keys(), b.layout.tile_keys()
+    keys = np.intersect1d(ka, kb)
+    if len(keys) == 0:
+        return 0.0
+    fa = _align_to(keys, a)
+    fb = _align_to(keys, b)
     val = jnp.sum(jnp.conj(fa) * fb) if jnp.iscomplexobj(fa) else jnp.sum(fa * fb)
     return complex(val) if jnp.iscomplexobj(fa) else float(val)
 
 
 def hadamard_product(a: BCSRMatrix, b: BCSRMatrix) -> BCSRMatrix:
     """Elementwise product on the pattern intersection
-    (``dbcsr_hadamard_product``)."""
+    (``dbcsr_hadamard_product``). The store product is exact: positions
+    covered by only one operand multiply against 0."""
     dbcsr_assert(_same_structure(a, b), "incompatible block structures")
     a = desymmetrize(a)
     b = desymmetrize(b)
@@ -151,41 +168,31 @@ def hadamard_product(a: BCSRMatrix, b: BCSRMatrix) -> BCSRMatrix:
         coo.row.astype(np.int32), coo.col.astype(np.int32),
         a.row_block_sizes, a.col_block_sizes,
     )
-
-    def gather_into(src: BCSRIndex, data):
-        # block ids of the intersection inside src (patterns carry id+1)
-        ids = np.asarray(
-            src.pattern()[coo.row.astype(np.int64), coo.col.astype(np.int64)]
-        ).ravel() - 1
-        eb = new_index.elem_to_blk.astype(np.int64)
-        t = np.arange(new_index.nelems, dtype=np.int64) - new_index.blk_offset[eb]
-        pos = src.blk_offset[ids[eb]] + t
-        return jnp.take(data, jnp.asarray(pos.astype(np.int32)))
-
-    da = gather_into(a.index, a.data)
-    db = gather_into(b.index, b.data)
+    keys = store_layout(new_index, a.tile).tile_keys()
+    data = _align_to(keys, a) * _align_to(keys, b)
     return BCSRMatrix(
-        name=a.name, index=new_index, data=da * db, sym=SYM_NONE, dist=a.dist
+        name=a.name, index=new_index, data=data, sym=SYM_NONE, dist=a.dist
     )
 
 
 def filter_blocks(m: BCSRMatrix, eps: float) -> BCSRMatrix:
-    """Drop blocks with Frobenius norm below eps (``dbcsr_filter``)."""
+    """Drop blocks with Frobenius norm below eps (``dbcsr_filter``).
+    Tile-level gather onto the surviving tile set + a block mask (indicator
+    matmul) zeroing dropped blocks that share tiles with survivors."""
     if m.nblks == 0 or eps is None:
         return m
     with timed("filter"):
-        nsq = np.asarray(block_norms_sq(m), dtype=np.float64)
+        nsq = block_norms_sq(m).astype(np.float64)
         keep = nsq >= float(eps) ** 2
         if keep.all():
             return m
         rows = m.index.blk_rows[keep]
         cols = m.index.col_idx[keep]
-        new_index, order = build_index(
+        new_index, _ = build_index(
             rows, cols, m.index.row_block_sizes, m.index.col_block_sizes
         )
-        # canonical subset keeps order; gather kept elements
-        gmap = block_subset_gather(m.index, keep)
-        data = jnp.take(m.data, jnp.asarray(gmap.astype(np.int32)))
+        keys = store_layout(new_index, m.tile).tile_keys()
+        data = _align_to(keys, m) * valid_mask(new_index, m.tile).astype(m.dtype)
         return BCSRMatrix(
             name=m.name, index=new_index, data=data, sym=m.sym, dist=m.dist
         )
@@ -194,14 +201,16 @@ def filter_blocks(m: BCSRMatrix, eps: float) -> BCSRMatrix:
 def function_of_elements(m: BCSRMatrix, fn: Callable[[jax.Array], jax.Array]) -> BCSRMatrix:
     """Apply an elementwise function to stored elements
     (``dbcsr_function_of_elements``; the reference enumerates 13 fixed
-    functions at ``dbcsr_types.F:483-495`` — here any jax-traceable fn)."""
-    return m.with_data(fn(m.data))
+    functions at ``dbcsr_types.F:483-495`` — here any jax-traceable fn).
+    The validity mask keeps padding at zero for fn(0) != 0."""
+    out = fn(m.data)
+    vm = valid_mask(m.index, m.tile)
+    return m.with_data(jnp.where(vm > 0.5, out, jnp.zeros_like(out)))
 
 
 def triu(m: BCSRMatrix) -> BCSRMatrix:
     """Zero the strictly-lower triangle of stored data (``dbcsr_triu``)."""
-    rows, cols = elem_coords(m.index)
-    mask = jnp.asarray(rows <= cols)
+    mask = coord_mask(m.layout, lambda r, c: r <= c)
     return m.with_data(jnp.where(mask, m.data, 0))
 
 
@@ -209,32 +218,59 @@ def get_diag(m: BCSRMatrix) -> jax.Array:
     """Dense diagonal vector (``dbcsr_get_diag``)."""
     dbcsr_assert(m.index.nfullrows == m.index.nfullcols, "diag needs square")
     mm = desymmetrize(m)
-    rows, cols = elem_coords(mm.index)
-    on = rows == cols
-    out = jnp.zeros((mm.index.nfullrows,), dtype=mm.dtype)
-    pos = rows[on].astype(np.int32)
-    sel = np.flatnonzero(on).astype(np.int32)
-    return out.at[jnp.asarray(pos)].set(jnp.take(mm.data, jnp.asarray(sel)))
+    lay = mm.layout
+    t = mm.tile
+    n = mm.index.nfullrows
+    slots = _diag_slots(mm)
+    out = jnp.zeros((lay.ntr, t), dtype=mm.dtype)
+    if len(slots):
+        d = jnp.take(mm.data, jnp.asarray(slots.astype(np.int32)), axis=0)
+        trs = lay.tile_coords[slots, 0]
+        out = out.at[jnp.asarray(trs)].set(jnp.diagonal(d, axis1=1, axis2=2))
+    return out.reshape(-1)[:n]
+
+
+def _update_diag(m: BCSRMatrix, new_diag_tiles_fn) -> BCSRMatrix:
+    """Shared scaffold for set_diag/add_on_diag: rewrite diagonal tiles."""
+    slots = _diag_slots(m)
+    if len(slots) == 0:
+        return m
+    lay = m.layout
+    t = m.tile
+    sl = jnp.asarray(slots.astype(np.int32))
+    d = jnp.take(m.data, sl, axis=0)
+    vm = jnp.take(valid_mask(m.index, m.tile), sl, axis=0)
+    eye = jnp.eye(t, dtype=m.data.real.dtype if jnp.iscomplexobj(m.data) else m.dtype)
+    diag_mask = (eye[None] * vm) > 0.5  # stored diagonal positions only
+    trs = lay.tile_coords[slots, 0]
+    new_d = new_diag_tiles_fn(d, diag_mask, trs)
+    return m.with_data(m.data.at[sl].set(new_d))
 
 
 def set_diag(m: BCSRMatrix, diag) -> BCSRMatrix:
     """Set stored diagonal elements from a dense vector (``dbcsr_set_diag``).
     Only elements inside stored blocks are set."""
-    rows, cols = elem_coords(m.index)
-    on = rows == cols
-    sel = np.flatnonzero(on).astype(np.int32)
-    vals = jnp.asarray(diag, dtype=m.dtype)[jnp.asarray(rows[on].astype(np.int32))]
-    return m.with_data(m.data.at[jnp.asarray(sel)].set(vals))
+    t = m.tile
+    lay = m.layout
+    n = m.index.nfullrows
+    v = jnp.zeros((lay.ntr * t,), dtype=m.dtype).at[:n].set(
+        jnp.asarray(diag, dtype=m.dtype).reshape(n)
+    ).reshape(lay.ntr, t)
+
+    def upd(d, diag_mask, trs):
+        vals = jnp.take(v, jnp.asarray(trs), axis=0)  # [nd, T]
+        vt = vals[:, :, None] * jnp.eye(t, dtype=m.dtype)
+        return jnp.where(diag_mask, vt, d)
+
+    return _update_diag(m, upd)
 
 
 def add_on_diag(m: BCSRMatrix, alpha) -> BCSRMatrix:
     """Add alpha to stored diagonal elements (``dbcsr_add_on_diag``)."""
-    rows, cols = elem_coords(m.index)
-    on = rows == cols
-    sel = np.flatnonzero(on).astype(np.int32)
-    return m.with_data(
-        m.data.at[jnp.asarray(sel)].add(jnp.asarray(alpha, m.dtype))
-    )
+    def upd(d, diag_mask, trs):
+        return jnp.where(diag_mask, d + jnp.asarray(alpha, m.dtype), d)
+
+    return _update_diag(m, upd)
 
 
 def crop(
@@ -243,7 +279,8 @@ def crop(
     col_range: Optional[tuple] = None,
 ) -> BCSRMatrix:
     """Zero data outside a block-index window (``dbcsr_crop_matrix``;
-    element positions and index retained)."""
+    element positions and index retained). Block keep mask applied via the
+    indicator matmul."""
     r0, r1 = row_range if row_range else (0, m.nblkrows)
     c0, c1 = col_range if col_range else (0, m.nblkcols)
     keep = (
@@ -252,5 +289,5 @@ def crop(
         & (m.index.col_idx >= c0)
         & (m.index.col_idx < c1)
     )
-    mask = jnp.asarray(keep[m.index.elem_to_blk])
-    return m.with_data(jnp.where(mask, m.data, 0))
+    mask = block_mask_store(m.index, m.tile, keep.astype(np.float32))
+    return m.with_data(m.data * mask.astype(m.dtype))

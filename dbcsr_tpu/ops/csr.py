@@ -32,7 +32,7 @@ def to_csr(m: BCSRMatrix) -> sp.csr_matrix:
     idx = m.index
     if idx.nblks == 0:
         return sp.csr_matrix((idx.nfullrows, idx.nfullcols), dtype=m.dtype)
-    host = np.asarray(m.data)
+    host = m.flat_host()
     bm, bn = idx.blk_shapes
     # element coordinates per flat data slot (row-major inside each block)
     b = idx.elem_to_blk.astype(np.int64)

@@ -86,7 +86,7 @@ def binary_write(m: BCSRMatrix, path: str) -> None:
         _write_array(f, m.index.row_ptr)
         _write_array(f, m.index.col_idx)
         _write_array(f, m.index.blk_offset)
-        _write_array(f, np.asarray(m.data))
+        _write_array(f, m.flat_host())
 
 
 def binary_read(path: str, *, dist=None, name: Optional[str] = None) -> BCSRMatrix:
@@ -121,10 +121,10 @@ def binary_read(path: str, *, dist=None, name: Optional[str] = None) -> BCSRMatr
     dbcsr_assert(idx.nblks == header["nblks"], "index/header mismatch")
     dbcsr_assert(idx.nelems == header["nelems"], "data-size/header mismatch")
     dbcsr_assert(len(data) == header["nelems"], "data length mismatch")
-    return BCSRMatrix(
+    return BCSRMatrix.from_flat(
+        idx,
+        data.astype(np.dtype(header["dtype"])),
         name=name or header["name"],
-        index=idx,
-        data=jnp.asarray(data.astype(np.dtype(header["dtype"]))),
         sym=header["sym"],
         dist=dist,
     )
@@ -163,7 +163,7 @@ def print_block_sum(m: BCSRMatrix, file=None) -> None:
     """Per-block element sums (``dbcsr_print_block_sum`` analog) — the
     reference's cheap fingerprint for debugging parallel layouts."""
     f = file or sys.stdout
-    host = np.asarray(m.data)
+    host = m.flat_host()
     off = m.index.blk_offset
     rows = m.index.blk_rows
     for b in range(m.nblks):
@@ -174,9 +174,9 @@ def print_block_sum(m: BCSRMatrix, file=None) -> None:
 def checksum(m: BCSRMatrix, *, pos: bool = False) -> float:
     """Matrix checksum (``dbcsr_checksum``, ``src/dist/dbcsr_dist_util.F:56``).
     ``pos=True`` weights elements by position for layout-sensitive checks."""
-    host = np.asarray(m.data, dtype=np.float64)
+    host = m.flat_host()
     if not pos:
-        return float((np.abs(host) ** 2).sum())
+        return float((np.abs(host).astype(np.float64) ** 2).sum())
     # position-weighted variant: weight by 1-based flat element index
     w = np.arange(1, host.size + 1, dtype=np.float64)
-    return float((host * w).sum())
+    return float((host.real.astype(np.float64) * w).sum())

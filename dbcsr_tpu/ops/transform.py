@@ -1,9 +1,11 @@
-"""Structural transformations: transpose, desymmetrize, copy, redistribute.
+"""Structural transformations: transpose, desymmetrize, copy, redistribute,
+replication, dense conversion.
 
 Analog of ``src/ops/dbcsr_transformations.F:101-150`` (``dbcsr_new_transposed``,
-``dbcsr_desymmetrize_deep``, ``dbcsr_complete_redistribute``). Every
-transformation is a host-side index rebuild plus one device gather through a
-host-built map (see ``block/gather.py``).
+``dbcsr_desymmetrize_deep``, ``dbcsr_complete_redistribute``, ...). On the
+tile-store layout, transpose is a tile permutation plus a vectorized
+per-tile transpose (no element maps), and desymmetrize is the transposed
+store selected on the strict-lower global triangle via a coordinate mask.
 """
 from __future__ import annotations
 
@@ -20,8 +22,14 @@ from ..block.bcsr import (
     SYM_NONE,
     SYM_SYMMETRIC,
 )
-from ..block.gather import block_permutation_gather
 from ..block.index import BCSRIndex, build_index
+from ..block.store import store_layout
+from ..block.tileops import (
+    coord_mask,
+    take_tiles,
+    tile_align_map,
+    transpose_store,
+)
 from ..core.errors import dbcsr_assert
 from ..core.timing import timed
 
@@ -41,19 +49,21 @@ __all__ = [
 
 
 def transpose(m: BCSRMatrix, *, conjugate: bool = False) -> BCSRMatrix:
-    """Deep transpose (``dbcsr_new_transposed``). Symmetric inputs are
-    expanded first; the result has symmetry 'N'."""
+    """Deep transpose (``dbcsr_new_transposed``): tile permutation +
+    vectorized per-tile transpose. Symmetric inputs are expanded first; the
+    result has symmetry 'N'."""
     if m.sym != SYM_NONE:
         m = desymmetrize(m)
     with timed("transpose"):
-        new_index, perm = m.index.transposed()
-        gmap = block_permutation_gather(
-            new_index, m.index, perm,
-            transpose_src=np.ones(new_index.nblks, dtype=bool),
+        new_index, _ = m.index.transposed()
+        data, coords_t = transpose_store(
+            m.index, m.tile, m.data, conj=conjugate and jnp.iscomplexobj(m.data)
         )
-        data = jnp.take(m.data, jnp.asarray(gmap.astype(np.int32)))
-        if conjugate and jnp.iscomplexobj(m.data):
-            data = jnp.conj(data)
+        new_lay = store_layout(new_index, m.tile)
+        dbcsr_assert(
+            np.array_equal(new_lay.tile_coords, coords_t),
+            "transposed tile sets must agree",
+        )
         return BCSRMatrix(
             name=m.name + "^T", index=new_index, data=data, sym=SYM_NONE,
             dist=None if m.dist is None else m.dist.transposed(),
@@ -62,41 +72,37 @@ def transpose(m: BCSRMatrix, *, conjugate: bool = False) -> BCSRMatrix:
 
 def desymmetrize(m: BCSRMatrix) -> BCSRMatrix:
     """Expand a symmetric/antisymmetric/hermitian matrix into full 'N'
-    storage (``dbcsr_desymmetrize_deep``). The reference does this inside
-    ``make_images`` before every multiply; we do the same in the engine."""
+    storage (``dbcsr_desymmetrize_deep``): the strictly-lower global
+    triangle is the (signed/conjugated) transposed store, selected by a
+    coordinate mask — this also reflects the interior of diagonal blocks,
+    matching the reference's convention that stored strictly-lower elements
+    of diagonal blocks are shadowed by the upper triangle."""
     if m.sym == SYM_NONE:
         return m
     with timed("desymmetrize"):
         rows_u = m.index.blk_rows
         cols_u = m.index.col_idx
         off_diag = rows_u != cols_u
-        # upper blocks keep their place; mirrored copies go to (j, i)
         new_rows = np.concatenate([rows_u, cols_u[off_diag]])
         new_cols = np.concatenate([cols_u, rows_u[off_diag]])
-        src_blks = np.concatenate(
-            [
-                np.arange(m.nblks, dtype=np.int64),
-                np.flatnonzero(off_diag).astype(np.int64),
-            ]
-        )
-        mirrored = np.concatenate(
-            [np.zeros(m.nblks, dtype=bool), np.ones(int(off_diag.sum()), dtype=bool)]
-        )
-        new_index, order = build_index(
+        new_index, _ = build_index(
             new_rows, new_cols, m.index.row_block_sizes, m.index.col_block_sizes
         )
-        src_of_new = src_blks[order]
-        mirrored = mirrored[order]
-        gmap = block_permutation_gather(
-            new_index, m.index, src_of_new, transpose_src=mirrored
+        new_lay = store_layout(new_index, m.tile)
+        keys = new_lay.tile_keys()
+
+        up = take_tiles(
+            m.data, tile_align_map(keys, m.layout.tile_keys()), m.tile
         )
-        data = jnp.take(m.data, jnp.asarray(gmap.astype(np.int32)))
-        if m.sym in (SYM_ANTISYMMETRIC, SYM_HERMITIAN):
-            elem_mirrored = jnp.asarray(mirrored[new_index.elem_to_blk])
-            if m.sym == SYM_ANTISYMMETRIC:
-                data = jnp.where(elem_mirrored, -data, data)
-            else:
-                data = jnp.where(elem_mirrored, jnp.conj(data), data)
+        refl_store, coords_t = transpose_store(m.index, m.tile, m.data)
+        keys_t = coords_t[:, 0].astype(np.int64) * new_lay.ntc + coords_t[:, 1]
+        refl = take_tiles(refl_store, tile_align_map(keys, keys_t), m.tile)
+        if m.sym == SYM_ANTISYMMETRIC:
+            refl = -refl
+        elif m.sym == SYM_HERMITIAN:
+            refl = jnp.conj(refl)
+        lower = coord_mask(new_lay, lambda r, c: r > c)
+        data = jnp.where(lower, refl, up)
         return BCSRMatrix(
             name=m.name, index=new_index, data=data, sym=SYM_NONE, dist=m.dist
         )
@@ -119,8 +125,8 @@ def redistribute(m: BCSRMatrix, dist) -> BCSRMatrix:
 
 def complete_redistribute(m: BCSRMatrix, dist) -> BCSRMatrix:
     """Arbitrary dist→dist move (``dbcsr_complete_redistribute``,
-    ``src/ops/dbcsr_transformations.F:101``). In the TPU data model the flat
-    buffer is layout-independent (per-device panels are packed from the
+    ``src/ops/dbcsr_transformations.F:101``). In the TPU data model the tile
+    store is layout-independent (per-device panels are packed from the
     distribution maps at multiply time), so this is :func:`redistribute`;
     kept as a separate name for API parity with the reference."""
     return redistribute(m, dist)
@@ -157,15 +163,13 @@ def make_dense(m: BCSRMatrix) -> BCSRMatrix:
     if m.sym != SYM_NONE:
         m = desymmetrize(m)
     with timed("make_dense"):
-        dense = m.to_dense()
-        idx, _ = build_index(
-            np.array([0]), np.array([0]),
+        dense = np.asarray(m.to_dense())
+        return BCSRMatrix.from_dense(
+            dense,
             np.array([m.index.nfullrows], dtype=np.int32),
             np.array([m.index.nfullcols], dtype=np.int32),
-        )
-        return BCSRMatrix(
-            name=m.name, index=idx, data=dense.reshape(-1), sym=SYM_NONE,
-            dist=None,
+            name=m.name,
+            keep_zero_blocks=True,
         )
 
 

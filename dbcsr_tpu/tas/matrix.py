@@ -130,14 +130,15 @@ def extract_block_subset(
         idx.col_block_sizes[cols_sel],
     )
     src_blks = kept[order].astype(np.int64)
-    # element gather: blocks are contiguous runs in the flat buffer
-    if new_index.nblks:
-        from ..block.gather import block_permutation_gather
+    # flat-layout gather map (blocks are contiguous runs), composed with the
+    # tile-store layouts and applied as one device gather
+    from ..block.gather import apply_flat_gather, block_permutation_gather
 
+    if new_index.nblks:
         gmap = block_permutation_gather(new_index, idx, src_blks)
-        data = jnp.take(m.data, jnp.asarray(gmap.astype(np.int64)))
+        data = apply_flat_gather(new_index, m.tile, m, gmap)
     else:
-        data = jnp.zeros((0,), dtype=m.dtype)
+        data = jnp.zeros((0, m.tile, m.tile), dtype=m.dtype)
     return BCSRMatrix(
         name=m.name, index=new_index, data=data, sym=SYM_NONE, dist=None
     )
@@ -157,35 +158,41 @@ def merge_row_groups(
     of per-group extraction; analog of ``dbcsr_tas_merge``
     (``src/tas/dbcsr_tas_mm.F:477``) for the row-split case.
     """
+    from ..block.gather import apply_flat_gather
+
     rows_all: List[np.ndarray] = []
     cols_all: List[np.ndarray] = []
-    datas = []
+    part_of_blk: List[np.ndarray] = []
     offsets = []
-    pos = 0
-    for sub, rows_of in parts:
+    for p, (sub, rows_of) in enumerate(parts):
         gr = np.asarray(rows_of, dtype=np.int64)[sub.index.blk_rows]
         rows_all.append(gr.astype(np.int32))
         cols_all.append(sub.index.col_idx)
-        datas.append(sub.data)
-        offsets.append(
-            pos + sub.index.blk_offset[:-1]
-        )  # flat offset of each block in the concatenated buffer
-        pos += sub.index.nelems
-    if not rows_all or sum(len(r) for r in rows_all) == 0:
+        part_of_blk.append(np.full(sub.nblks, p, dtype=np.int32))
+        offsets.append(sub.index.blk_offset[:-1])
+    nnz = sum(len(r) for r in rows_all)
+    if not rows_all or nnz == 0:
         return BCSRMatrix.empty(
             row_block_sizes, col_block_sizes, name=name,
-            dtype=dtype or (datas[0].dtype if datas else np.float32),
+            dtype=dtype or (parts[0][0].dtype if parts else np.float32),
         )
     rows = np.concatenate(rows_all)
     cols = np.concatenate(cols_all)
+    part_ids = np.concatenate(part_of_blk)
     blk_src_off = np.concatenate(offsets)
     new_index, order = build_index(rows, cols, row_block_sizes, col_block_sizes)
-    # gather elements from the concatenated part buffers
-    big = jnp.concatenate([d for d in datas]) if datas else jnp.zeros((0,))
+    # per-part flat gather maps into the merged matrix; block row groups are
+    # disjoint, so the merged store is the SUM of the per-part stores
     b = new_index.elem_to_blk.astype(np.int64)
     t = np.arange(new_index.nelems, dtype=np.int64) - new_index.blk_offset[b]
-    src = blk_src_off[order][b] + t
-    data = jnp.take(big, jnp.asarray(src))
+    src_flat = blk_src_off[order][b] + t
+    src_part = part_ids[order][b]
+    tile = parts[0][0].tile
+    data = None
+    for p, (sub, _) in enumerate(parts):
+        fmap = np.where(src_part == p, src_flat, -1)
+        contrib = apply_flat_gather(new_index, tile, sub, fmap)
+        data = contrib if data is None else data + contrib
     return BCSRMatrix(
         name=name, index=new_index, data=data, sym=SYM_NONE, dist=None
     )

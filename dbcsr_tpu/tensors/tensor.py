@@ -99,7 +99,7 @@ class Tensor:
         indices = self.block_indices()
         order = self.mapping.dim_order
         inv = np.argsort(order)
-        host = np.asarray(self.matrix.data)
+        host = self.matrix.flat_host()
         off = self.matrix.index.blk_offset
         for b in range(self.nblks):
             bi = tuple(int(x) for x in indices[b])
@@ -164,7 +164,9 @@ class Tensor:
             n = perm_cache[key].size
             gmap[pos:pos + n] = int(old_off[ob]) + perm_cache[key]
             pos += n
-        data = jnp.take(self.matrix.data, jnp.asarray(gmap))
+        from ..block.gather import apply_flat_gather
+
+        data = apply_flat_gather(new_index, self.matrix.tile, self.matrix, gmap)
         return Tensor(
             name=self.name,
             block_sizes=self.block_sizes,

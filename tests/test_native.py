@@ -6,7 +6,7 @@ import pytest
 
 import dbcsr_tpu as dt
 from dbcsr_tpu.core.config import config_override
-from dbcsr_tpu.mm.tileplan import plan_tile_stacks
+from dbcsr_tpu.mm.tileplan import plan_tile_stacks_stores
 from dbcsr_tpu.native import flatten_blocks, native_available, stack_build
 
 
@@ -19,14 +19,15 @@ def _plans(seed, occ=0.25, tile=16):
     rng = np.random.default_rng(seed)
     rbs = dt.random_block_sizes(200, [5, 13, 23], rng)
     kbs = dt.random_block_sizes(150, [7, 11], rng)
-    a = dt.random_matrix(rbs, kbs, occ, rng, dtype=np.float32)
-    b = dt.random_matrix(kbs, rbs, occ, rng, dtype=np.float32)
+    with config_override(tile_size=tile):
+        a = dt.random_matrix(rbs, kbs, occ, rng, dtype=np.float32)
+        b = dt.random_matrix(kbs, rbs, occ, rng, dtype=np.float32)
+    la, lb = a.layout, b.layout
+    args = (la.tile_coords, (la.ntr, la.ntc), lb.tile_coords, (lb.ntr, lb.ntc))
     with config_override(use_native_planner=True):
-        p_nat = plan_tile_stacks(a.index, False, b.index, False, tile)
-    # index caches keyed identically -> rebuild matrices for a clean run
-    a2 = dt.BCSRMatrix(name="a", index=a.index, data=a.data)
+        p_nat = plan_tile_stacks_stores(*args)
     with config_override(use_native_planner=False):
-        p_np = plan_tile_stacks(a2.index, False, b.index, False, tile)
+        p_np = plan_tile_stacks_stores(*args)
     return p_nat, p_np
 
 
@@ -34,7 +35,7 @@ def _plans(seed, occ=0.25, tile=16):
 def test_native_plan_matches_numpy(seed):
     p_nat, p_np = _plans(seed)
     assert p_nat.n_c_tiles == p_np.n_c_tiles
-    np.testing.assert_array_equal(p_nat.c_tile_coords, p_np.c_tile_coords)
+    np.testing.assert_array_equal(p_nat.c_tile_keys, p_np.c_tile_keys)
     assert len(p_nat.stack) == len(p_np.stack)
     # both sorted by c_slot; within a c group order may differ between the
     # stable sorts only if enumeration order differs — it must not:

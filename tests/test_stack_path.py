@@ -4,7 +4,7 @@ import pytest
 
 import dbcsr_tpu as dt
 from dbcsr_tpu.core.config import config_override
-from dbcsr_tpu.mm.tileplan import plan_tile_stacks
+from dbcsr_tpu.mm.tileplan import plan_tile_stacks_stores
 
 
 def dense(m):
@@ -64,10 +64,14 @@ def test_stack_path_empty_product(rng):
 def test_tile_plan_counts(rng):
     """Triple enumeration must match a brute-force tile-level product."""
     rbs = dt.random_block_sizes(64, [3, 5], rng)
-    a = dt.random_matrix(rbs, rbs, 0.2, rng, dtype=np.float64)
-    b = dt.random_matrix(rbs, rbs, 0.2, rng, dtype=np.float64)
     tile = 16
-    plan = plan_tile_stacks(a.index, False, b.index, False, tile)
+    with config_override(tile_size=tile):
+        a = dt.random_matrix(rbs, rbs, 0.2, rng, dtype=np.float64)
+        b = dt.random_matrix(rbs, rbs, 0.2, rng, dtype=np.float64)
+    la, lb = a.layout, b.layout
+    plan = plan_tile_stacks_stores(
+        la.tile_coords, (la.ntr, la.ntc), lb.tile_coords, (lb.ntr, lb.ntc)
+    )
     # brute force over dense tile occupancy
     da = dense(a) != 0
     db = dense(b) != 0
