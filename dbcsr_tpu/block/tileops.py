@@ -57,12 +57,17 @@ def tile_align_map(dst_keys: np.ndarray, src_keys: np.ndarray) -> np.ndarray:
 
 
 def take_tiles(store: jax.Array, slot_map: np.ndarray, tile: int) -> jax.Array:
-    """Tile-level gather: out[i] = store[slot_map[i]] (zero tile for -1)."""
+    """Tile-level gather: out[i] = store[slot_map[i]] (zero tile for -1).
+
+    Negative sentinels are remapped to a positive out-of-bounds value first:
+    jnp's fill mode wraps -1 Python-style instead of filling."""
     if len(slot_map) == 0:
         return jnp.zeros((0, tile, tile), dtype=store.dtype)
-    return jnp.take(
-        store, jnp.asarray(slot_map), axis=0, mode="fill", fill_value=0
+    slot_map = np.asarray(slot_map)
+    oob = np.where(slot_map < 0, np.iinfo(np.int32).max, slot_map).astype(
+        np.int32
     )
+    return jnp.take(store, jnp.asarray(oob), axis=0, mode="fill", fill_value=0)
 
 
 # ---------------------------------------------------------------------------
