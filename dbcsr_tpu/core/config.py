@@ -62,6 +62,10 @@ class Config:
     #: collect per-(m,n,k) block-class multiplication statistics (the
     #: reference's STATISTICS report; skipped for many-class workloads)
     collect_mnk_stats: bool = True
+    #: Cannon: partition work at tile granularity (fast path; block
+    #: distributions honored as their nearest tile-aligned form). Off =
+    #: block-atomic element-granular packing (reference-exact placement).
+    use_tiled_cannon: bool = True
     #: use communication-optimal splitting in TAS multiplies
     tas_split_factor: float = 1.0
     #: randomly seeded value used by random matrix generators

@@ -16,7 +16,73 @@ import numpy as np
 from ..core.errors import dbcsr_assert
 from .grid import ProcessGrid
 
-__all__ = ["Distribution", "block_cyclic_dist", "LocalMap", "local_map"]
+__all__ = [
+    "Distribution",
+    "block_cyclic_dist",
+    "LocalMap",
+    "local_map",
+    "tile_dist_vector",
+    "tile_aligned_dist",
+    "dist_tile_bins",
+]
+
+
+def tile_dist_vector(
+    block_sizes: np.ndarray, nbins: int, tile: int
+) -> np.ndarray:
+    """Block→bin map that assigns whole TILE-ROWS round-robin to bins.
+
+    Blocks straddling a tile boundary are assigned by the tile containing
+    their first row; alignment then requires block boundaries to coincide
+    with tile boundaries at bin changes — use :func:`dist_tile_bins` to
+    verify. For typical chemistry block sizes (<= tile) built with
+    block-cyclic tiling this yields perfectly tile-aligned distributions,
+    the fast path of the Cannon packing (see ``mm/cannon.py``).
+    """
+    sizes = np.asarray(block_sizes, dtype=np.int64)
+    off = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+    return ((off // tile) % nbins).astype(np.int32)
+
+
+def dist_tile_bins(
+    dist_vec: np.ndarray, block_sizes: np.ndarray, tile: int,
+    *, majority: bool = False,
+) -> Optional[np.ndarray]:
+    """Per-tile bin map of a block distribution.
+
+    With ``majority=False``: the exact map if the distribution is
+    TILE-ALIGNED (every tile's blocks live in one bin), else None.
+    With ``majority=True``: always a map — each tile goes to the bin owning
+    most of its rows. The tiled Cannon engine partitions work by TILE, so a
+    block distribution is honored as its nearest tile-aligned form: the
+    result is identical, only the per-device load shifts by the straddling
+    blocks (the reference's block-atomic ownership is a placement choice,
+    not a semantic one).
+    """
+    sizes = np.asarray(block_sizes, dtype=np.int64)
+    off = np.concatenate([[0], np.cumsum(sizes)])
+    total = int(off[-1])
+    ntiles = -(-total // tile)
+    row_bins = np.repeat(
+        np.asarray(dist_vec, dtype=np.int64), sizes
+    )
+    bins = np.empty(ntiles, dtype=np.int64)
+    for t in range(ntiles):
+        rb = row_bins[t * tile : (t + 1) * tile]
+        u, counts = np.unique(rb, return_counts=True)
+        if len(u) != 1 and not majority:
+            return None
+        bins[t] = u[np.argmax(counts)]
+    return bins.astype(np.int32)
+
+
+def tile_aligned_dist(grid, row_block_sizes, col_block_sizes, tile: int):
+    """Tile-aligned 2-D distribution (the Cannon fast-path default)."""
+    return Distribution(
+        grid=grid,
+        row_dist=tile_dist_vector(row_block_sizes, grid.nprow, tile),
+        col_dist=tile_dist_vector(col_block_sizes, grid.npcol, tile),
+    )
 
 
 @dataclass(frozen=True)

@@ -323,10 +323,8 @@ def plan_cannon(
     ),
 )
 def _cannon_exec(
-    a_data,
-    b_data,
-    a_inv,
-    b_inv,
+    a_store,  # [P, P, L, n_a, T, T] pre-shifted A panels
+    b_store,  # [P, P, L, n_b, T, T]
     stacks,  # [P, P, L, P, s_max, 3] int32
     *,
     p: int,
@@ -339,23 +337,13 @@ def _cannon_exec(
     prec: str,
     mesh,
 ):
-    """Pack → shard_map'd Cannon tick loop → sharded C tile stores.
+    """shard_map'd Cannon tick loop → sharded C tile stores.
 
     With ``layers > 1`` the k range is split over a third mesh axis and the
     per-layer C partials are psum'd over it at the end — the 2.5D
     C-reduction of the reference (``multiply_3D``, ``src/mm/dbcsr_mm_3d.F``).
     """
-    dtype = a_data.dtype
-    a_store = (
-        a_data.at[a_inv]
-        .get(mode="fill", fill_value=0)
-        .reshape(p, p, layers, n_a, tile, tile)
-    )
-    b_store = (
-        b_data.at[b_inv]
-        .get(mode="fill", fill_value=0)
-        .reshape(p, p, layers, n_b, tile, tile)
-    )
+    dtype = a_store.dtype
     precision = {
         "default": jax.lax.Precision.DEFAULT,
         "high": jax.lax.Precision.HIGH,
@@ -427,6 +415,205 @@ def _inverse_map_values(
     return inv
 
 
+@dataclass
+class TiledCannonPlan:
+    """Cannon plan at GLOBAL-TILE granularity (the fast path).
+
+    Requires tile-aligned distributions (every tile-row/col of the global
+    tile grids owned by one grid row/col — ``dist.tile_aligned_dist``):
+    then every panel tile IS a tile of the at-rest store, packing is a
+    tile-level gather, and the result lands back in C's store by another.
+    """
+
+    p: int
+    layers: int
+    n_a: int
+    n_b: int
+    n_c: int
+    s_max: int
+    a_pack: np.ndarray  # int32 [P*P*L*n_a] op-store slot per panel slot (-1 pad)
+    b_pack: np.ndarray
+    stacks: np.ndarray  # int32 [P, P, L, P, s_max, 3]
+    c_unpack: np.ndarray  # int32 [c n_tiles] slot into [P*P*n_c] tile array
+
+
+def _tile_layer_split(kb: np.ndarray, layers: int) -> np.ndarray:
+    """2.5D layer of each k tile: rank within its k-bin modulo layers (the
+    tile-granular form of make_layers_3D_C_reduction,
+    src/mm/dbcsr_mm_3d.F:1038)."""
+    if layers == 1:
+        return np.zeros(len(kb), dtype=np.int64)
+    lay = np.zeros(len(kb), dtype=np.int64)
+    for b in np.unique(kb):
+        sel = np.flatnonzero(kb == b)
+        lay[sel] = np.arange(len(sel)) % layers
+    return lay
+
+
+def plan_cannon_tiled(
+    a_coords: np.ndarray,  # op(A) tile coords, row-major = op-store slots
+    b_coords: np.ndarray,
+    c_layout,
+    rowb: np.ndarray,  # m tile-row -> prow
+    colb: np.ndarray,  # n tile-col -> pcol
+    kb: np.ndarray,  # k tile -> k bin
+    p: int,
+    layers: int,
+) -> Optional[TiledCannonPlan]:
+    """Build the tile-granular Cannon schedule, or None if any tile maps
+    outside the grid."""
+    import scipy.sparse as sp
+
+    from .tileplan import enumerate_tile_triples
+
+    klay = _tile_layer_split(kb, layers)
+    kl = kb * layers + klay  # combined (bin, layer) id per k tile
+    nkl = p * layers
+
+    # --- panels -----------------------------------------------------------
+    def panels(coords, rkey, ckey):
+        """dict (rk, ck) -> list of op-store tile slots, row-major order."""
+        out = {}
+        pid_r = rkey[coords[:, 0]]
+        pid_c = ckey[coords[:, 1]]
+        for t in range(len(coords)):
+            out.setdefault((int(pid_r[t]), int(pid_c[t])), []).append(t)
+        return out
+
+    a_panels = panels(a_coords, rowb, kl)
+    b_panels = panels(b_coords, kl, colb)
+    n_a = max((len(v) for v in a_panels.values()), default=1)
+    n_b = max((len(v) for v in b_panels.values()), default=1)
+
+    # pack maps: pre-shifted destinations (make_images 'L'/'R'
+    # predistribution, dbcsr_mm_cannon.F:146-751)
+    a_pack = np.full((p, p, layers, n_a), -1, dtype=np.int64)
+    for (pi, kli), tiles in a_panels.items():
+        kbin, lay_ = kli // layers, kli % layers
+        dev_col = (kbin - pi) % p
+        a_pack[pi, dev_col, lay_, : len(tiles)] = tiles
+    b_pack = np.full((p, p, layers, n_b), -1, dtype=np.int64)
+    for (kli, pj), tiles in b_panels.items():
+        kbin, lay_ = kli // layers, kli % layers
+        dev_row = (kbin - pj) % p
+        b_pack[dev_row, pj, lay_, : len(tiles)] = tiles
+
+    # --- per-device C tile sets --------------------------------------------
+    c_coords = c_layout.tile_coords
+    c_dev = rowb[c_coords[:, 0]] * p + colb[c_coords[:, 1]]
+    n_c = max(int(np.bincount(c_dev, minlength=p * p).max()), 1)
+    c_unpack = np.empty(len(c_coords), dtype=np.int64)
+    pos_in_dev = np.zeros(p * p, dtype=np.int64)
+    c_keys_dev = {d: [] for d in range(p * p)}
+    for s in range(len(c_coords)):
+        d = int(c_dev[s])
+        c_unpack[s] = d * n_c + pos_in_dev[d]
+        c_keys_dev[d].append(
+            int(c_coords[s, 0]) * c_layout.ntc + int(c_coords[s, 1])
+        )
+        pos_in_dev[d] += 1
+    c_keys_dev = {d: np.asarray(v, dtype=np.int64) for d, v in c_keys_dev.items()}
+
+    # --- stacks per (device, layer, tick) ----------------------------------
+    def pat(tiles, coords, shape):
+        """Panel tile pattern in GLOBAL tile coordinates; values = local
+        panel slot + 1 (tiles list order = panel slot order)."""
+        return sp.csr_matrix(
+            (
+                np.arange(1, len(tiles) + 1, dtype=np.int64),
+                (coords[tiles, 0].astype(np.int64), coords[tiles, 1].astype(np.int64)),
+            ),
+            shape=shape,
+        )
+
+    mt = int(len(rowb))
+    ktl = int(len(kb))
+    ntc = int(len(colb))
+    triples = {}
+    s_max = 1
+    for i in range(p):
+        for j in range(p):
+            for l in range(layers):
+                per_tick = []
+                for t in range(p):
+                    kbin = (i + j + t) % p
+                    kli = kbin * layers + l
+                    ta_ = a_panels.get((i, kli), [])
+                    tb_ = b_panels.get((kli, j), [])
+                    if not ta_ or not tb_:
+                        per_tick.append(None)
+                        continue
+                    amat = pat(np.asarray(ta_), a_coords, (mt, ktl))
+                    bmat = pat(np.asarray(tb_), b_coords, (ktl, ntc))
+                    cr, cc, asl, bsl = enumerate_tile_triples(amat, bmat)
+                    per_tick.append((cr, cc, asl, bsl))
+                    s_max = max(s_max, len(cr))
+                triples[(i, j, l)] = per_tick
+
+    stacks = np.zeros((p, p, layers, p, s_max, 3), dtype=np.int32)
+    stacks[..., 0] = n_c  # trash slot default
+    for (i, j, l), per_tick in triples.items():
+        keys = c_keys_dev[i * p + j]
+        for t, tri in enumerate(per_tick):
+            if tri is None:
+                continue
+            cr, cc, asl, bsl = tri
+            s = len(cr)
+            if s == 0:
+                continue
+            ck = cr * c_layout.ntc + cc
+            cslot = np.searchsorted(keys, ck)
+            ok = (cslot < len(keys)) & (
+                keys[np.minimum(cslot, max(len(keys) - 1, 0))] == ck
+            )
+            cslot = np.where(ok, cslot, n_c)  # no C block there -> trash
+            order = np.argsort(cslot, kind="stable")
+            stacks[i, j, l, t, :s, 0] = cslot[order]
+            stacks[i, j, l, t, :s, 1] = asl[order]
+            stacks[i, j, l, t, :s, 2] = bsl[order]
+
+    return TiledCannonPlan(
+        p=p, layers=layers, n_a=n_a, n_b=n_b, n_c=n_c, s_max=s_max,
+        a_pack=a_pack.reshape(-1), b_pack=b_pack.reshape(-1),
+        stacks=stacks, c_unpack=c_unpack,
+    )
+
+
+def _try_tiled_plan(a, ta, b, tb, c_index, dist, k_dist, tile, layers):
+    """Tiled plan when all three distributions are tile-aligned, else None."""
+    from ..block.store import store_layout
+    from ..dist.distribution import dist_tile_bins
+
+    m_sizes = a.index.col_block_sizes if ta else a.index.row_block_sizes
+    k_sizes = a.index.row_block_sizes if ta else a.index.col_block_sizes
+    n_sizes = b.index.row_block_sizes if tb else b.index.col_block_sizes
+    from ..core.config import get_config
+
+    if not get_config().use_tiled_cannon:
+        return None
+    rowb = dist_tile_bins(dist.row_dist, m_sizes, tile, majority=True)
+    colb = dist_tile_bins(dist.col_dist, n_sizes, tile, majority=True)
+    kb = dist_tile_bins(k_dist, k_sizes, tile, majority=True)
+    a_lay = store_layout(a.index, tile)
+    b_lay = store_layout(b.index, tile)
+    if ta:
+        from ..block.tileops import transpose_store
+
+        _, a_coords = transpose_store(a.index, tile, a.data)
+    else:
+        a_coords = a_lay.tile_coords
+    if tb:
+        from ..block.tileops import transpose_store
+
+        _, b_coords = transpose_store(b.index, tile, b.data)
+    else:
+        b_coords = b_lay.tile_coords
+    c_lay = store_layout(c_index, tile)
+    return plan_cannon_tiled(
+        a_coords, b_coords, c_lay, rowb, colb, kb, dist.grid.nprow, layers
+    )
+
+
 def execute_cannon(
     a: BCSRMatrix,
     ta: bool,
@@ -441,77 +628,111 @@ def execute_cannon(
     dist: Distribution,
     k_dist: Optional[np.ndarray],
     cfg,
+    *,
+    mask_result: bool = False,
 ) -> jax.Array:
-    """Distributed execution path called from the engine.
+    """Distributed execution path called from the engine. Returns C's store.
 
-    Panels are packed out of the at-rest tile stores through composed
-    element maps (local panel coordinates reorder elements arbitrarily, so
-    this packing is element-granular; tile-aligned distributions that make
-    it tile-granular are the planned fast path). Returns C's tile store.
+    Fast path: with TILE-ALIGNED distributions (``dist.tile_aligned_dist``)
+    every panel tile is a tile of the at-rest store — packing and result
+    unpacking are tile-level gathers. Fallback: arbitrary block
+    distributions pack through composed element maps (correct everywhere,
+    element-granular).
     """
     from ..block.store import store_layout
-    from .engine import _align_old_c
+    from ..block.tileops import take_tiles, valid_mask
+    from .engine import _align_old_c, _op_store
 
     tile = a.tile
     p = dist.grid.nprow
+    layers = dist.grid.nlayer
     k_sizes = a.index.row_block_sizes if ta else a.index.col_block_sizes
     if k_dist is None:
-        k_dist = (np.arange(len(k_sizes)) % p).astype(np.int32)
+        from ..dist.distribution import tile_dist_vector
+
+        k_dist = tile_dist_vector(k_sizes, p, tile)
+
+    c_lay = store_layout(c_index, tile)
 
     with timed("cannon/plan"):
-        plan = plan_cannon(
-            a.index, ta, b.index, tb, c_index, dist, k_dist, tile
-        )
+        tplan = _try_tiled_plan(a, ta, b, tb, c_index, dist, k_dist, tile, layers)
 
-    with timed("cannon/exec"):
-        a_data = a.data.reshape(-1)
-        b_data = b.data.reshape(-1)
-        if ca:
-            a_data = jnp.conj(a_data)
-        if cb:
-            b_data = jnp.conj(b_data)
-        layers = plan.layers
-        # panel gather maps: panel position -> at-rest STORE position
-        a_inv = _inverse_map_values(
-            plan.a_dest, a.layout.elem_dest,
-            p * p * layers * plan.n_a * tile * tile,
-        )
-        b_inv = _inverse_map_values(
-            plan.b_dest, b.layout.elem_dest,
-            p * p * layers * plan.n_b * tile * tile,
-        )
-        c_tiles = _cannon_exec(
-            a_data,
-            b_data,
-            jnp.asarray(a_inv),
-            jnp.asarray(b_inv),
-            jnp.asarray(plan.stacks),
-            p=p,
-            layers=layers,
-            n_a=plan.n_a,
-            n_b=plan.n_b,
-            n_c=plan.n_c,
-            tile=tile,
-            s_max=plan.s_max,
-            prec=cfg.matmul_precision,
-            mesh=dist.grid.mesh,
-        )
-        # result: C's at-rest tile store, gathered from the cannon panels
-        c_lay = store_layout(c_index, tile)
-        total = c_lay.n_tiles * tile * tile
-        sg = _inverse_map_values(c_lay.elem_dest, plan.c_src, total)
-        prod = (
-            c_tiles.reshape(-1)
-            .at[jnp.asarray(sg)]
-            .get(mode="fill", fill_value=0)
-            .reshape(c_lay.n_tiles, tile, tile)
-        )
-        old = _align_old_c(c, c_index, tile)
-        alpha_ = jnp.asarray(alpha, dtype=a.dtype)
-        out = alpha_ * prod
-        if old is not None:
-            out = out + jnp.asarray(beta, dtype=a.dtype) * old
-        get_stats().hardware_flops += 2.0 * float(
-            (plan.stacks[..., 0] < plan.n_c).sum()
-        ) * tile**3
+    if tplan is not None:
+        with timed("cannon/exec"):
+            a_st, _, _ = _op_store(a, ta, ca)
+            b_st, _, _ = _op_store(b, tb, cb)
+            a_store = take_tiles(a_st, tplan.a_pack, tile).reshape(
+                p, p, layers, tplan.n_a, tile, tile
+            )
+            b_store = take_tiles(b_st, tplan.b_pack, tile).reshape(
+                p, p, layers, tplan.n_b, tile, tile
+            )
+            c_tiles = _cannon_exec(
+                a_store, b_store, jnp.asarray(tplan.stacks),
+                p=p, layers=layers, n_a=tplan.n_a, n_b=tplan.n_b,
+                n_c=tplan.n_c, tile=tile, s_max=tplan.s_max,
+                prec=cfg.matmul_precision, mesh=dist.grid.mesh,
+            )
+            prod = take_tiles(
+                c_tiles.reshape(p * p * tplan.n_c, tile, tile),
+                tplan.c_unpack, tile,
+            )
+            if mask_result and c_lay.n_tiles:
+                prod = prod * valid_mask(c_index, tile).astype(prod.dtype)
+            n_stack = float((tplan.stacks[..., 0] < tplan.n_c).sum())
+    else:
+        with timed("cannon/plan-element"):
+            plan = plan_cannon(
+                a.index, ta, b.index, tb, c_index, dist, k_dist, tile
+            )
+        with timed("cannon/exec"):
+            a_data = a.data.reshape(-1)
+            b_data = b.data.reshape(-1)
+            if ca:
+                a_data = jnp.conj(a_data)
+            if cb:
+                b_data = jnp.conj(b_data)
+            layers = plan.layers
+            # panel gather maps: panel position -> at-rest STORE position
+            a_inv = _inverse_map_values(
+                plan.a_dest, a.layout.elem_dest,
+                p * p * layers * plan.n_a * tile * tile,
+            )
+            b_inv = _inverse_map_values(
+                plan.b_dest, b.layout.elem_dest,
+                p * p * layers * plan.n_b * tile * tile,
+            )
+            a_store = (
+                a_data.at[jnp.asarray(a_inv)]
+                .get(mode="fill", fill_value=0)
+                .reshape(p, p, layers, plan.n_a, tile, tile)
+            )
+            b_store = (
+                b_data.at[jnp.asarray(b_inv)]
+                .get(mode="fill", fill_value=0)
+                .reshape(p, p, layers, plan.n_b, tile, tile)
+            )
+            c_tiles = _cannon_exec(
+                a_store, b_store, jnp.asarray(plan.stacks),
+                p=p, layers=layers, n_a=plan.n_a, n_b=plan.n_b,
+                n_c=plan.n_c, tile=tile, s_max=plan.s_max,
+                prec=cfg.matmul_precision, mesh=dist.grid.mesh,
+            )
+            # result: C's at-rest tile store, gathered from the cannon panels
+            total = c_lay.n_tiles * tile * tile
+            sg = _inverse_map_values(c_lay.elem_dest, plan.c_src, total)
+            prod = (
+                c_tiles.reshape(-1)
+                .at[jnp.asarray(sg)]
+                .get(mode="fill", fill_value=0)
+                .reshape(c_lay.n_tiles, tile, tile)
+            )
+            n_stack = float((plan.stacks[..., 0] < plan.n_c).sum())
+
+    old = _align_old_c(c, c_index, tile)
+    alpha_ = jnp.asarray(alpha, dtype=a.dtype)
+    out = alpha_ * prod
+    if old is not None:
+        out = out + jnp.asarray(beta, dtype=a.dtype) * old
+    get_stats().hardware_flops += 2.0 * n_stack * tile**3
     return out

@@ -216,6 +216,7 @@ def multiply(
                 out_data = execute_cannon(
                     a, ta, ca, b, tb, cb, c, c_index,
                     alpha, beta, eff_dist, k_dist, cfg,
+                    mask_result=(filter_eps is not None or retain_sparsity),
                 )
         else:
             with timed("multiply/exec"):
