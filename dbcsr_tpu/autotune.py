@@ -82,11 +82,13 @@ def workload_class(block_sizes, occupancy: float) -> str:
     return "mixed_5_13_23_sparse20"
 
 
-def steady_state_time(fn, args, *, n_lo: int = 2, n_hi: int = 10,
-                      reps: int = 3) -> float:
+def steady_state_time(fn, args, *, n_lo: int = 4, n_hi: int = 44,
+                      reps: int = 5) -> float:
     """Marginal per-iteration device time of ``fn(*args)`` via a jitted
     dependent fori_loop at two trip counts (tunnel-robust methodology, see
-    bench.py)."""
+    bench.py). The trip-count spread is grown adaptively until the marginal
+    time clears the dispatch jitter — otherwise fast configs produce
+    garbage rates."""
     import jax
     import jax.numpy as jnp
 
@@ -112,11 +114,20 @@ def steady_state_time(fn, args, *, n_lo: int = 2, n_hi: int = 10,
         _ = float(jnp.asarray(out).ravel()[0])
         return time.perf_counter() - t0
 
-    run(n_lo)
-    run(n_hi)
-    lo = float(np.median([run(n_lo) for _ in range(reps)]))
-    hi = float(np.median([run(n_hi) for _ in range(reps)]))
-    return max((hi - lo) / (n_hi - n_lo), 1e-9)
+    for attempt in range(4):
+        run(n_lo)
+        run(n_hi)
+        los = sorted(run(n_lo) for _ in range(reps))
+        his = sorted(run(n_hi) for _ in range(reps))
+        lo = los[len(los) // 2]
+        hi = his[len(his) // 2]
+        jitter = (los[-1] - los[0]) + (his[-1] - his[0])
+        delta = hi - lo
+        if delta > max(2.0 * jitter, 1e-4):
+            return delta / (n_hi - n_lo)
+        n_hi = n_hi * 4  # too fast to resolve: widen the spread
+    # still jitter-bound: report the resolution floor, not a garbage rate
+    return max(delta, 1e-4) / (n_hi // 4 - n_lo)
 
 
 def sweep(

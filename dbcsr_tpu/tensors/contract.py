@@ -22,7 +22,40 @@ from ..tas.mm import BatchedTAS, tas_multiply
 from .index import NDMapping
 from .tensor import Tensor
 
-__all__ = ["contract", "copy_tensor", "BatchedContract"]
+__all__ = ["contract", "copy_tensor", "contraction_layouts", "BatchedContract"]
+
+
+def contraction_layouts(
+    ndim_a: int,
+    contract_1: Sequence[int],
+    notcontract_1: Sequence[int],
+    ndim_b: int,
+    contract_2: Sequence[int],
+    notcontract_2: Sequence[int],
+    map_1: Optional[Sequence[int]] = None,
+    map_2: Optional[Sequence[int]] = None,
+):
+    """The (A, B, C) fold mappings that make :func:`contract` refold-free.
+
+    Analog of the reference's ``optimize_dist`` / returned optimal pgrids
+    (``dbcsr_t_contract`` parameters): build or copy tensors into these
+    layouts up front and every contraction in the loop skips the
+    element-granular refold entirely.
+    """
+    c1 = tuple(int(x) for x in contract_1)
+    c2 = tuple(int(x) for x in contract_2)
+    nc1 = tuple(int(x) for x in notcontract_1)
+    nc2 = tuple(int(x) for x in notcontract_2)
+    ndim_c = len(nc1) + len(nc2)
+    m1 = tuple(int(x) for x in (map_1 if map_1 is not None else range(len(nc1))))
+    m2 = tuple(
+        int(x) for x in (map_2 if map_2 is not None else range(len(nc1), ndim_c))
+    )
+    return (
+        NDMapping(ndim_a, nc1, c1),
+        NDMapping(ndim_b, c2, nc2),
+        NDMapping(ndim_c, m1, m2),
+    )
 
 
 def copy_tensor(

@@ -251,6 +251,51 @@ class TensorBuilder:
         )
 
 
+def split_blocks(t: Tensor, new_block_sizes: Sequence[np.ndarray]) -> Tensor:
+    """Refine the block grid (``dbcsr_t_split_blocks``): each dim's new
+    block-size vector must partition the old blocks (every old block is a
+    consecutive run of new blocks). Used to make tensors block-compatible
+    before contraction (``dbcsr_tensor_split.F``)."""
+    new_bs = [np.asarray(b, dtype=np.int32) for b in new_block_sizes]
+    dbcsr_assert(len(new_bs) == t.ndim, "dimension count mismatch")
+    # per dim: map old block -> (first new block, count)
+    first = []
+    counts = []
+    for d in range(t.ndim):
+        old_off = np.concatenate([[0], np.cumsum(t.block_sizes[d])])
+        new_off = np.concatenate([[0], np.cumsum(new_bs[d])])
+        dbcsr_assert(old_off[-1] == new_off[-1], f"dim {d} total size differs")
+        pos = np.searchsorted(new_off, old_off)
+        dbcsr_assert(
+            np.array_equal(new_off[pos], old_off),
+            f"dim {d}: new blocks do not refine the old ones",
+        )
+        first.append(pos[:-1])
+        counts.append(np.diff(pos))
+    builder = TensorBuilder(
+        new_bs, t.mapping, name=t.name, dtype=np.dtype(t.matrix.dtype)
+    )
+    for bi, blk in t.iter_blocks():
+        # split this block along every dim
+        def rec(d, sub, idx):
+            if d == t.ndim:
+                builder.put_block(idx, sub)
+                return
+            start = 0
+            for j in range(int(counts[d][bi[d]])):
+                nb = int(first[d][bi[d]]) + j
+                size = int(new_bs[d][nb])
+                rec(
+                    d + 1,
+                    np.take(sub, range(start, start + size), axis=d),
+                    idx + (nb,),
+                )
+                start += size
+
+        rec(0, blk, ())
+    return builder.finalize()
+
+
 def tensor_from_matrix(m: BCSRMatrix, *, name: Optional[str] = None) -> Tensor:
     """Rank-2 tensor view of a matrix (``dbcsr_t_copy_matrix_to_tensor``)."""
     return Tensor(
