@@ -1,0 +1,69 @@
+"""Machine abstraction: walltime, host/device memory, flush.
+
+Analog of ``dbcsr_machine`` (``src/base/dbcsr_machine.F:45-180``,
+``dbcsr_machine_posix.f90``): ``m_walltime``, ``m_memory`` (statm-based) and
+friends. Device memory comes from the jax backend's
+``memory_stats`` (the XLA allocator owns device memory — the reference's
+mempool bookkeeping has no equivalent to manage).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Dict, Optional
+
+__all__ = [
+    "m_walltime",
+    "m_memory",
+    "m_peak_memory",
+    "m_flush",
+    "device_memory_stats",
+]
+
+_PAGE = os.sysconf("SC_PAGE_SIZE") if hasattr(os, "sysconf") else 4096
+
+
+def m_walltime() -> float:
+    """Monotonic wall clock in seconds (``m_walltime``)."""
+    return time.monotonic()
+
+
+def m_memory() -> int:
+    """Current resident host memory in bytes (``m_memory``; /proc/statm
+    like the reference's posix implementation)."""
+    try:
+        with open("/proc/self/statm") as f:
+            return int(f.read().split()[1]) * _PAGE
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
+def m_peak_memory() -> int:
+    """Peak resident host memory in bytes (VmHWM)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmHWM:"):
+                    return int(line.split()[1]) * 1024
+    except (OSError, IndexError, ValueError):
+        pass
+    return 0
+
+
+def m_flush(stream=None) -> None:
+    """Flush an output stream (``m_flush``)."""
+    (stream or sys.stdout).flush()
+
+
+def device_memory_stats(device=None) -> Optional[Dict[str, int]]:
+    """Device allocator statistics (bytes_in_use, peak_bytes_in_use, ...)
+    if the backend exposes them — the TPU-native view of the reference's
+    per-multiply peak-memory tracking (``dbcsr_mm_cannon.F:1723``)."""
+    import jax
+
+    dev = device or jax.devices()[0]
+    try:
+        return dev.memory_stats()
+    except Exception:
+        return None
