@@ -66,6 +66,10 @@ class Config:
     #: distributions honored as their nearest tile-aligned form). Off =
     #: block-atomic element-granular packing (reference-exact placement).
     use_tiled_cannon: bool = True
+    #: distributed algorithm: "auto" (Cannon on square grids, SUMMA
+    #: otherwise — the reference's cannon-vs-3D driver choice), "cannon",
+    #: "summa"
+    mm_dist_algo: str = "auto"
     #: use communication-optimal splitting in TAS multiplies
     tas_split_factor: float = 1.0
     #: randomly seeded value used by random matrix generators

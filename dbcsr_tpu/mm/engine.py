@@ -210,10 +210,25 @@ def multiply(
         if eff_dist is None:
             eff_dist = a.dist
         if eff_dist is not None:
-            from .cannon import execute_cannon
+            grid = eff_dist.grid
+            algo = cfg.mm_dist_algo
+            if algo == "auto":
+                algo = "cannon" if grid.nprow == grid.npcol else "summa"
+            if algo == "summa":
+                dbcsr_assert(
+                    grid.nlayer == 1,
+                    "SUMMA has no 2.5D layer axis; use Cannon on a square grid",
+                )
+                from .summa import execute_summa as _exec_dist
+            else:
+                dbcsr_assert(
+                    grid.nprow == grid.npcol,
+                    "Cannon requires a square grid; use mm_dist_algo='summa'",
+                )
+                from .cannon import execute_cannon as _exec_dist
 
-            with timed("multiply/cannon"):
-                out_data = execute_cannon(
+            with timed(f"multiply/{algo}"):
+                out_data = _exec_dist(
                     a, ta, ca, b, tb, cb, c, c_index,
                     alpha, beta, eff_dist, k_dist, cfg,
                     mask_result=(filter_eps is not None or retain_sparsity),
