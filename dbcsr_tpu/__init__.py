@@ -61,7 +61,7 @@ from .ops.io import (
 )
 from .ops.random import random_block_sizes, random_dist_vector, random_matrix
 from .ops.transform import copy, desymmetrize, redistribute, transpose
-from . import tas, tensors
+from . import tas, tensors, testing
 from .tas import TASMatrix, tas_multiply
 from .tensors import NDMapping, Tensor, TensorBuilder, contract
 

@@ -337,7 +337,7 @@ def _execute_local(
             else:
                 prod_tiles = tile_stack_matmul_xla(
                     a_st, b_st, jnp.asarray(tplan.stack),
-                    n_c_tiles=tplan.n_c_tiles,
+                    n_c_tiles=tplan.n_c_tiles, precision=prec,
                 )
             # align product tiles (sorted by product key) to C's tile set
             amap = tile_align_map(c_keys, tplan.c_tile_keys)
@@ -547,7 +547,8 @@ def build_multiply_executor(
             )
         else:
             prod = tile_stack_matmul_xla(
-                a_st, b_st, jnp.asarray(stack_np), n_c_tiles=n_c
+                a_st, b_st, jnp.asarray(stack_np), n_c_tiles=n_c,
+                precision=prec,
             )
         return jnp.take(prod, amap_j, axis=0, mode="fill", fill_value=0)
 

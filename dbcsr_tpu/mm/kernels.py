@@ -44,7 +44,7 @@ __all__ = [
 ]
 
 
-@partial(jax.jit, static_argnames=("n_c_tiles", "acc_dtype"))
+@partial(jax.jit, static_argnames=("n_c_tiles", "acc_dtype", "precision"))
 def tile_stack_matmul_xla(
     a_tiles: jax.Array,  # [nA, T, T]
     b_tiles: jax.Array,  # [nB, T, T]
@@ -52,6 +52,7 @@ def tile_stack_matmul_xla(
     *,
     n_c_tiles: int,
     acc_dtype=jnp.float32,
+    precision: str = "default",
 ) -> jax.Array:
     """Reference implementation: gather, batched matmul, segment-sum."""
     acc = jnp.promote_types(acc_dtype, a_tiles.dtype)
@@ -62,6 +63,11 @@ def tile_stack_matmul_xla(
         gb,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=acc,
+        precision={
+            "default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+        }[precision],
     )
     out = jax.ops.segment_sum(prods, stack[:, 0], num_segments=n_c_tiles + 1)
     return out[:n_c_tiles].astype(a_tiles.dtype)

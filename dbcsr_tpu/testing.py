@@ -27,8 +27,45 @@ __all__ = [
     "check_multiply",
     "test_mm",
     "test_binary_io",
+    "validate_kernels",
     "run_tests",
 ]
+
+
+def validate_kernels(*, tile: int = 128, n_tiles: int = 4, seed: int = 0,
+                     verbose: bool = False) -> bool:
+    """Numeric self-validation of the Pallas stack kernel against the XLA
+    twin (the reference validates every JIT kernel at first use,
+    ``validate_kernel``, ``src/acc/libsmm_acc/libsmm_acc.cpp:55-89``).
+    Returns True on non-TPU backends (the XLA twin IS the kernel there)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .mm.kernels import tile_stack_matmul_pallas, tile_stack_matmul_xla
+
+    if not any(d.platform == "tpu" for d in jax.devices()):
+        return True
+    rng = np.random.default_rng(seed)
+    a = jnp.asarray(rng.standard_normal((n_tiles, tile, tile)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((n_tiles, tile, tile)), jnp.float32)
+    # stack with repeated C tiles to exercise revisit accumulation
+    stack = np.array(
+        [[0, 0, 0], [0, 1, 1], [1, 2, 2], [2, 0, 3], [2, 3, 0]],
+        dtype=np.int32,
+    )
+    got = tile_stack_matmul_pallas(
+        a, b, stack, n_c_tiles=3, precision="highest"
+    )
+    ref = tile_stack_matmul_xla(
+        a, b, jnp.asarray(stack), n_c_tiles=3, precision="highest"
+    )
+    err = float(jnp.max(jnp.abs(got - ref)))
+    scale = float(jnp.max(jnp.abs(ref))) or 1.0
+    ok = err <= 1e-4 * scale
+    if verbose or not ok:
+        print(f"validate_kernels: max err {err:.3e} (scale {scale:.3e}) "
+              f"{'OK' if ok else 'FAILED'}")
+    return ok
 
 
 def to_dense_local(m: BCSRMatrix) -> np.ndarray:
@@ -168,6 +205,7 @@ def run_tests(*, verbose: bool = False) -> bool:
     """Run every built-in self-test (``dbcsr_run_tests``)."""
     ok = test_mm(verbose=verbose)
     ok = test_binary_io(verbose=verbose) and ok
+    ok = validate_kernels(verbose=verbose) and ok
     if verbose:
         print(f"run_tests: {'ALL OK' if ok else 'FAILURES'}")
     return ok
