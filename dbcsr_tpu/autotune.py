@@ -48,6 +48,7 @@ DEFAULT_GRID = {
     "mm_driver": ["dense", "stack"],
     "max_stack_size": [8192, 32768],
     "matmul_precision": ["default", "highest"],
+    "stack_bf16_inputs": [False, True],
 }
 
 

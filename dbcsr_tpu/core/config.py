@@ -70,6 +70,11 @@ class Config:
     #: otherwise — the reference's cannon-vs-3D driver choice), "cannon",
     #: "summa"
     mm_dist_algo: str = "auto"
+    #: feed bf16 tiles to the Pallas stack kernel when matmul_precision is
+    #: "default" (the MXU computes in bf16 then anyway); halves HBM traffic
+    #: per stack entry at the cost of one conversion pass — a wash on
+    #: latency-bound stacks, a win on high-reuse ones (autotuned knob)
+    stack_bf16_inputs: bool = False
     #: use communication-optimal splitting in TAS multiplies
     tas_split_factor: float = 1.0
     #: randomly seeded value used by random matrix generators

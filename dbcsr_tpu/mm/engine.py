@@ -108,6 +108,19 @@ def _combine(prod_aligned, old_aligned, alpha, beta):
     return alpha * prod_aligned + beta * old_aligned
 
 
+def _maybe_bf16(a_st, b_st, prec: str, cfg):
+    """bf16 kernel inputs with f32 accumulation when precision='default'
+    (halves the bandwidth-bound stack kernel's HBM traffic; the MXU computes
+    f32 inputs in bf16 at that precision anyway)."""
+    if (
+        cfg.stack_bf16_inputs
+        and prec == "default"
+        and a_st.dtype == jnp.float32
+    ):
+        return a_st.astype(jnp.bfloat16), b_st.astype(jnp.bfloat16), jnp.float32
+    return a_st, b_st, None
+
+
 def _align_old_c(
     c: Optional[BCSRMatrix], c_index: BCSRIndex, tile: int
 ) -> Optional[jax.Array]:
@@ -330,9 +343,11 @@ def _execute_local(
                 and a.dtype in (jnp.float32, jnp.bfloat16)
             )
             if use_pallas:
+                a_in, b_in, out_dt = _maybe_bf16(a_st, b_st, prec, cfg)
                 prod_tiles = tile_stack_matmul_pallas(
-                    a_st, b_st, tplan.stack, n_c_tiles=tplan.n_c_tiles,
+                    a_in, b_in, tplan.stack, n_c_tiles=tplan.n_c_tiles,
                     max_chunk=cfg.max_stack_size, precision=prec,
+                    out_dtype=out_dt,
                 )
             else:
                 prod_tiles = tile_stack_matmul_xla(
@@ -541,9 +556,11 @@ def build_multiply_executor(
         a_st = op_store(a_data, a_perm, ca)
         b_st = op_store(b_data, b_perm, cb)
         if use_pallas:
+            a_in, b_in, out_dt = _maybe_bf16(a_st, b_st, prec, cfg)
             prod = tile_stack_matmul_pallas(
-                a_st, b_st, stack_np, n_c_tiles=n_c,
+                a_in, b_in, stack_np, n_c_tiles=n_c,
                 max_chunk=cfg.max_stack_size, precision=prec,
+                out_dtype=out_dt,
             )
         else:
             prod = tile_stack_matmul_xla(

@@ -104,11 +104,15 @@ _PRECISIONS = {
 }
 
 
-@partial(jax.jit, static_argnames=("n_c", "tile", "interpret", "precision"))
+@partial(
+    jax.jit,
+    static_argnames=("n_c", "tile", "interpret", "precision", "out_dtype"),
+)
 def _pallas_launch(
     a_tiles, b_tiles, flat_stack, *, n_c: int, tile: int, interpret: bool,
-    precision: str = "highest",
+    precision: str = "highest", out_dtype=None,
 ):
+    out_dtype = out_dtype or a_tiles.dtype
     s = flat_stack.shape[0] // 3
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -122,7 +126,7 @@ def _pallas_launch(
     out = pl.pallas_call(
         partial(_stack_kernel, precision=_PRECISIONS[precision]),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_c + 1, tile, tile), a_tiles.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_c + 1, tile, tile), out_dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * s * tile * tile * tile,
@@ -149,8 +153,14 @@ def tile_stack_matmul_pallas(
     max_chunk: int = 32768,
     interpret: bool = False,
     precision: str = "highest",
+    out_dtype=None,
 ) -> jax.Array:
     """Pallas TPU stack processor (f32/bf16), chunked at c boundaries.
+
+    ``out_dtype`` decouples the accumulation/output dtype from the inputs:
+    feeding bf16 tiles with ``out_dtype=float32`` halves the HBM traffic
+    this bandwidth-bound kernel pays per stack entry while keeping f32
+    accumulation (the MXU computes bf16×bf16→f32 natively).
 
     Chunk boundaries never split one output tile's run (every C tile is
     finalized within a single launch), so launch results are disjoint,
@@ -160,8 +170,9 @@ def tile_stack_matmul_pallas(
     """
     tile = a_tiles.shape[1]
     s_total = len(stack_np)
+    out_dtype = out_dtype or a_tiles.dtype
     if s_total == 0:
-        return jnp.zeros((n_c_tiles, tile, tile), dtype=a_tiles.dtype)
+        return jnp.zeros((n_c_tiles, tile, tile), dtype=out_dtype)
     c_col = stack_np[:, 0]
     outs = []
     start = 0
@@ -192,6 +203,7 @@ def tile_stack_matmul_pallas(
             tile=tile,
             interpret=interpret,
             precision=precision,
+            out_dtype=out_dtype,
         )
         outs.append(out[:n_c_local])
         start = end
