@@ -190,28 +190,32 @@ def contract(
         b2 = b.with_layout(NDMapping(b.ndim, contract_2, nc2))
         ma, mb = a2.matrix, b2.matrix
 
-        # --- bounds cropping (bounds_1 batching over contracted ranges) ---
-        # The reference's bounds_2/3 (non-contracted ranges) additionally
-        # crop the OUTPUT index space; round-1 supports the common batching
-        # axis — block-aligned ranges of the contracted dims — which leaves
-        # C's index space intact (partial sums accumulate per batch).
+        # --- bounds cropping (the reference's bounds_1/2/3 batching) -------
+        # contract-dim ranges (bounds_1) restrict the summation; ranges on
+        # the non-contracted dims (bounds_2/3) restrict the computed window
+        # of C — the window product is re-expanded into the full C index
+        # space below, with beta*C applying to the whole C (batched callers
+        # accumulate windows with beta=1).
+        m_keep = n_keep = None
         if bounds:
-            dbcsr_assert(
-                not bounds.get("nc1") and not bounds.get("nc2"),
-                "bounds on non-contracted dims are not supported yet; "
-                "use bounds={'contract': {...}}",
-            )
             cb = bounds.get("contract")
-            k_keep = _fold_keep(a2, contract_1, cb)
-            if k_keep is not None:
-                kb_bounds = {
-                    contract_2[i]: cb[contract_1[i]]
-                    for i in range(len(contract_1))
-                    if contract_1[i] in cb
-                }
-                kb_keep = _fold_keep(b2, contract_2, kb_bounds)
-                ma = extract_block_subset(ma, col_blocks=k_keep)
-                mb = extract_block_subset(mb, row_blocks=kb_keep)
+            if cb:
+                k_keep = _fold_keep(a2, contract_1, cb)
+                if k_keep is not None:
+                    kb_bounds = {
+                        contract_2[i]: cb[contract_1[i]]
+                        for i in range(len(contract_1))
+                        if contract_1[i] in cb
+                    }
+                    kb_keep = _fold_keep(b2, contract_2, kb_bounds)
+                    ma = extract_block_subset(ma, col_blocks=k_keep)
+                    mb = extract_block_subset(mb, row_blocks=kb_keep)
+            m_keep = _fold_keep(a2, nc1, bounds.get("nc1"))
+            n_keep = _fold_keep(b2, nc2, bounds.get("nc2"))
+            if m_keep is not None:
+                ma = extract_block_subset(ma, row_blocks=m_keep)
+            if n_keep is not None:
+                mb = extract_block_subset(mb, col_blocks=n_keep)
 
         # --- output bookkeeping -------------------------------------------
         c_bs: list = [None] * ndim_c
@@ -227,22 +231,66 @@ def contract(
                 )
         inter_map = NDMapping(ndim_c, map_1, map_2)
 
+        window_mode = m_keep is not None or n_keep is not None
         c_in_matrix = None
-        if c is not None and beta != 0.0:
+        if c is not None and beta != 0.0 and not window_mode:
             c_in_matrix = c.with_layout(inter_map).matrix
 
         # --- folded product through the TAS layer --------------------------
         out_tas, fl = tas_multiply(
-            "N", "N", alpha, ma, mb, beta, c_in_matrix,
+            "N", "N", alpha, ma, mb,
+            0.0 if window_mode else beta,
+            None if window_mode else c_in_matrix,
             filter_eps=filter_eps, nsplit=nsplit, dist=dist,
             return_flops=True,
         )
+        out_m = out_tas.matrix
+
+        if window_mode:
+            # re-expand the window into C's full folded index space: the
+            # window's canonical block order is preserved under the
+            # (ascending) selections, so data transplants block-for-block
+            from ..block.bcsr import BCSRMatrix
+            from ..block.gather import apply_flat_gather
+            from ..block.index import build_index
+            from .index import grouped_block_sizes
+
+            full_rbs = grouped_block_sizes(list(c_bs), list(map_1))
+            full_cbs = grouped_block_sizes(list(c_bs), list(map_2))
+            rows_sel = (
+                m_keep if m_keep is not None
+                else np.arange(len(full_rbs), dtype=np.int64)
+            )
+            cols_sel = (
+                n_keep if n_keep is not None
+                else np.arange(len(full_cbs), dtype=np.int64)
+            )
+            full_index, order = build_index(
+                rows_sel[out_m.index.blk_rows],
+                cols_sel[out_m.index.col_idx],
+                full_rbs, full_cbs,
+            )
+            dbcsr_assert(
+                np.array_equal(order, np.arange(len(order))),
+                "window expansion must preserve block order",
+            )
+            data = apply_flat_gather(
+                full_index, out_m.tile, out_m,
+                np.arange(full_index.nelems, dtype=np.int64),
+            )
+            out_m = BCSRMatrix(
+                name="contraction", index=full_index, data=data
+            )
+            if c is not None and beta != 0.0:
+                from ..ops.arithmetic import add
+
+                out_m = add(1.0, out_m, beta, c.with_layout(inter_map).matrix)
 
         result = Tensor(
             name=(c.name if c is not None else "contraction"),
             block_sizes=tuple(c_bs),
             mapping=inter_map,
-            matrix=out_tas.matrix,
+            matrix=out_m,
         )
         if c is not None:
             result = result.with_layout(c.mapping)
