@@ -23,9 +23,8 @@ import itertools
 import json
 import os
 import time
-from dataclasses import dataclass
 from functools import partial
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional
 
 import numpy as np
 

@@ -18,7 +18,7 @@ only the upper block triangle (i <= j); consumers desymmetrize on demand.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import jax

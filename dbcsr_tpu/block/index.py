@@ -10,7 +10,7 @@ executes").
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import scipy.sparse as sp

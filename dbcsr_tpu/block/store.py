@@ -29,7 +29,7 @@ per-block sums are two small batched matmuls (MXU work, no scatters):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

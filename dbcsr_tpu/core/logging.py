@@ -7,8 +7,8 @@ run, and nest via a stack so library layers inherit the active logger.
 from __future__ import annotations
 
 import sys
-from dataclasses import dataclass, field
-from typing import List, Optional
+from dataclasses import dataclass
+from typing import List
 
 __all__ = [
     "Logger",

@@ -9,7 +9,7 @@ define each device's local element coordinate system for panel packing.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -33,7 +33,6 @@ from ..block.bcsr import BCSRMatrix, SYM_NONE
 from ..block.index import BCSRIndex, build_index, merge_index
 from ..block.store import store_layout
 from ..block.tileops import (
-    block_mask_store,
     take_tiles,
     tile_align_map,
     transpose_store,

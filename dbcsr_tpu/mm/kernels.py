@@ -23,7 +23,6 @@ Two implementations with identical semantics:
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

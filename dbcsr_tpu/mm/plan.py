@@ -17,12 +17,12 @@ the final result is pruned to blocks with Frobenius norm >= eps
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import scipy.sparse as sp
 
-from ..block.index import BCSRIndex, build_index
+from ..block.index import BCSRIndex
 
 __all__ = ["SymbolicProduct", "symbolic_product", "mnk_statistics"]
 

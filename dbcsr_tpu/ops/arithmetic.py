@@ -8,7 +8,6 @@ padding positions are exactly 0); index work stays on host.
 """
 from __future__ import annotations
 
-from dataclasses import replace
 from typing import Callable, Optional
 
 import jax
@@ -16,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..block.bcsr import BCSRMatrix, SYM_NONE
-from ..block.index import BCSRIndex, build_index, merge_index
+from ..block.index import build_index, merge_index
 from ..block.store import store_layout
 from ..block.tileops import (
     block_mask_store,

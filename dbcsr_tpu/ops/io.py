@@ -24,7 +24,6 @@ import struct
 import sys
 from typing import Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..block.bcsr import BCSRMatrix

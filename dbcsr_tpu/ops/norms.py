@@ -11,7 +11,6 @@ element granularity are ~1000× slower than HBM bandwidth, see store.py).
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

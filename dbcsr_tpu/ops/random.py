@@ -6,7 +6,7 @@ Analog of the reference's test helpers (``src/ops/dbcsr_test_methods.F``:
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 

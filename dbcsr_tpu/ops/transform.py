@@ -20,9 +20,8 @@ from ..block.bcsr import (
     SYM_ANTISYMMETRIC,
     SYM_HERMITIAN,
     SYM_NONE,
-    SYM_SYMMETRIC,
 )
-from ..block.index import BCSRIndex, build_index
+from ..block.index import build_index
 from ..block.store import store_layout
 from ..block.tileops import (
     coord_mask,

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..block.bcsr import BCSRMatrix, SYM_NONE
-from ..block.index import BCSRIndex, build_index
+from ..block.index import build_index
 from ..core.errors import dbcsr_assert
 from .split import COLSPLIT, ROWSPLIT, TASSplit
 

@@ -22,7 +22,6 @@ split axis on a multi-host mesh.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple, Union
 
 import numpy as np

@@ -12,14 +12,12 @@ get/put transpose between natural order and storage order.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Dict, Iterator, Optional, Sequence, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-from ..block.bcsr import BCSRBuilder, BCSRMatrix
+from ..block.bcsr import BCSRMatrix
 from ..block.index import build_index
 from ..core.errors import dbcsr_assert
 from .index import NDMapping, grouped_block_sizes
