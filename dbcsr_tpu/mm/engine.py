@@ -107,6 +107,20 @@ def _combine(prod_aligned, old_aligned, alpha, beta):
     return alpha * prod_aligned + beta * old_aligned
 
 
+@partial(jax.jit, static_argnames=("mt", "kt", "nt", "t", "prec"))
+def _dense_tiles_einsum(a_store, b_store, *, mt, kt, nt, t, prec):
+    """Dense product directly on tile-COMPLETE stores: a single einsum over
+    4-D tile views — no reshape-transpose copies; XLA picks operand layouts
+    and feeds the MXU straight from the stores (fastest dense path)."""
+    a4 = a_store.reshape(mt, kt, t, t)
+    b4 = b_store.reshape(kt, nt, t, t)
+    out4 = jnp.einsum(
+        "mkat,kntb->mnab", a4, b4, precision=_PRECISIONS[prec],
+        preferred_element_type=jnp.promote_types(jnp.float32, a_store.dtype),
+    ).astype(a_store.dtype)
+    return out4.reshape(mt * nt, t, t)
+
+
 def _maybe_bf16(a_st, b_st, prec: str, cfg):
     """bf16 kernel inputs with f32 accumulation when precision='default'
     (halves the bandwidth-bound stack kernel's HBM traffic; the MXU computes
@@ -319,18 +333,30 @@ def _execute_local(
 
     prec = cfg.matmul_precision
     if tplan is None:
-        pa = _stores_to_panel(
-            a_st, jnp.asarray(a_coords[:, 0].astype(np.int64) * kt + a_coords[:, 1]),
-            ntr=mt, ntc=kt, t=tile,
-        )
-        pb = _stores_to_panel(
-            b_st, jnp.asarray(b_coords[:, 0].astype(np.int64) * nt + b_coords[:, 1]),
-            ntr=kt, ntc=nt, t=tile,
-        )
-        g = jnp.matmul(pa, pb, precision=_PRECISIONS[prec])
-        prod = _panel_to_tiles(
-            g, jnp.asarray(c_keys), ntr=mt, ntc=nt, t=tile
-        ) if len(c_keys) else jnp.zeros((0, tile, tile), dtype=a.dtype)
+        if len(a_coords) == mt * kt and len(b_coords) == kt * nt:
+            # tile-complete operands: one einsum straight off the stores
+            full = _dense_tiles_einsum(
+                a_st, b_st, mt=mt, kt=kt, nt=nt, t=tile, prec=prec
+            )
+            if len(c_keys) == mt * nt:
+                prod = full
+            else:
+                prod = jnp.take(full, jnp.asarray(c_keys), axis=0)
+        else:
+            pa = _stores_to_panel(
+                a_st,
+                jnp.asarray(a_coords[:, 0].astype(np.int64) * kt + a_coords[:, 1]),
+                ntr=mt, ntc=kt, t=tile,
+            )
+            pb = _stores_to_panel(
+                b_st,
+                jnp.asarray(b_coords[:, 0].astype(np.int64) * nt + b_coords[:, 1]),
+                ntr=kt, ntc=nt, t=tile,
+            )
+            g = jnp.matmul(pa, pb, precision=_PRECISIONS[prec])
+            prod = _panel_to_tiles(
+                g, jnp.asarray(c_keys), ntr=mt, ntc=nt, t=tile
+            ) if len(c_keys) else jnp.zeros((0, tile, tile), dtype=a.dtype)
         get_stats().hardware_flops += 2.0 * float(mt) * kt * nt * tile**3
     else:
         if len(tplan.stack) == 0:
@@ -532,14 +558,21 @@ def build_multiply_executor(
         a_keys = jnp.asarray(a_coords[:, 0].astype(np.int64) * kt + a_coords[:, 1])
         b_keys = jnp.asarray(b_coords[:, 0].astype(np.int64) * nt + b_coords[:, 1])
         c_keys_j = jnp.asarray(c_keys)
+        tile_complete = len(a_coords) == mt * kt and len(b_coords) == kt * nt
+        c_complete = len(c_keys) == mt * nt
 
         def fn(a_data, b_data):
-            pa = _stores_to_panel(
-                op_store(a_data, a_perm, ca), a_keys, ntr=mt, ntc=kt, t=tile
-            )
-            pb = _stores_to_panel(
-                op_store(b_data, b_perm, cb), b_keys, ntr=kt, ntc=nt, t=tile
-            )
+            a_op = op_store(a_data, a_perm, ca)
+            b_op = op_store(b_data, b_perm, cb)
+            if tile_complete:
+                full = _dense_tiles_einsum(
+                    a_op, b_op, mt=mt, kt=kt, nt=nt, t=tile, prec=prec
+                )
+                if c_complete:
+                    return full
+                return jnp.take(full, c_keys_j, axis=0)
+            pa = _stores_to_panel(a_op, a_keys, ntr=mt, ntc=kt, t=tile)
+            pb = _stores_to_panel(b_op, b_keys, ntr=kt, ntc=nt, t=tile)
             g = jnp.matmul(pa, pb, precision=_PRECISIONS[prec])
             return _panel_to_tiles(g, c_keys_j, ntr=mt, ntc=nt, t=tile)
 
