@@ -79,9 +79,22 @@ def store_layout(index: BCSRIndex, tile: int) -> StoreLayout:
     key = ("store_layout", tile)
 
     def mk():
-        from ..mm.pack import tile_panel_maps
+        from ..core.config import get_config
 
-        elem_dest, tile_coords, (ntr, ntc) = tile_panel_maps(index, tile, False)
+        nat = None
+        if get_config().use_native_planner:
+            from ..native import store_layout_native
+
+            nat = store_layout_native(index, tile)
+        if nat is not None:
+            tile_coords, elem_dest, ntr, ntc = nat
+        else:
+            from ..mm.pack import tile_panel_maps
+
+            elem_dest, tile_coords, (ntr, ntc) = tile_panel_maps(
+                index, tile, False
+            )
+            elem_dest = elem_dest.astype(np.int64)
         lut = {
             (int(r), int(c)): i
             for i, (r, c) in enumerate(np.asarray(tile_coords))
@@ -91,7 +104,7 @@ def store_layout(index: BCSRIndex, tile: int) -> StoreLayout:
             ntr=ntr,
             ntc=ntc,
             tile_coords=tile_coords,
-            elem_dest=elem_dest.astype(np.int64),
+            elem_dest=elem_dest,
             tile_of_rc=lut,
         )
 

@@ -144,22 +144,14 @@ def tile_block_info(index: BCSRIndex, tile: int) -> TileBlockInfo:
             t_local = np.arange(total, dtype=np.int64) - starts[b_of]
             tr = tr0[b_of] + t_local // nc[b_of]
             tc = tc0[b_of] + t_local % nc[b_of]
-            slot = np.array(
-                [lay.tile_of_rc[(int(a), int(b))] for a, b in zip(tr, tc)],
-                dtype=np.int64,
-            )
-            # segment positions: index of the block row/col within the
-            # tile-row's/col's sorted segment list (valid ids ascending,
-            # -1 padding at the end)
-            def seg_pos(table, trows, ids):
-                out = np.empty(len(ids), dtype=np.int64)
-                for i, (t_, v) in enumerate(zip(trows, ids)):
-                    row = table[t_]
-                    out[i] = int(np.searchsorted(row[row >= 0], v))
-                return out
-
-            A = seg_pos(rind.block_of_seg, tr, br[b_of])
-            B = seg_pos(cind.block_of_seg, tc, bc[b_of])
+            # tile slot lookup: row-major sorted keys -> searchsorted
+            all_keys = lay.tile_keys()
+            slot = np.searchsorted(all_keys, tr * lay.ntc + tc)
+            # segment position: the block rows/cols intersecting one tile
+            # row/col are CONSECUTIVE ids, so the position is just the
+            # offset from the first block of that tile row/col
+            A = br[b_of] - rind.block_of_seg[tr, 0]
+            B = bc[b_of] - cind.block_of_seg[tc, 0]
             K[slot, A, B] = 1.0
             bid[slot, A, B] = b_of
         J_dev = jnp.asarray(rind.J[lay.tile_coords[:, 0]]) if nt else jnp.zeros(

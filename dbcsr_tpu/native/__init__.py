@@ -19,7 +19,13 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["native_available", "stack_build", "inverse_map_native", "flatten_blocks"]
+__all__ = [
+    "native_available",
+    "stack_build",
+    "inverse_map_native",
+    "flatten_blocks",
+    "store_layout_native",
+]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "stackbuild.cpp")
@@ -68,6 +74,10 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.dbcsr_inverse_map.restype = None
         lib.dbcsr_inverse_map.argtypes = [p64, i64, p32, i64, ctypes.c_int32]
+        lib.dbcsr_store_layout.restype = i64
+        lib.dbcsr_store_layout.argtypes = [
+            i64, p64, p64, p64, p64, p64, i64, i64, i64, p64, p64, p32
+        ]
         lib.dbcsr_flatten_f64.restype = None
         lib.dbcsr_flatten_f64.argtypes = [
             ctypes.POINTER(ctypes.c_void_p), p64, p64, i64,
@@ -128,6 +138,41 @@ def stack_build(
     if n_c < 0:
         return None
     return stack[:total], c_keys[:n_c]
+
+
+def store_layout_native(index, tile: int):
+    """Native tile-store layout construction (one fused C pass; the numpy
+    path runs several 10M-element arithmetic passes). Returns
+    (tile_coords int32 [n,2], elem_dest int64 [nelems], ntr, ntc) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    ntr = -(-index.nfullrows // tile)
+    ntc = -(-index.nfullcols // tile)
+    if ntr * ntc > (1 << 24):  # grid scratch would dominate; numpy path
+        return None
+    nblks = index.nblks
+    scratch = np.empty(max(ntr * ntc, 1), dtype=np.int64)
+    elem_dest = np.empty(max(index.nelems, 1), dtype=np.int64)
+    coords = np.empty((max(ntr * ntc, 1), 2), dtype=np.int32)
+    n_tiles = int(
+        lib.dbcsr_store_layout(
+            nblks,
+            np.ascontiguousarray(index.blk_rows, dtype=np.int64),
+            np.ascontiguousarray(index.col_idx, dtype=np.int64),
+            np.ascontiguousarray(index.row_offsets, dtype=np.int64),
+            np.ascontiguousarray(index.col_offsets, dtype=np.int64),
+            np.ascontiguousarray(index.blk_offset, dtype=np.int64),
+            tile, ntr, ntc,
+            scratch, elem_dest, coords.reshape(-1),
+        )
+    )
+    return (
+        coords[:n_tiles].copy(),
+        elem_dest[: index.nelems],
+        ntr,
+        ntc,
+    )
 
 
 def inverse_map_native(

@@ -125,4 +125,69 @@ void dbcsr_inverse_map(const int64_t* map, int64_t n, int32_t* dst,
   }
 }
 
+// Tile-store layout construction: the per-element flat→store map plus the
+// occupied-tile inventory (block/store.py). One fused pass in C replaces
+// several 10M-element numpy arithmetic passes on the host planner's hot
+// path (the analog of the reference's Fortran index machinery,
+// src/block/dbcsr_index_operations.F).
+//
+// Inputs:
+//   nblks, blk_row[nblks], blk_col[nblks]      block coordinates (canonical)
+//   row_off[nblkrows+1], col_off[nblkcols+1]   element offsets per block dim
+//   blk_off[nblks+1]                           flat data offsets per block
+//   tile, ntr, ntc                             tile edge + tile-grid extents
+// Scratch (caller-allocated):
+//   slot_of_tid[ntr*ntc] int64                 filled with slot or -1
+// Outputs (caller-allocated):
+//   elem_dest[nelems] int64                    flat element -> store position
+//   tile_coords[2*max_tiles] int32             (trow, tcol) row-major order
+// Returns n_tiles.
+int64_t dbcsr_store_layout(int64_t nblks, const int64_t* blk_row,
+                           const int64_t* blk_col, const int64_t* row_off,
+                           const int64_t* col_off, const int64_t* blk_off,
+                           int64_t tile, int64_t ntr, int64_t ntc,
+                           int64_t* slot_of_tid, int64_t* elem_dest,
+                           int32_t* tile_coords) {
+  const int64_t ngrid = ntr * ntc;
+  for (int64_t i = 0; i < ngrid; ++i) slot_of_tid[i] = 0;
+  // pass 1: mark each block's touched tile rectangle
+  for (int64_t b = 0; b < nblks; ++b) {
+    const int64_t r0 = row_off[blk_row[b]], r1 = row_off[blk_row[b] + 1];
+    const int64_t c0 = col_off[blk_col[b]], c1 = col_off[blk_col[b] + 1];
+    if (r1 <= r0 || c1 <= c0) continue;
+    const int64_t tr0 = r0 / tile, tr1 = (r1 - 1) / tile;
+    const int64_t tc0 = c0 / tile, tc1 = (c1 - 1) / tile;
+    for (int64_t tr = tr0; tr <= tr1; ++tr)
+      for (int64_t tc = tc0; tc <= tc1; ++tc) slot_of_tid[tr * ntc + tc] = 1;
+  }
+  // slot assignment in row-major tile order
+  int64_t n_tiles = 0;
+  for (int64_t tid = 0; tid < ngrid; ++tid) {
+    if (slot_of_tid[tid]) {
+      tile_coords[2 * n_tiles] = static_cast<int32_t>(tid / ntc);
+      tile_coords[2 * n_tiles + 1] = static_cast<int32_t>(tid % ntc);
+      slot_of_tid[tid] = n_tiles++;
+    } else {
+      slot_of_tid[tid] = -1;
+    }
+  }
+  // pass 2: per-element destinations (block-row-major element order)
+  const int64_t tt = tile * tile;
+  for (int64_t b = 0; b < nblks; ++b) {
+    const int64_t r0 = row_off[blk_row[b]], r1 = row_off[blk_row[b] + 1];
+    const int64_t c0 = col_off[blk_col[b]], c1 = col_off[blk_col[b] + 1];
+    int64_t pos = blk_off[b];
+    for (int64_t r = r0; r < r1; ++r) {
+      const int64_t tr = r / tile;
+      const int64_t ri = r - tr * tile;
+      const int64_t row_base = ri * tile;
+      for (int64_t c = c0; c < c1; ++c) {
+        const int64_t slot = slot_of_tid[tr * ntc + c / tile];
+        elem_dest[pos++] = slot * tt + row_base + (c % tile);
+      }
+    }
+  }
+  return n_tiles;
+}
+
 }  // extern "C"

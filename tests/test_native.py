@@ -87,3 +87,22 @@ def test_flatten_blocks_matches_concatenate():
 def test_flatten_blocks_falls_back_on_dtype_mismatch():
     blocks = [np.ones((2, 2), dtype=np.float64)]
     assert flatten_blocks(blocks, np.array([0]), np.float32) is None
+
+
+def test_store_layout_native_matches_numpy():
+    from dbcsr_tpu.block.index import build_index
+    from dbcsr_tpu.mm.pack import tile_panel_maps
+    from dbcsr_tpu.native import store_layout_native
+
+    rng = np.random.default_rng(5)
+    rbs = dt.random_block_sizes(300, [5, 13, 23], rng)
+    cbs = dt.random_block_sizes(250, [2, 7], rng)
+    mask = rng.random((len(rbs), len(cbs))) < 0.2
+    rows, cols = np.nonzero(mask)
+    idx, _ = build_index(rows, cols, rbs, cbs)
+    nat = store_layout_native(idx, 16)
+    assert nat is not None
+    ed, tc, (ntr, ntc) = tile_panel_maps(idx, 16, False)
+    np.testing.assert_array_equal(nat[0], tc)
+    np.testing.assert_array_equal(nat[1], ed.astype(np.int64))
+    assert (nat[2], nat[3]) == (ntr, ntc)
