@@ -171,19 +171,30 @@ int64_t dbcsr_store_layout(int64_t nblks, const int64_t* blk_row,
       slot_of_tid[tid] = -1;
     }
   }
-  // pass 2: per-element destinations (block-row-major element order)
+  // pass 2: per-element destinations (block-row-major element order).
+  // Inner loops run division-free over tile-column segments; the common
+  // power-of-two tile edge uses shift/mask.
   const int64_t tt = tile * tile;
+  const bool pow2 = (tile & (tile - 1)) == 0;
+  int shift = 0;
+  while ((int64_t{1} << shift) < tile) ++shift;
+  const int64_t mask = tile - 1;
   for (int64_t b = 0; b < nblks; ++b) {
     const int64_t r0 = row_off[blk_row[b]], r1 = row_off[blk_row[b] + 1];
     const int64_t c0 = col_off[blk_col[b]], c1 = col_off[blk_col[b] + 1];
     int64_t pos = blk_off[b];
     for (int64_t r = r0; r < r1; ++r) {
-      const int64_t tr = r / tile;
-      const int64_t ri = r - tr * tile;
-      const int64_t row_base = ri * tile;
-      for (int64_t c = c0; c < c1; ++c) {
-        const int64_t slot = slot_of_tid[tr * ntc + c / tile];
-        elem_dest[pos++] = slot * tt + row_base + (c % tile);
+      const int64_t tr = pow2 ? (r >> shift) : (r / tile);
+      const int64_t row_base = (pow2 ? (r & mask) : (r % tile)) * tile;
+      const int64_t* row_slots = slot_of_tid + tr * ntc;
+      int64_t c = c0;
+      while (c < c1) {
+        const int64_t tc = pow2 ? (c >> shift) : (c / tile);
+        int64_t cend = (tc + 1) * tile;
+        if (cend > c1) cend = c1;
+        int64_t base =
+            row_slots[tc] * tt + row_base + (pow2 ? (c & mask) : (c % tile));
+        for (; c < cend; ++c) elem_dest[pos++] = base++;
       }
     }
   }
