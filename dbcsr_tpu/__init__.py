@@ -60,7 +60,19 @@ from .ops.io import (
     print_matrix,
 )
 from .ops.random import random_block_sizes, random_dist_vector, random_matrix
-from .ops.transform import copy, desymmetrize, redistribute, transpose
+from .ops.transform import (
+    copy,
+    desymmetrize,
+    distribute,
+    make_dense,
+    make_undense,
+    may_be_dense,
+    redistribute,
+    replicate_all,
+    retile,
+    sum_replicated,
+    transpose,
+)
 from . import tas, tensors, testing
 from .tas import TASMatrix, tas_multiply
 from .tensors import NDMapping, Tensor, TensorBuilder, contract

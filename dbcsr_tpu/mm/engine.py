@@ -203,6 +203,7 @@ def multiply(
                 "C block structure does not match the product",
             )
             dbcsr_assert(c.sym == SYM_NONE, "product into symmetric C not supported yet")
+            dbcsr_assert(c.tile == a.tile, "C tile size differs from operands")
 
         # ---- plan -------------------------------------------------------
         with timed("multiply/plan"):

@@ -139,6 +139,7 @@ def dot(a: BCSRMatrix, b: BCSRMatrix) -> float:
     """Frobenius inner product Tr(A^T B) (``dbcsr_dot``): elementwise on the
     tile intersection — positions where either operand stores nothing are 0."""
     dbcsr_assert(_same_structure(a, b), "incompatible block structures")
+    dbcsr_assert(a.tile == b.tile, "tile sizes differ")
     a = desymmetrize(a)
     b = desymmetrize(b)
     ka, kb = a.layout.tile_keys(), b.layout.tile_keys()
@@ -156,6 +157,7 @@ def hadamard_product(a: BCSRMatrix, b: BCSRMatrix) -> BCSRMatrix:
     (``dbcsr_hadamard_product``). The store product is exact: positions
     covered by only one operand multiply against 0."""
     dbcsr_assert(_same_structure(a, b), "incompatible block structures")
+    dbcsr_assert(a.tile == b.tile, "tile sizes differ")
     a = desymmetrize(a)
     b = desymmetrize(b)
     pa = a.index.pattern()

@@ -44,7 +44,24 @@ __all__ = [
     "make_dense",
     "make_undense",
     "may_be_dense",
+    "retile",
 ]
+
+
+def retile(m: BCSRMatrix, tile: int) -> BCSRMatrix:
+    """Re-lay the store at a different hardware tile edge (the autotuner's
+    per-workload-class ``tile_size`` knob — see autotune.py). One device
+    element gather between the two layouts."""
+    if tile == m.tile:
+        return m
+    from ..block.gather import apply_flat_gather
+
+    data = apply_flat_gather(
+        m.index, tile, m, np.arange(m.index.nelems, dtype=np.int64)
+    )
+    return BCSRMatrix(
+        name=m.name, index=m.index, data=data, sym=m.sym, dist=m.dist
+    )
 
 
 def transpose(m: BCSRMatrix, *, conjugate: bool = False) -> BCSRMatrix:

@@ -158,6 +158,32 @@ def test_add_preserves_invariant_and_values(rng):
     )
 
 
+def test_retile_roundtrip(rng):
+    m = _mk(rng, tile=16)
+    m2 = dt.retile(m, 32)
+    assert m2.tile == 32
+    np.testing.assert_allclose(
+        np.asarray(m2.to_dense()), np.asarray(m.to_dense())
+    )
+    assert _padding_is_zero(m2)
+    m3 = dt.retile(m2, 16)
+    np.testing.assert_array_equal(np.asarray(m3.data), np.asarray(m.data))
+
+
+def test_mixed_tile_operands_rejected(rng):
+    m1 = _mk(rng, tile=16)
+    m2 = dt.retile(m1, 32)
+    sq1 = dt.retile(
+        dt.random_matrix(m1.col_block_sizes, m1.col_block_sizes, 0.5,
+                         rng, dtype=np.float64),
+        16,
+    )
+    with pytest.raises(Exception):
+        dt.multiply("N", "N", 1.0, m2, sq1)
+    with pytest.raises(Exception):
+        dt.dot(m1, m2)
+
+
 def test_row_indicators_partition():
     sizes = np.array([3, 5, 2, 7, 4], dtype=np.int32)
     ind = row_indicators(sizes, 8)
