@@ -207,24 +207,39 @@ def multiply(
 
         # ---- plan -------------------------------------------------------
         with timed("multiply/plan"):
-            a_nsq = b_nsq = None
-            if filter_eps is not None:
-                from ..ops.norms import block_norms_sq
+            from .plancache import get_plan_cache
 
-                a_nsq = np.asarray(block_norms_sq(a))
-                b_nsq = np.asarray(block_norms_sq(b))
-            symb = symbolic_product(
-                a.index, ta, b.index, tb,
-                a_norms_sq=a_nsq, b_norms_sq=b_nsq,
-                filter_eps=filter_eps, per_row_eps=cfg.per_row_eps,
-            )
+            pcache = get_plan_cache()
+            cache_key = None
+            cached = None
+            if filter_eps is None:  # filtered patterns depend on data norms
+                cache_key = pcache.key(a.index, ta, b.index, tb)
+                cached = pcache.get(cache_key)
+            if cached is not None:
+                symb, prod_index = cached
+            else:
+                a_nsq = b_nsq = None
+                if filter_eps is not None:
+                    from ..ops.norms import block_norms_sq
+
+                    a_nsq = np.asarray(block_norms_sq(a))
+                    b_nsq = np.asarray(block_norms_sq(b))
+                symb = symbolic_product(
+                    a.index, ta, b.index, tb,
+                    a_norms_sq=a_nsq, b_norms_sq=b_nsq,
+                    filter_eps=filter_eps, per_row_eps=cfg.per_row_eps,
+                )
+                prod_index = None
             if retain_sparsity:
                 dbcsr_assert(c is not None, "retain_sparsity requires c")
                 c_index = c.index
             else:
-                prod_index, _ = build_index(
-                    symb.rows, symb.cols, m_sizes, n_sizes
-                )
+                if prod_index is None:
+                    prod_index, _ = build_index(
+                        symb.rows, symb.cols, m_sizes, n_sizes
+                    )
+                    if cache_key is not None:
+                        pcache.put(cache_key, (symb, prod_index))
                 if c is not None and c.nblks:
                     c_index, _, _ = merge_index(c.index, prod_index)
                 else:
