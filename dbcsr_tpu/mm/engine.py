@@ -46,7 +46,7 @@ from .kernels import tile_stack_matmul_pallas, tile_stack_matmul_xla
 from .plan import symbolic_product
 from .tileplan import plan_tile_stacks_stores
 
-__all__ = ["multiply", "build_multiply_executor"]
+__all__ = ["multiply", "build_multiply_executor", "build_distributed_executor"]
 
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
@@ -494,6 +494,133 @@ def _multiply_limited(
     if return_flops:
         return result, fl
     return result
+
+
+def build_distributed_executor(
+    transa: str,
+    transb: str,
+    a: BCSRMatrix,
+    b: BCSRMatrix,
+    dist,
+    *,
+    k_dist: Optional[np.ndarray] = None,
+    algo: Optional[str] = None,
+):
+    """Plan-once distributed executor: ``fn(a_store, b_store) -> c_store``
+    running the tiled Cannon (square grids) or SUMMA schedule with all host
+    planning done up front — the distributed steady-state form for
+    weak-scaling measurement (BASELINE metric #2)."""
+    from ..ops.transform import desymmetrize
+
+    cfg = get_config()
+    ta, ca = _effective_trans(transa)
+    tb, cb = _effective_trans(transb)
+    a = desymmetrize(a)
+    b = desymmetrize(b)
+    tile = a.tile
+    grid = dist.grid
+    if algo is None:
+        algo = cfg.mm_dist_algo
+    if algo == "auto":
+        algo = "cannon" if grid.nprow == grid.npcol else "summa"
+
+    m_sizes = a.index.col_block_sizes if ta else a.index.row_block_sizes
+    k_sizes = a.index.row_block_sizes if ta else a.index.col_block_sizes
+    n_sizes = b.index.row_block_sizes if tb else b.index.col_block_sizes
+    symb = symbolic_product(a.index, ta, b.index, tb)
+    c_index, _ = build_index(symb.rows, symb.cols, m_sizes, n_sizes)
+
+    if k_dist is None:
+        from ..dist.distribution import tile_dist_vector
+
+        k_dist = tile_dist_vector(
+            k_sizes, grid.nprow if algo == "cannon" else max(grid.nprow, grid.npcol),
+            tile,
+        )
+
+    # op-store permutations (reused per call)
+    def op_closure(m, trans, conj):
+        if not trans:
+            return (lambda d: jnp.conj(d) if conj else d), m.layout.tile_coords
+        lay = m.layout
+        keys_t = lay.tile_coords[:, 1].astype(np.int64) * lay.ntr + lay.tile_coords[:, 0]
+        perm = jnp.asarray(np.argsort(keys_t).astype(np.int32))
+        coords = np.stack(
+            [lay.tile_coords[np.argsort(keys_t), 1],
+             lay.tile_coords[np.argsort(keys_t), 0]], axis=1
+        ).astype(np.int32)
+
+        def op(d):
+            st = jnp.swapaxes(jnp.take(d, perm, axis=0), 1, 2)
+            return jnp.conj(st) if conj else st
+
+        return op, coords
+
+    a_op, a_coords = op_closure(a, ta, ca)
+    b_op, b_coords = op_closure(b, tb, cb)
+    c_lay = store_layout(c_index, tile)
+
+    from ..dist.distribution import dist_tile_bins
+
+    rowb = dist_tile_bins(dist.row_dist, m_sizes, tile, majority=True)
+    colb = dist_tile_bins(dist.col_dist, n_sizes, tile, majority=True)
+    kb = dist_tile_bins(k_dist, k_sizes, tile, majority=True)
+    p, q = grid.nprow, grid.npcol
+    prec = cfg.matmul_precision
+
+    if algo == "cannon":
+        dbcsr_assert(p == q, "Cannon requires a square grid")
+        from .cannon import _cannon_exec, plan_cannon_tiled
+
+        plan = plan_cannon_tiled(
+            a_coords, b_coords, c_lay, rowb, colb, kb, p, grid.nlayer
+        )
+        stacks_j = jnp.asarray(plan.stacks)
+
+        def fn(a_data, b_data):
+            a_store = take_tiles(a_op(a_data), plan.a_pack, tile).reshape(
+                p, p, grid.nlayer, plan.n_a, tile, tile
+            )
+            b_store = take_tiles(b_op(b_data), plan.b_pack, tile).reshape(
+                p, p, grid.nlayer, plan.n_b, tile, tile
+            )
+            c_tiles = _cannon_exec(
+                a_store, b_store, stacks_j,
+                p=p, layers=grid.nlayer, n_a=plan.n_a, n_b=plan.n_b,
+                n_c=plan.n_c, tile=tile, s_max=plan.s_max, prec=prec,
+                mesh=grid.mesh,
+            )
+            return take_tiles(
+                c_tiles.reshape(p * p * plan.n_c, tile, tile),
+                plan.c_unpack, tile,
+            )
+    else:
+        dbcsr_assert(grid.nlayer == 1, "SUMMA has no layer axis")
+        from .summa import _summa_exec, plan_summa
+
+        plan = plan_summa(
+            a_coords, b_coords, c_lay, rowb, colb, kb % q, kb % p, p, q
+        )
+        stacks_j = jnp.asarray(plan.stacks)
+
+        def fn(a_data, b_data):
+            a_store = take_tiles(a_op(a_data), plan.a_pack, tile).reshape(
+                p, q, plan.n_a, tile, tile
+            )
+            b_store = take_tiles(b_op(b_data), plan.b_pack, tile).reshape(
+                p, q, plan.n_b, tile, tile
+            )
+            c_tiles = _summa_exec(
+                a_store, b_store, stacks_j,
+                p=p, q=q, n_a=plan.n_a, n_b=plan.n_b, n_c=plan.n_c,
+                tile=tile, s_max=plan.s_max, prec=prec, mesh=grid.mesh,
+            )
+            return take_tiles(
+                c_tiles.reshape(p * q * plan.n_c, tile, tile),
+                plan.c_unpack, tile,
+            )
+
+    return fn, c_index, symb.eff_flops
 
 
 def build_multiply_executor(

@@ -40,20 +40,22 @@ def run(blocks_per_dev: int = 64, reps: int = 5) -> dict:
         p -= 1
     q = n // p
 
+    from dbcsr_tpu.mm.engine import build_distributed_executor
+
     def bench(grid, nblk):
         rng = np.random.default_rng(0)
         rbs = np.full(nblk, 23, dtype=np.int32)
         a = dt.random_matrix(rbs, rbs, 0.25, rng, dtype=np.float32, name="A")
         b = dt.random_matrix(rbs, rbs, 0.25, rng, dtype=np.float32, name="B")
         dist = tile_aligned_dist(grid, rbs, rbs, a.tile)
-        # warm (plan + compile)
-        c, fl = dt.multiply("N", "N", 1.0, a, b, dist=dist, return_flops=True)
-        c.data.block_until_ready()
+        fn, _, fl = build_distributed_executor("N", "N", a, b, dist)
+        out = fn(a.data, b.data)
+        out.block_until_ready()  # plan + compile
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            c = dt.multiply("N", "N", 1.0, a, b, dist=dist)
-            c.data.block_until_ready()
+            out = fn(a.data, b.data)
+            out.block_until_ready()
             times.append(time.perf_counter() - t0)
         return float(np.min(times)), fl
 
