@@ -34,15 +34,18 @@ def main():
             builder.put_block(i, j, blk)
     h = builder.finalize()
 
-    # initial guess: P0 = (mu*I - H) scaled into [0, 1] spectrum
+    # initial guess P0 = (I - (H - mu)/s)/2, s = max(hi-mu, mu-lo): maps the
+    # spectrum into [0, 1] with occupied states above 1/2 (standard init)
     dh = np.asarray(dt.desymmetrize(h).to_dense())
-    lo, hi = np.linalg.eigvalsh(dh)[[0, -1]]
+    evals = np.linalg.eigvalsh(dh)
+    lo, hi = evals[0], evals[-1]
     mu = 0.0
+    s = max(hi - mu, mu - lo)
     p0 = dt.add_on_diag(
-        dt.scale(dt.desymmetrize(h), -1.0 / (hi - lo)), mu + hi / (hi - lo)
+        dt.scale(dt.desymmetrize(h), -0.5 / s), 0.5 + 0.5 * mu / s
     )
 
-    ne_target = float(np.trace((dh < mu).astype(float)))
+    ne_target = int((evals < mu).sum())
     p = p0
     eps = 1e-8
     for it in range(30):

@@ -23,9 +23,17 @@ def test_mcweeny_purification(rng):
     dh = np.asarray(dt.desymmetrize(h).to_dense())
     evals = np.linalg.eigvalsh(dh)
     lo, hi = evals[0], evals[-1]
-    mu = 0.0
+    # place the chemical potential in the widest spectral gap near midband
+    # (McWeeny needs a gap at mu to converge to a projector)
+    mid = len(evals) // 2
+    gaps = np.diff(evals[mid - 20 : mid + 20])
+    g = int(np.argmax(gaps))
+    mu = 0.5 * (evals[mid - 20 + g] + evals[mid - 20 + g + 1])
+    # P0 = (I - (H - mu)/s) / 2 with s = max(hi-mu, mu-lo): spectrum in
+    # [0,1], occupied states above 1/2 (standard purification init)
+    s = max(hi - mu, mu - lo)
     p = dt.add_on_diag(
-        dt.scale(dt.desymmetrize(h), -1.0 / (hi - lo)), mu + hi / (hi - lo)
+        dt.scale(dt.desymmetrize(h), -0.5 / s), 0.5 + 0.5 * mu / s
     )
     ne_target = int((evals < mu).sum())
 
