@@ -16,6 +16,7 @@ from .block.bcsr import (
 from .block.index import BCSRIndex, build_index, merge_index
 from .core import (
     Config,
+    DbcsrError,
     config_override,
     finalize_lib,
     get_config,
