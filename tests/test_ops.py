@@ -30,6 +30,20 @@ def test_scale(mats):
     np.testing.assert_allclose(dense(dt.scale(a, 3.0)), 3.0 * dense(a))
 
 
+def test_scale_by_vector_transpose_invariance(rng):
+    """unittest4's recipe (tests/dbcsr_test_scale_by_vector.F): scaling
+    columns of A must equal transposing, scaling rows, transposing back."""
+    rbs = dt.random_block_sizes(30, [2, 3], rng)
+    cbs = dt.random_block_sizes(25, [1, 4], rng)
+    m = dt.random_matrix(rbs, cbs, 0.5, rng, dtype=np.float64)
+    v = rng.standard_normal(m.shape[1])
+    right = dt.scale_by_vector(m, v, "right")
+    via_t = dt.transpose(dt.scale_by_vector(dt.transpose(m), v, "left"))
+    np.testing.assert_allclose(
+        np.asarray(right.to_dense()), np.asarray(via_t.to_dense()), atol=1e-12
+    )
+
+
 def test_scale_by_vector(mats, rng):
     a, _ = mats
     vr = rng.standard_normal(a.shape[0])
