@@ -56,6 +56,10 @@ def print_statistics(out=None) -> str:
     lines.append(f" hardware (tile) flops    {s.hardware_flops:.6E}")
     if s.hardware_flops > 0:
         lines.append(f" MXU packing efficiency   {s.total_flops / s.hardware_flops:.3f}")
+    if s.max_memory_bytes:
+        lines.append(
+            f" max device memory        {s.max_memory_bytes / 1e9:.3f} GB"
+        )
     lines.append(f" stacks                   {s.num_stacks}")
     if s.num_stacks:
         lines.append(f" avg stack size           {s.total_stack_entries / s.num_stacks:.1f}")

@@ -299,6 +299,15 @@ def multiply(
         stats = get_stats()
         stats.num_multiplications += 1
         stats.total_flops += symb.eff_flops
+        # peak device memory per multiply (the reference tracks max memory
+        # at dbcsr_mm_cannon.F:1723-1725)
+        from ..core.machine import device_memory_stats
+
+        dm = device_memory_stats()
+        if dm and "peak_bytes_in_use" in dm:
+            stats.max_memory_bytes = max(
+                stats.max_memory_bytes, int(dm["peak_bytes_in_use"])
+            )
         if cfg.collect_mnk_stats:
             from .plan import mnk_statistics
 
