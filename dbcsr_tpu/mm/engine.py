@@ -514,11 +514,20 @@ def build_distributed_executor(
     *,
     k_dist: Optional[np.ndarray] = None,
     algo: Optional[str] = None,
+    sharded: bool = False,
 ):
     """Plan-once distributed executor: ``fn(a_store, b_store) -> c_store``
     running the tiled Cannon (square grids) or SUMMA schedule with all host
     planning done up front — the distributed steady-state form for
-    weak-scaling measurement (BASELINE metric #2)."""
+    weak-scaling measurement (BASELINE metric #2).
+
+    With ``sharded=True`` (N,N only) the executor consumes and produces the
+    SHARDED at-rest form (``dist/sharded.py``): inputs are
+    ``[ndev, n_max, T, T]`` owner-partitioned arrays, the output is C's
+    sharded store (its per-device tile order IS the plan's C ordering), and
+    the panel re-distribution happens inside jit as mesh collectives — the
+    make_images alltoall of the reference. Convert with
+    ``shard_store``/``unshard_store``."""
     from ..ops.transform import desymmetrize
 
     cfg = get_config()
@@ -577,6 +586,35 @@ def build_distributed_executor(
     p, q = grid.nprow, grid.npcol
     prec = cfg.matmul_precision
 
+    shard_in = shard_out = None
+    if sharded:
+        dbcsr_assert(
+            not ta and not tb and not ca and not cb,
+            "sharded executors support 'N','N' (v1)",
+        )
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        from ..dist.grid import AXIS_COL as _AC, AXIS_ROW as _AR
+        from ..dist.sharded import shard_layout_from_bins
+
+        # each operand shards along its own dims: A (m,k), B (k,n), C (m,n)
+        sl_a = shard_layout_from_bins(a.index, tile, rowb, kb % q, p, q)
+        sl_b = shard_layout_from_bins(b.index, tile, kb % p, colb, p, q)
+        sl_c = shard_layout_from_bins(c_index, tile, rowb, colb, p, q)
+
+        def remap(pack, sl):
+            out = np.where(
+                pack >= 0,
+                sl.pos_of_slot[np.minimum(pack, len(sl.pos_of_slot) - 1)],
+                np.int64(np.iinfo(np.int32).max),
+            )
+            return out.astype(np.int64)
+
+        shard_in = (sl_a, sl_b, remap)
+        panel_sharding = NamedSharding(grid.mesh, _P(_AR, _AC))
+        out_sharding = NamedSharding(grid.mesh, _P((_AR, _AC)))
+        shard_out = (sl_c, panel_sharding, out_sharding)
+
     if algo == "cannon":
         dbcsr_assert(p == q, "Cannon requires a square grid")
         from .cannon import _cannon_exec, plan_cannon_tiled
@@ -585,6 +623,39 @@ def build_distributed_executor(
             a_coords, b_coords, c_lay, rowb, colb, kb, p, grid.nlayer
         )
         stacks_j = jnp.asarray(plan.stacks)
+
+        if sharded:
+            dbcsr_assert(
+                grid.nlayer == 1, "sharded Cannon executor: layers=1 (v1)"
+            )
+            sl_a, sl_b, remap = shard_in
+            sl_c, panel_sh, out_sh = shard_out
+            dbcsr_assert(plan.n_c == sl_c.n_max, "C shard layout mismatch")
+            a_pos = jnp.asarray(remap(plan.a_pack, sl_a))
+            b_pos = jnp.asarray(remap(plan.b_pack, sl_b))
+
+            def fn(a_sh, b_sh):
+                af = a_sh.reshape(sl_a.ndev * sl_a.n_max, tile, tile)
+                bf = b_sh.reshape(sl_b.ndev * sl_b.n_max, tile, tile)
+                a_store = jnp.take(
+                    af, a_pos, axis=0, mode="fill", fill_value=0
+                ).reshape(p, p, 1, plan.n_a, tile, tile)
+                b_store = jnp.take(
+                    bf, b_pos, axis=0, mode="fill", fill_value=0
+                ).reshape(p, p, 1, plan.n_b, tile, tile)
+                a_store = jax.lax.with_sharding_constraint(a_store, panel_sh)
+                b_store = jax.lax.with_sharding_constraint(b_store, panel_sh)
+                c_tiles = _cannon_exec(
+                    a_store, b_store, stacks_j,
+                    p=p, layers=1, n_a=plan.n_a, n_b=plan.n_b,
+                    n_c=plan.n_c, tile=tile, s_max=plan.s_max, prec=prec,
+                    mesh=grid.mesh,
+                )
+                out = c_tiles.reshape(sl_c.ndev, sl_c.n_max, tile, tile)
+                return jax.lax.with_sharding_constraint(out, out_sh)
+
+            fn.shard_a, fn.shard_b, fn.shard_c = sl_a, sl_b, sl_c
+            return fn, c_index, symb.eff_flops
 
         def fn(a_data, b_data):
             a_store = take_tiles(a_op(a_data), plan.a_pack, tile).reshape(
@@ -611,6 +682,37 @@ def build_distributed_executor(
             a_coords, b_coords, c_lay, rowb, colb, kb % q, kb % p, p, q
         )
         stacks_j = jnp.asarray(plan.stacks)
+
+        if sharded:
+            from .summa import _summa_exec as _sx
+
+            sl_a, sl_b, remap = shard_in
+            sl_c, panel_sh, out_sh = shard_out
+            dbcsr_assert(plan.n_c == sl_c.n_max, "C shard layout mismatch")
+            a_pos = jnp.asarray(remap(plan.a_pack, sl_a))
+            b_pos = jnp.asarray(remap(plan.b_pack, sl_b))
+
+            def fn(a_sh, b_sh):
+                af = a_sh.reshape(sl_a.ndev * sl_a.n_max, tile, tile)
+                bf = b_sh.reshape(sl_b.ndev * sl_b.n_max, tile, tile)
+                a_store = jnp.take(
+                    af, a_pos, axis=0, mode="fill", fill_value=0
+                ).reshape(p, q, plan.n_a, tile, tile)
+                b_store = jnp.take(
+                    bf, b_pos, axis=0, mode="fill", fill_value=0
+                ).reshape(p, q, plan.n_b, tile, tile)
+                a_store = jax.lax.with_sharding_constraint(a_store, panel_sh)
+                b_store = jax.lax.with_sharding_constraint(b_store, panel_sh)
+                c_tiles = _sx(
+                    a_store, b_store, stacks_j,
+                    p=p, q=q, n_a=plan.n_a, n_b=plan.n_b, n_c=plan.n_c,
+                    tile=tile, s_max=plan.s_max, prec=prec, mesh=grid.mesh,
+                )
+                out = c_tiles.reshape(sl_c.ndev, sl_c.n_max, tile, tile)
+                return jax.lax.with_sharding_constraint(out, out_sh)
+
+            fn.shard_a, fn.shard_b, fn.shard_c = sl_a, sl_b, sl_c
+            return fn, c_index, symb.eff_flops
 
         def fn(a_data, b_data):
             a_store = take_tiles(a_op(a_data), plan.a_pack, tile).reshape(
