@@ -14,6 +14,7 @@ from .mm import (
     split_factor_estimate,
     tas_multiply,
 )
+from .parallel import tas_multiply_parallel
 from .split import COLSPLIT, ROWSPLIT, TASSplit
 
 __all__ = [
@@ -23,6 +24,7 @@ __all__ = [
     "COLSPLIT",
     "tas_from_matrix",
     "tas_multiply",
+    "tas_multiply_parallel",
     "split_factor_estimate",
     "result_index_estimate",
     "extract_block_subset",

@@ -1,0 +1,51 @@
+"""Mesh-parallel TAS group execution (the EP-like axis of SURVEY §2.9)."""
+import numpy as np
+import pytest
+
+import dbcsr_tpu as dt
+from dbcsr_tpu.core.config import config_override
+from dbcsr_tpu.tas import tas_multiply_parallel
+
+TILE = 8
+
+
+def _mats(rng, m=200, k=20, n=24, occ=0.4):
+    with config_override(tile_size=TILE):
+        mbs = dt.random_block_sizes(m, [2, 3], rng)
+        kbs = dt.random_block_sizes(k, [2], rng)
+        nbs = dt.random_block_sizes(n, [3], rng)
+        a = dt.random_matrix(mbs, kbs, occ, rng, dtype=np.float64)
+        b = dt.random_matrix(kbs, nbs, 0.7, rng, dtype=np.float64)
+    return a, b
+
+
+@pytest.mark.parametrize("nsplit", [1, 2, 4, 8])
+def test_parallel_groups_match_oracle(rng, nsplit):
+    a, b = _mats(rng)
+    with config_override(tile_size=TILE):
+        out, fl = tas_multiply_parallel(a, b, nsplit=nsplit, return_flops=True)
+    ref = np.asarray(a.to_dense()) @ np.asarray(b.to_dense())
+    np.testing.assert_allclose(
+        np.asarray(out.to_dense()), ref, rtol=1e-10, atol=1e-10
+    )
+    assert fl > 0
+
+
+def test_parallel_matches_sequential_tas(rng):
+    from dbcsr_tpu.tas import tas_multiply
+
+    a, b = _mats(rng, occ=0.3)
+    with config_override(tile_size=TILE):
+        par = tas_multiply_parallel(a, b, nsplit=4)
+        seq = tas_multiply("N", "N", 1.0, a, b, nsplit=4).matrix
+    np.testing.assert_allclose(
+        np.asarray(par.to_dense()), np.asarray(seq.to_dense()), atol=1e-10
+    )
+
+
+def test_parallel_cyclic_split(rng):
+    a, b = _mats(rng, m=80)
+    with config_override(tile_size=TILE):
+        out = tas_multiply_parallel(a, b, nsplit=3, split_kind="cyclic")
+    ref = np.asarray(a.to_dense()) @ np.asarray(b.to_dense())
+    np.testing.assert_allclose(np.asarray(out.to_dense()), ref, atol=1e-10)
