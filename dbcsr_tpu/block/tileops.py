@@ -61,8 +61,8 @@ def take_tiles(store: jax.Array, slot_map: np.ndarray, tile: int) -> jax.Array:
 
     Negative sentinels are remapped to a positive out-of-bounds value first:
     jnp's fill mode wraps -1 Python-style instead of filling."""
-    if len(slot_map) == 0:
-        return jnp.zeros((0, tile, tile), dtype=store.dtype)
+    if len(slot_map) == 0 or store.shape[0] == 0:
+        return jnp.zeros((len(slot_map), tile, tile), dtype=store.dtype)
     slot_map = np.asarray(slot_map)
     oob = np.where(slot_map < 0, np.iinfo(np.int32).max, slot_map).astype(
         np.int32
