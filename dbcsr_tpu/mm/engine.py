@@ -559,23 +559,23 @@ def build_distributed_executor(
     # op-store permutations (reused per call)
     def op_closure(m, trans, conj):
         if not trans:
-            return (lambda d: jnp.conj(d) if conj else d), m.layout.tile_coords
+            return (lambda d: jnp.conj(d) if conj else d), m.layout.tile_coords, None
         lay = m.layout
         keys_t = lay.tile_coords[:, 1].astype(np.int64) * lay.ntr + lay.tile_coords[:, 0]
-        perm = jnp.asarray(np.argsort(keys_t).astype(np.int32))
+        perm_np = np.argsort(keys_t)
+        perm = jnp.asarray(perm_np.astype(np.int32))
         coords = np.stack(
-            [lay.tile_coords[np.argsort(keys_t), 1],
-             lay.tile_coords[np.argsort(keys_t), 0]], axis=1
+            [lay.tile_coords[perm_np, 1], lay.tile_coords[perm_np, 0]], axis=1
         ).astype(np.int32)
 
         def op(d):
             st = jnp.swapaxes(jnp.take(d, perm, axis=0), 1, 2)
             return jnp.conj(st) if conj else st
 
-        return op, coords
+        return op, coords, perm_np
 
-    a_op, a_coords = op_closure(a, ta, ca)
-    b_op, b_coords = op_closure(b, tb, cb)
+    a_op, a_coords, a_perm_np = op_closure(a, ta, ca)
+    b_op, b_coords, b_perm_np = op_closure(b, tb, cb)
     c_lay = store_layout(c_index, tile)
 
     from ..dist.distribution import dist_tile_bins
@@ -588,24 +588,32 @@ def build_distributed_executor(
 
     shard_in = shard_out = None
     if sharded:
-        dbcsr_assert(
-            not ta and not tb and not ca and not cb,
-            "sharded executors support 'N','N' (v1)",
-        )
         from jax.sharding import NamedSharding, PartitionSpec as _P
 
         from ..dist.grid import AXIS_COL as _AC, AXIS_ROW as _AR
         from ..dist.sharded import shard_layout_from_bins
 
-        # each operand shards along its own dims: A (m,k), B (k,n), C (m,n)
-        sl_a = shard_layout_from_bins(a.index, tile, rowb, kb % q, p, q)
-        sl_b = shard_layout_from_bins(b.index, tile, kb % p, colb, p, q)
+        # each operand shards along its OWN stored dims: the per-tile bin
+        # of a logical dim (m->rowb, n->colb, k->kb) folded onto the grid
+        a_rbins = (kb % p) if ta else rowb
+        a_cbins = (rowb % q) if ta else (kb % q)
+        b_rbins = (colb % p) if tb else (kb % p)
+        b_cbins = (kb % q) if tb else (colb % q)
+        sl_a = shard_layout_from_bins(a.index, tile, a_rbins, a_cbins, p, q)
+        sl_b = shard_layout_from_bins(b.index, tile, b_rbins, b_cbins, p, q)
         sl_c = shard_layout_from_bins(c_index, tile, rowb, colb, p, q)
 
-        def remap(pack, sl):
+        def remap(pack, sl, perm_np):
+            # pack indexes the OP store; compose with the transpose perm to
+            # reach original store slots, then the shard positions
+            idx = pack.astype(np.int64)
+            if perm_np is not None:
+                idx = np.where(
+                    idx >= 0, perm_np[np.maximum(idx, 0)], -1
+                )
             out = np.where(
-                pack >= 0,
-                sl.pos_of_slot[np.minimum(pack, len(sl.pos_of_slot) - 1)],
+                idx >= 0,
+                sl.pos_of_slot[np.minimum(idx, len(sl.pos_of_slot) - 1)],
                 np.int64(np.iinfo(np.int32).max),
             )
             return out.astype(np.int64)
@@ -631,18 +639,23 @@ def build_distributed_executor(
             sl_a, sl_b, remap = shard_in
             sl_c, panel_sh, out_sh = shard_out
             dbcsr_assert(plan.n_c == sl_c.n_max, "C shard layout mismatch")
-            a_pos = jnp.asarray(remap(plan.a_pack, sl_a))
-            b_pos = jnp.asarray(remap(plan.b_pack, sl_b))
+            a_pos = jnp.asarray(remap(plan.a_pack, sl_a, a_perm_np))
+            b_pos = jnp.asarray(remap(plan.b_pack, sl_b, b_perm_np))
+
+            def op_tiles(x, trans, conj):
+                if trans:
+                    x = jnp.swapaxes(x, -2, -1)
+                return jnp.conj(x) if conj else x
 
             def fn(a_sh, b_sh):
                 af = a_sh.reshape(sl_a.ndev * sl_a.n_max, tile, tile)
                 bf = b_sh.reshape(sl_b.ndev * sl_b.n_max, tile, tile)
-                a_store = jnp.take(
+                a_store = op_tiles(jnp.take(
                     af, a_pos, axis=0, mode="fill", fill_value=0
-                ).reshape(p, p, 1, plan.n_a, tile, tile)
-                b_store = jnp.take(
+                ), ta, ca).reshape(p, p, 1, plan.n_a, tile, tile)
+                b_store = op_tiles(jnp.take(
                     bf, b_pos, axis=0, mode="fill", fill_value=0
-                ).reshape(p, p, 1, plan.n_b, tile, tile)
+                ), tb, cb).reshape(p, p, 1, plan.n_b, tile, tile)
                 a_store = jax.lax.with_sharding_constraint(a_store, panel_sh)
                 b_store = jax.lax.with_sharding_constraint(b_store, panel_sh)
                 c_tiles = _cannon_exec(
@@ -689,18 +702,23 @@ def build_distributed_executor(
             sl_a, sl_b, remap = shard_in
             sl_c, panel_sh, out_sh = shard_out
             dbcsr_assert(plan.n_c == sl_c.n_max, "C shard layout mismatch")
-            a_pos = jnp.asarray(remap(plan.a_pack, sl_a))
-            b_pos = jnp.asarray(remap(plan.b_pack, sl_b))
+            a_pos = jnp.asarray(remap(plan.a_pack, sl_a, a_perm_np))
+            b_pos = jnp.asarray(remap(plan.b_pack, sl_b, b_perm_np))
+
+            def op_tiles(x, trans, conj):
+                if trans:
+                    x = jnp.swapaxes(x, -2, -1)
+                return jnp.conj(x) if conj else x
 
             def fn(a_sh, b_sh):
                 af = a_sh.reshape(sl_a.ndev * sl_a.n_max, tile, tile)
                 bf = b_sh.reshape(sl_b.ndev * sl_b.n_max, tile, tile)
-                a_store = jnp.take(
+                a_store = op_tiles(jnp.take(
                     af, a_pos, axis=0, mode="fill", fill_value=0
-                ).reshape(p, q, plan.n_a, tile, tile)
-                b_store = jnp.take(
+                ), ta, ca).reshape(p, q, plan.n_a, tile, tile)
+                b_store = op_tiles(jnp.take(
                     bf, b_pos, axis=0, mode="fill", fill_value=0
-                ).reshape(p, q, plan.n_b, tile, tile)
+                ), tb, cb).reshape(p, q, plan.n_b, tile, tile)
                 a_store = jax.lax.with_sharding_constraint(a_store, panel_sh)
                 b_store = jax.lax.with_sharding_constraint(b_store, panel_sh)
                 c_tiles = _sx(

@@ -98,12 +98,32 @@ def test_sharded_chain_stays_sharded(rng):
     )
 
 
-def test_sharded_rejects_transpose(rng):
+@pytest.mark.parametrize("transa,transb", [("T", "N"), ("N", "T")])
+def test_sharded_executor_transposes(rng, transa, transb):
     grid = ProcessGrid.make(2, 2)
-    a, b = _mats(rng)
-    dist = tile_aligned_dist(grid, a.row_block_sizes, b.col_block_sizes, TILE)
     with config_override(tile_size=TILE):
-        with pytest.raises(Exception):
-            build_distributed_executor(
-                "T", "N", a, a, dist, sharded=True
-            )
+        rbs = dt.random_block_sizes(96, [2, 4], rng)
+        kbs = dt.random_block_sizes(80, [4], rng)
+        cbs = dt.random_block_sizes(88, [2], rng)
+        a_shape = (rbs, kbs) if transa == "N" else (kbs, rbs)
+        b_shape = (kbs, cbs) if transb == "N" else (cbs, kbs)
+        a = dt.random_matrix(*a_shape, 0.5, rng, dtype=np.float32)
+        b = dt.random_matrix(*b_shape, 0.5, rng, dtype=np.float32)
+        dist = tile_aligned_dist(grid, rbs, cbs, TILE)
+        fn, c_index, _ = build_distributed_executor(
+            transa, transb, a, b, dist, sharded=True
+        )
+        a_sh = shard_store_with_layout(a, fn.shard_a, grid.mesh)
+        b_sh = shard_store_with_layout(b, fn.shard_b, grid.mesh)
+        out = jax.jit(fn)(a_sh, b_sh)
+    da = np.asarray(a.to_dense())
+    db = np.asarray(b.to_dense())
+    if transa == "T":
+        da = da.T
+    if transb == "T":
+        db = db.T
+    back = unshard_store_with_layout(out, fn.shard_c, TILE)
+    c = dt.BCSRMatrix(name="c", index=c_index, data=back)
+    np.testing.assert_allclose(
+        np.asarray(c.to_dense()), da @ db, rtol=1e-4, atol=1e-4
+    )
