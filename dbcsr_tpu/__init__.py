@@ -57,6 +57,8 @@ from .ops.io import (
     binary_read,
     binary_write,
     checksum,
+    get_info,
+    get_stored_coordinates,
     print_block_sum,
     print_matrix,
 )

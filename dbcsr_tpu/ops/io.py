@@ -36,6 +36,8 @@ __all__ = [
     "print_matrix",
     "print_block_sum",
     "checksum",
+    "get_info",
+    "get_stored_coordinates",
 ]
 
 _MAGIC = b"DBCSR_TPU_BIN"
@@ -168,6 +170,38 @@ def print_block_sum(m: BCSRMatrix, file=None) -> None:
     for b in range(m.nblks):
         s = host[int(off[b]):int(off[b + 1])].sum()
         print(f"  ({int(rows[b])},{int(m.index.col_idx[b])}) sum={s:.10g}", file=f)
+
+
+def get_info(m: BCSRMatrix) -> dict:
+    """Matrix metadata snapshot (``dbcsr_get_info`` analog,
+    ``src/dbcsr_api.F``)."""
+    return {
+        "name": m.name,
+        "nfullrows": m.index.nfullrows,
+        "nfullcols": m.index.nfullcols,
+        "nblkrows": m.nblkrows,
+        "nblkcols": m.nblkcols,
+        "nblks": m.nblks,
+        "nelems": m.index.nelems,
+        "occupation": m.occupation(),
+        "symmetry": m.sym,
+        "dtype": np.dtype(m.dtype).name,
+        "tile": m.tile,
+        "n_tiles": m.layout.n_tiles,
+        "distributed": m.dist is not None,
+        "row_block_sizes": m.index.row_block_sizes,
+        "col_block_sizes": m.index.col_block_sizes,
+    }
+
+
+def get_stored_coordinates(m: BCSRMatrix, row: int, col: int) -> Optional[int]:
+    """Owning device id of block (row, col) under the matrix's distribution
+    (``dbcsr_get_stored_coordinates``); None for local/replicated."""
+    if m.dist is None:
+        return None
+    i = int(m.dist.row_dist[row])
+    j = int(m.dist.col_dist[col])
+    return i * m.dist.grid.npcol + j
 
 
 def checksum(m: BCSRMatrix, *, pos: bool = False) -> float:

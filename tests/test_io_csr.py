@@ -97,6 +97,25 @@ def test_csr_write_format():
     assert lines[2].split() == ["2", "2", "-2"]
 
 
+def test_get_info_and_stored_coordinates():
+    rng = np.random.default_rng(5)
+    m = _rand(rng)
+    info = dt.get_info(m)
+    assert info["nblks"] == m.nblks
+    assert info["nfullrows"] == m.shape[0]
+    assert 0.0 < info["occupation"] <= 1.0
+    assert not info["distributed"]
+    assert dt.get_stored_coordinates(m, 0, 0) is None
+
+    from dbcsr_tpu.dist.distribution import block_cyclic_dist
+    from dbcsr_tpu.dist.grid import ProcessGrid
+
+    grid = ProcessGrid.make(1, 1)
+    d = block_cyclic_dist(grid, m.nblkrows, m.nblkcols)
+    dm = dt.distribute(m, d)
+    assert dt.get_stored_coordinates(dm, 0, 0) == 0
+
+
 def test_print_matrix_and_block_sum():
     rng = np.random.default_rng(4)
     m = _rand(rng, occ=0.2)
