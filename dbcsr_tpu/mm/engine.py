@@ -202,8 +202,23 @@ def multiply(
                 and np.array_equal(c.index.col_block_sizes, n_sizes),
                 "C block structure does not match the product",
             )
-            dbcsr_assert(c.sym == SYM_NONE, "product into symmetric C not supported yet")
             dbcsr_assert(c.tile == a.tile, "C tile size differs from operands")
+        c_sym = c.sym if c is not None else SYM_NONE
+        if c_sym != SYM_NONE:
+            # symmetric product matrix: compute in full storage, fold back
+            # (reference: canonical symmetric index, src/mm/dbcsr_mm.F:714)
+            from ..ops.transform import fold_symmetric
+
+            c_full = desymmetrize(c)
+            out = multiply(
+                transa, transb, alpha, a, b, beta, c_full,
+                filter_eps=filter_eps, retain_sparsity=retain_sparsity,
+                return_flops=return_flops, dist=dist, k_dist=k_dist,
+            )
+            if return_flops:
+                out, fl = out
+                return fold_symmetric(out, c_sym), fl
+            return fold_symmetric(out, c_sym)
 
         # ---- plan -------------------------------------------------------
         with timed("multiply/plan"):

@@ -20,6 +20,7 @@ from ..block.bcsr import (
     SYM_ANTISYMMETRIC,
     SYM_HERMITIAN,
     SYM_NONE,
+    SYM_SYMMETRIC,
 )
 from ..block.index import build_index
 from ..block.store import store_layout
@@ -45,7 +46,36 @@ __all__ = [
     "make_undense",
     "may_be_dense",
     "retile",
+    "fold_symmetric",
 ]
+
+
+def fold_symmetric(m: BCSRMatrix, sym: str = SYM_SYMMETRIC) -> BCSRMatrix:
+    """Fold a full matrix into symmetric upper-triangle storage (the inverse
+    of :func:`desymmetrize`; the reference's canonical-index fold for
+    symmetric product matrices, ``dbcsr_make_index_canonical``,
+    ``src/block/dbcsr_index_operations.F``). The strictly-lower content is
+    DISCARDED — callers assert the matrix is actually (anti)symmetric/
+    hermitian, as in the reference."""
+    if m.sym != SYM_NONE:
+        return m
+    with timed("fold_symmetric"):
+        keep = m.index.blk_rows <= m.index.col_idx
+        rows = m.index.blk_rows[keep]
+        cols = m.index.col_idx[keep]
+        new_index, _ = build_index(
+            rows, cols, m.index.row_block_sizes, m.index.col_block_sizes
+        )
+        from ..block.tileops import take_tiles, tile_align_map, valid_mask
+
+        keys = store_layout(new_index, m.tile).tile_keys()
+        amap = tile_align_map(keys, m.layout.tile_keys())
+        data = take_tiles(m.data, amap, m.tile) * valid_mask(
+            new_index, m.tile
+        ).astype(m.dtype)
+        return BCSRMatrix(
+            name=m.name, index=new_index, data=data, sym=sym, dist=m.dist
+        )
 
 
 def retile(m: BCSRMatrix, tile: int) -> BCSRMatrix:

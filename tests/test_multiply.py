@@ -61,6 +61,30 @@ def test_multiply_symmetric_inputs(rng, syma, symb):
     check(c, dense(a) @ dense(b), np.float64)
 
 
+def test_multiply_into_symmetric_c(rng):
+    """Symmetric product matrix (the reference's canonical symmetric C):
+    C := alpha·AᵀA + beta·C with C stored upper-triangular."""
+    rbs = dt.random_block_sizes(25, [2, 3], rng)
+    kbs = dt.random_block_sizes(20, [2], rng)
+    a = make(rng, kbs, rbs, 0.6, np.float64)
+    c0 = make(rng, rbs, rbs, 0.4, np.float64, sym="S")
+    c = dt.multiply("T", "N", 2.0, a, a, 0.5, c0)
+    assert c.sym == "S"
+    ref = 2.0 * dense(a).T @ dense(a) + 0.5 * dense(c0)
+    check(c, ref, np.float64)
+
+
+def test_fold_symmetric_roundtrip(rng):
+    rbs = dt.random_block_sizes(20, [2, 3], rng)
+    s = make(rng, rbs, rbs, 0.6, np.float64, sym="S")
+    full = dt.desymmetrize(s)
+    from dbcsr_tpu.ops.transform import fold_symmetric
+
+    back = fold_symmetric(full, "S")
+    assert back.sym == "S"
+    np.testing.assert_allclose(dense(back), dense(s), atol=1e-12)
+
+
 def test_multiply_complex(rng):
     rbs = dt.random_block_sizes(20, [2, 4], rng)
     a = make(rng, rbs, rbs, 0.5, np.complex128)
