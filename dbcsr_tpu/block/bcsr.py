@@ -356,6 +356,24 @@ class BCSRBuilder:
                 ),
             )
 
+    def reserve_blocks(self, rows, cols) -> None:
+        """Reserve many zero blocks (``dbcsr_reserve_blocks``)."""
+        for r, c in zip(rows, cols):
+            self.reserve_block(int(r), int(c))
+
+    def reserve_all_blocks(self) -> None:
+        """Reserve the full dense block grid (``dbcsr_reserve_all_blocks``)."""
+        for r in range(len(self.row_block_sizes)):
+            lo = r if self.sym != SYM_NONE else 0
+            for c in range(lo, len(self.col_block_sizes)):
+                self.reserve_block(r, c)
+
+    def reserve_diag_blocks(self) -> None:
+        """Reserve the diagonal blocks (``dbcsr_reserve_diag_blocks``)."""
+        n = min(len(self.row_block_sizes), len(self.col_block_sizes))
+        for r in range(n):
+            self.reserve_block(r, r)
+
     def finalize(self) -> BCSRMatrix:
         keys = list(self._blocks.keys())
         rows = [k[0] for k in keys]
