@@ -48,6 +48,7 @@ DEFAULT_GRID = {
     "max_stack_size": [8192, 32768],
     "matmul_precision": ["default", "highest"],
     "stack_bf16_inputs": [False, True],
+    "stack_e_batch": [1, 4, 8],
 }
 
 

@@ -75,6 +75,12 @@ class Config:
     #: per stack entry at the cost of one conversion pass — a wash on
     #: latency-bound stacks, a win on high-reuse ones (autotuned knob)
     stack_bf16_inputs: bool = False
+    #: stack entries per Pallas grid step (C runs padded to multiples of
+    #: this with zero-tile entries). E concurrent input DMAs pipeline
+    #: better on stacks with uncorrelated tile indices (36% on a synthetic
+    #: random stack) but are neutral on banded ones where consecutive-index
+    #: DMA elision already helps — autotuned per workload class.
+    stack_e_batch: int = 1
     #: use communication-optimal splitting in TAS multiplies
     tas_split_factor: float = 1.0
     #: randomly seeded value used by random matrix generators

@@ -23,6 +23,7 @@ Two implementations with identical semantics:
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -72,20 +73,31 @@ def tile_stack_matmul_xla(
     return out[:n_c_tiles].astype(a_tiles.dtype)
 
 
-def _stack_kernel(stack_ref, a_ref, b_ref, out_ref, *, precision):
-    """One stack entry per grid step; the output window is revisited while
-    consecutive entries share a C tile (host-sorted), so accumulation stays
-    in VMEM and each C tile is written back exactly once."""
+def _stack_kernel(stack_ref, *refs, precision, e_batch):
+    """``e_batch`` stack entries per grid step (all sharing one C tile —
+    the host pads each C run to a multiple of e_batch with zero-tile
+    entries): E concurrent input DMAs pipeline far better than one, and the
+    output window is revisited while consecutive steps share a C tile
+    (host-sorted), so accumulation stays in VMEM and each C tile is written
+    back exactly once."""
+    out_ref = refs[-1]
     i = pl.program_id(0)
-    c_here = stack_ref[3 * i]
-    c_prev = stack_ref[3 * jnp.maximum(i, 1) - 3]
+    stride = 3 * e_batch
+    c_here = stack_ref[stride * i]
+    c_prev = stack_ref[stride * jnp.maximum(i, 1) - stride]
     first = jnp.logical_or(i == 0, c_here != c_prev)
 
     prod = jnp.dot(
-        a_ref[0], b_ref[0],
+        refs[0][0], refs[1][0],
         preferred_element_type=jnp.float32,
         precision=precision,
     )
+    for e in range(1, e_batch):
+        prod = prod + jnp.dot(
+            refs[2 * e][0], refs[2 * e + 1][0],
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
 
     @pl.when(first)
     def _():
@@ -105,34 +117,49 @@ _PRECISIONS = {
 
 @partial(
     jax.jit,
-    static_argnames=("n_c", "tile", "interpret", "precision", "out_dtype"),
+    static_argnames=(
+        "n_c", "tile", "interpret", "precision", "out_dtype", "e_batch"
+    ),
 )
 def _pallas_launch(
     a_tiles, b_tiles, flat_stack, *, n_c: int, tile: int, interpret: bool,
-    precision: str = "highest", out_dtype=None,
+    precision: str = "highest", out_dtype=None, e_batch: int = 1,
 ):
     out_dtype = out_dtype or a_tiles.dtype
-    s = flat_stack.shape[0] // 3
+    stride = 3 * e_batch
+    s = flat_stack.shape[0] // stride
+
+    def mk_spec(off):
+        return pl.BlockSpec(
+            (1, tile, tile), lambda i, st, off=off: (st[stride * i + off], 0, 0)
+        )
+
+    in_specs = []
+    for e in range(e_batch):
+        in_specs.append(mk_spec(3 * e + 1))
+        in_specs.append(mk_spec(3 * e + 2))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(s,),
-        in_specs=[
-            pl.BlockSpec((1, tile, tile), lambda i, st: (st[3 * i + 1], 0, 0)),
-            pl.BlockSpec((1, tile, tile), lambda i, st: (st[3 * i + 2], 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, tile, tile), lambda i, st: (st[3 * i], 0, 0)),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, tile, tile), lambda i, st: (st[stride * i], 0, 0)
+        ),
     )
     out = pl.pallas_call(
-        partial(_stack_kernel, precision=_PRECISIONS[precision]),
+        partial(
+            _stack_kernel, precision=_PRECISIONS[precision], e_batch=e_batch
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_c + 1, tile, tile), out_dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * s * tile * tile * tile,
-            bytes_accessed=(2 * s + n_c) * tile * tile * a_tiles.dtype.itemsize,
+            flops=2 * s * e_batch * tile * tile * tile,
+            bytes_accessed=(2 * s * e_batch + n_c)
+            * tile * tile * a_tiles.dtype.itemsize,
             transcendentals=0,
         ),
-    )(flat_stack, a_tiles, b_tiles)
+    )(flat_stack, *([a_tiles, b_tiles] * e_batch))
     return out
 
 
@@ -153,6 +180,7 @@ def tile_stack_matmul_pallas(
     interpret: bool = False,
     precision: str = "highest",
     out_dtype=None,
+    e_batch: Optional[int] = None,
 ) -> jax.Array:
     """Pallas TPU stack processor (f32/bf16), chunked at c boundaries.
 
@@ -172,13 +200,48 @@ def tile_stack_matmul_pallas(
     out_dtype = out_dtype or a_tiles.dtype
     if s_total == 0:
         return jnp.zeros((n_c_tiles, tile, tile), dtype=out_dtype)
+
+    if e_batch is None:
+        from ..core.config import get_config
+
+        e_batch = get_config().stack_e_batch
+    e_batch = max(int(e_batch), 1)
+    if e_batch > 1:
+        # pad every C run to a multiple of e_batch with zero-tile entries
+        # (the appended all-zero tile: contributes nothing); padding of
+        # consecutive identical indices costs ~no DMA (pipeline elision)
+        za, zb = a_tiles.shape[0], b_tiles.shape[0]
+        c_col0 = stack_np[:, 0]
+        run_starts = np.flatnonzero(
+            np.concatenate([[True], c_col0[1:] != c_col0[:-1]])
+        )
+        run_lens = np.diff(np.concatenate([run_starts, [s_total]]))
+        pads = (-run_lens) % e_batch
+        total2 = int(run_lens.sum() + pads.sum())
+        new = np.empty((total2, 3), dtype=np.int32)
+        pos = 0
+        for rs, rl, pd in zip(run_starts, run_lens, pads):
+            new[pos:pos + rl] = stack_np[rs:rs + rl]
+            if pd:
+                new[pos + rl:pos + rl + pd] = (int(c_col0[rs]), za, zb)
+            pos += rl + pd
+        stack_np = new
+        a_tiles = jnp.concatenate(
+            [a_tiles, jnp.zeros((1, tile, tile), a_tiles.dtype)]
+        )
+        b_tiles = jnp.concatenate(
+            [b_tiles, jnp.zeros((1, tile, tile), b_tiles.dtype)]
+        )
+        s_total = total2
+
     c_col = stack_np[:, 0]
     outs = []
     start = 0
     while start < s_total:
-        end = min(start + max_chunk, s_total)
+        end = min(start + max(max_chunk // e_batch, 1) * e_batch, s_total)
         if end < s_total:
             # retreat to the start of the c-run that straddles the cut
+            # (runs are multiples of e_batch, so groups stay intact)
             boundary = int(np.searchsorted(c_col, c_col[end], side="left"))
             if boundary <= start:
                 raise ValueError(
@@ -189,11 +252,12 @@ def tile_stack_matmul_pallas(
         c_lo = int(c_col[start])
         c_hi = int(c_col[end - 1]) + 1
         n_c_local = c_hi - c_lo
-        length = _bucket(end - start)
+        n_entries = end - start
+        length = _bucket(max(n_entries // e_batch, 1)) * e_batch
         chunk = np.empty((length, 3), dtype=np.int32)
-        chunk[: end - start] = stack_np[start:end]
-        chunk[: end - start, 0] -= c_lo
-        chunk[end - start :] = (n_c_local, 0, 0)  # trash entries
+        chunk[:n_entries] = stack_np[start:end]
+        chunk[:n_entries, 0] -= c_lo
+        chunk[n_entries:] = (n_c_local, 0, 0)  # trash groups
         out = _pallas_launch(
             a_tiles,
             b_tiles,
@@ -203,6 +267,7 @@ def tile_stack_matmul_pallas(
             interpret=interpret,
             precision=precision,
             out_dtype=out_dtype,
+            e_batch=e_batch,
         )
         outs.append(out[:n_c_local])
         start = end
