@@ -245,11 +245,26 @@ def run_perf(cfg: PerfConfig, *, seed: int = 0, verbose: bool = True) -> dict:
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
-        print("usage: python -m dbcsr_tpu.perf <input.perf> [seed]")
+        print(
+            "usage: python -m dbcsr_tpu.perf <input.perf> [seed] "
+            "[--emit-checksum]"
+        )
         return 2
+    emit = "--emit-checksum" in argv
+    argv = [a for a in argv if a != "--emit-checksum"]
     cfg = parse_perf(argv[0])
     seed = int(argv[1]) if len(argv) > 1 else 0
-    run_perf(cfg, seed=seed)
+    res = run_perf(cfg, seed=seed)
+    if emit:
+        print("# checksum reference lines for this input "
+              "(append after '# checksum' -> T):")
+        print("T")
+        print("1.0E-6")
+        print(f"{res['checksum']:.15E}")
+    if cfg.check_checksum and cfg.checksum_refs:
+        ok = res.get("checksum_match", False)
+        print(f"checksum check: {'OK' if ok else 'MISMATCH'}")
+        return 0 if ok else 1
     return 0
 
 
