@@ -13,7 +13,13 @@ from .block.bcsr import (
     SYM_NONE,
     SYM_SYMMETRIC,
 )
-from .block.index import BCSRIndex, build_index, merge_index
+from .block.index import (
+    BCSRIndex,
+    build_index,
+    convert_offsets_to_sizes,
+    convert_sizes_to_offsets,
+    merge_index,
+)
 from .core import (
     Config,
     DbcsrError,
@@ -29,12 +35,14 @@ from .core import (
 )
 from .mm.engine import multiply
 from .ops.arithmetic import (
+    ELEMENT_FUNCTIONS,
     add,
     add_on_diag,
     crop,
     dot,
     filter_blocks,
     function_of_elements,
+    get_block_diag,
     get_diag,
     hadamard_product,
     scale,
@@ -48,6 +56,7 @@ from .ops.arithmetic import (
 from .ops.norms import (
     block_norms,
     block_norms_sq,
+    norm_column,
     norm_frobenius,
     norm_gershgorin,
     norm_maxabs,
@@ -61,6 +70,7 @@ from .ops.io import (
     get_stored_coordinates,
     print_block_sum,
     print_matrix,
+    verify_matrix,
 )
 from .ops.random import random_block_sizes, random_dist_vector, random_matrix
 from .ops.transform import (

@@ -15,7 +15,27 @@ from typing import Tuple
 import numpy as np
 import scipy.sparse as sp
 
-__all__ = ["BCSRIndex", "build_index", "merge_index"]
+__all__ = [
+    "BCSRIndex",
+    "build_index",
+    "merge_index",
+    "convert_sizes_to_offsets",
+    "convert_offsets_to_sizes",
+]
+
+
+def convert_sizes_to_offsets(sizes) -> np.ndarray:
+    """Block sizes -> element offsets, length n+1
+    (``dbcsr_convert_sizes_to_offsets``)."""
+    return np.concatenate(
+        [[0], np.cumsum(np.asarray(sizes, dtype=np.int64))]
+    )
+
+
+def convert_offsets_to_sizes(offsets) -> np.ndarray:
+    """Element offsets (length n+1) -> block sizes
+    (``dbcsr_convert_offsets_to_sizes``)."""
+    return np.diff(np.asarray(offsets, dtype=np.int64)).astype(np.int32)
 
 
 @dataclass(frozen=True)

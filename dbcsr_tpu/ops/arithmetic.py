@@ -40,6 +40,8 @@ __all__ = [
     "hadamard_product",
     "filter_blocks",
     "function_of_elements",
+    "ELEMENT_FUNCTIONS",
+    "get_block_diag",
     "triu",
     "get_diag",
     "set_diag",
@@ -199,14 +201,57 @@ def filter_blocks(m: BCSRMatrix, eps: float) -> BCSRMatrix:
         )
 
 
-def function_of_elements(m: BCSRMatrix, fn: Callable[[jax.Array], jax.Array]) -> BCSRMatrix:
+#: named element functions (the reference's ``dbcsr_func_*`` constants,
+#: ``dbcsr_types.F:483-495``); ``function_of_elements`` also takes any
+#: jax-traceable callable
+ELEMENT_FUNCTIONS: dict = {
+    "inverse": lambda x: jnp.where(x != 0, 1.0 / jnp.where(x != 0, x, 1), 0.0),
+    "tanh": jnp.tanh,
+    "dtanh": lambda x: 1.0 - jnp.tanh(x) ** 2,
+    "ddtanh": lambda x: -2.0 * jnp.tanh(x) * (1.0 - jnp.tanh(x) ** 2),
+    "artanh": jnp.arctanh,
+    "dartanh": lambda x: 1.0 / (1.0 - x * x),
+    "sin": jnp.sin,
+    "cos": jnp.cos,
+    "exp": jnp.exp,
+    "log": lambda x: jnp.where(x > 0, jnp.log(jnp.where(x > 0, x, 1)), 0.0),
+    "sqrt": lambda x: jnp.sqrt(jnp.abs(x)),
+    "inverse_special": lambda x: 1.0 / jnp.where(x != 0, x, 1),
+    "abs": jnp.abs,
+}
+
+
+def function_of_elements(m: BCSRMatrix, fn) -> BCSRMatrix:
     """Apply an elementwise function to stored elements
     (``dbcsr_function_of_elements``; the reference enumerates 13 fixed
-    functions at ``dbcsr_types.F:483-495`` — here any jax-traceable fn).
-    The validity mask keeps padding at zero for fn(0) != 0."""
+    functions at ``dbcsr_types.F:483-495`` — here a name from
+    :data:`ELEMENT_FUNCTIONS` or any jax-traceable fn). The validity mask
+    keeps padding at zero for fn(0) != 0."""
+    if isinstance(fn, str):
+        dbcsr_assert(fn in ELEMENT_FUNCTIONS, f"unknown element function {fn!r}")
+        fn = ELEMENT_FUNCTIONS[fn]
     out = fn(m.data)
     vm = valid_mask(m.index, m.tile)
     return m.with_data(jnp.where(vm > 0.5, out, jnp.zeros_like(out)))
+
+
+def get_block_diag(m: BCSRMatrix) -> BCSRMatrix:
+    """Matrix holding only the diagonal BLOCKS (``dbcsr_get_block_diag``)."""
+    dbcsr_assert(m.index.nblkrows == m.index.nblkcols, "needs square blocking")
+    keep = m.index.blk_rows == m.index.col_idx
+    rows = m.index.blk_rows[keep]
+    new_index, _ = build_index(
+        rows, rows, m.index.row_block_sizes, m.index.col_block_sizes
+    )
+    keys = store_layout(new_index, m.tile).tile_keys()
+    amap = tile_align_map(keys, m.layout.tile_keys())
+    data = take_tiles(m.data, amap, m.tile) * valid_mask(
+        new_index, m.tile
+    ).astype(m.dtype)
+    return BCSRMatrix(
+        name=m.name + "_diag", index=new_index, data=data, sym=m.sym,
+        dist=m.dist,
+    )
 
 
 def triu(m: BCSRMatrix) -> BCSRMatrix:

@@ -38,6 +38,7 @@ __all__ = [
     "checksum",
     "get_info",
     "get_stored_coordinates",
+    "verify_matrix",
 ]
 
 _MAGIC = b"DBCSR_TPU_BIN"
@@ -170,6 +171,45 @@ def print_block_sum(m: BCSRMatrix, file=None) -> None:
     for b in range(m.nblks):
         s = host[int(off[b]):int(off[b + 1])].sum()
         print(f"  ({int(rows[b])},{int(m.index.col_idx[b])}) sum={s:.10g}", file=f)
+
+
+def verify_matrix(m: BCSRMatrix) -> bool:
+    """Consistency check (``dbcsr_verify_matrix``,
+    ``src/dist/dbcsr_dist_util.F:56``): canonical index invariants, store
+    geometry and the padding-zero invariant. Raises on violation."""
+    idx = m.index
+    dbcsr_assert(len(idx.row_ptr) == idx.nblkrows + 1, "row_ptr length")
+    dbcsr_assert(int(idx.row_ptr[0]) == 0, "row_ptr[0] != 0")
+    dbcsr_assert(int(idx.row_ptr[-1]) == idx.nblks, "row_ptr[-1] != nblks")
+    dbcsr_assert((np.diff(idx.row_ptr) >= 0).all(), "row_ptr not monotone")
+    for r in range(idx.nblkrows):
+        lo, hi = int(idx.row_ptr[r]), int(idx.row_ptr[r + 1])
+        cols = idx.col_idx[lo:hi]
+        dbcsr_assert(
+            (np.diff(cols) > 0).all() if len(cols) > 1 else True,
+            f"row {r}: columns not strictly ascending",
+        )
+    if idx.nblks:
+        dbcsr_assert(
+            int(idx.col_idx.max()) < idx.nblkcols, "col index out of range"
+        )
+    bm, bn = idx.blk_shapes
+    sizes = bm.astype(np.int64) * bn
+    dbcsr_assert(
+        np.array_equal(np.diff(idx.blk_offset), sizes), "blk_offset mismatch"
+    )
+    lay = m.layout
+    dbcsr_assert(
+        m.data.shape == (lay.n_tiles, m.tile, m.tile), "store shape mismatch"
+    )
+    from ..block.tileops import valid_mask
+
+    vm = np.asarray(valid_mask(idx, m.tile)) > 0.5
+    dbcsr_assert(
+        bool(np.all(np.asarray(m.data)[~vm] == 0)),
+        "padding-zero invariant violated",
+    )
+    return True
 
 
 def get_info(m: BCSRMatrix) -> dict:

@@ -17,7 +17,14 @@ import numpy as np
 from ..block.bcsr import BCSRMatrix, SYM_NONE
 from ..block.tileops import block_sums_sq
 
-__all__ = ["block_norms_sq", "block_norms", "norm_frobenius", "norm_maxabs", "norm_gershgorin"]
+__all__ = [
+    "block_norms_sq",
+    "block_norms",
+    "norm_frobenius",
+    "norm_maxabs",
+    "norm_gershgorin",
+    "norm_column",
+]
 
 
 def block_norms_sq(m: BCSRMatrix) -> np.ndarray:
@@ -46,6 +53,24 @@ def norm_maxabs(m: BCSRMatrix) -> float:
     if m.data.size == 0:
         return 0.0
     return float(jnp.max(jnp.abs(m.data)))
+
+
+def norm_column(m: BCSRMatrix) -> float:
+    """Matrix 1-norm: max over columns of sum_i |a_ij| (the reference's
+    column norm, ``dbcsr_norm_column``); sublane reduction per tile +
+    tile-column combine."""
+    mm = m
+    if m.sym != SYM_NONE:
+        from .transform import desymmetrize
+
+        mm = desymmetrize(m)
+    if mm.data.size == 0:
+        return 0.0
+    lay = mm.layout
+    s = jnp.abs(mm.data).sum(axis=1)  # [nt, T] per-tile column sums
+    per_col = jnp.zeros((lay.ntc, mm.tile), dtype=s.dtype)
+    per_col = per_col.at[jnp.asarray(lay.tile_coords[:, 1])].add(s)
+    return float(jnp.max(per_col))
 
 
 def norm_gershgorin(m: BCSRMatrix) -> float:
