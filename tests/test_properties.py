@@ -68,6 +68,38 @@ def test_multiply_matches_dense(m_, k_, n_, seed, tile):
 
 
 @settings(max_examples=15, deadline=None)
+@given(m_=SIZES, k_=SIZES, n_=SIZES, seed=st.integers(0, 99),
+       ta=st.booleans(), tb=st.booleans(), tile=st.sampled_from([4, 8]))
+def test_multiply_transposes_match_dense(m_, k_, n_, seed, ta, tb, tile):
+    a = _mk(k_ if ta else m_, m_ if ta else k_, 0.5, seed, tile)
+    b = _mk(n_ if tb else k_, k_ if tb else n_, 0.5, seed + 1, tile)
+    c = dt.multiply("T" if ta else "N", "T" if tb else "N", 1.0, a, b)
+    da = np.asarray(a.to_dense())
+    db = np.asarray(b.to_dense())
+    ref = (da.T if ta else da) @ (db.T if tb else db)
+    np.testing.assert_allclose(np.asarray(c.to_dense()), ref, atol=1e-10)
+
+
+@settings(max_examples=15, deadline=None)
+@given(n_=SIZES, seed=st.integers(0, 99), tile=st.sampled_from([4, 8]),
+       sym=st.sampled_from(["S", "A"]))
+def test_desymmetrize_fold_roundtrip(n_, seed, tile, sym):
+    rng = np.random.default_rng(seed)
+    with config_override(tile_size=tile):
+        m = dt.random_matrix(
+            np.asarray(n_, np.int32), np.asarray(n_, np.int32),
+            0.6, rng, dtype=np.float64, sym=sym,
+        )
+    from dbcsr_tpu.ops.transform import fold_symmetric
+
+    full = dt.desymmetrize(m)
+    back = fold_symmetric(full, sym)
+    np.testing.assert_allclose(
+        np.asarray(back.to_dense()), np.asarray(m.to_dense()), atol=1e-12
+    )
+
+
+@settings(max_examples=15, deadline=None)
 @given(n_=SIZES, seed=st.integers(0, 99), eps=st.floats(1e-6, 10.0),
        tile=st.sampled_from([4, 8]))
 def test_filter_keeps_only_large_blocks(n_, seed, eps, tile):
