@@ -98,6 +98,40 @@ def test_sharded_chain_stays_sharded(rng):
     )
 
 
+def test_sharded_loop_with_elementwise_ops(rng):
+    """Elementwise math on matching sharded stores is plain array
+    arithmetic (padding stays zero): a jitted sharded iteration mixing
+    multiplies and scaling never leaves the sharded form."""
+    import jax.numpy as jnp
+
+    grid = ProcessGrid.make(2, 2)
+    with config_override(tile_size=TILE):
+        rbs = dt.random_block_sizes(64, [4], rng)
+        a = dt.random_matrix(rbs, rbs, 1.0, rng, dtype=np.float32)
+        dist = tile_aligned_dist(grid, rbs, rbs, TILE)
+        fn, c_index, _ = build_distributed_executor(
+            "N", "N", a, a, dist, sharded=True
+        )
+        a_sh = shard_store_with_layout(a, fn.shard_a, grid.mesh)
+
+        @jax.jit
+        def step(x):
+            y = fn(x, a_sh)          # X·A, sharded
+            return 0.5 * y + 0.25 * x  # elementwise on sharded stores
+
+        x = step(a_sh)
+        x = step(x)
+    ref = np.asarray(a.to_dense())
+    e1 = 0.5 * (ref @ ref) + 0.25 * ref
+    e2 = 0.5 * (e1 @ ref) + 0.25 * e1
+    back = unshard_store_with_layout(x, fn.shard_c, TILE)
+    c = dt.BCSRMatrix(name="c", index=c_index, data=back)
+    np.testing.assert_allclose(
+        np.asarray(c.to_dense()), e2, rtol=1e-3,
+        atol=1e-3 * np.abs(e2).max(),
+    )
+
+
 @pytest.mark.parametrize("transa,transb", [("T", "N"), ("N", "T")])
 def test_sharded_executor_transposes(rng, transa, transb):
     grid = ProcessGrid.make(2, 2)
