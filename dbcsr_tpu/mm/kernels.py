@@ -129,9 +129,15 @@ def _pallas_launch(
     stride = 3 * e_batch
     s = flat_stack.shape[0] // stride
 
+    # index maps must return a uniform int type: under jax_enable_x64 the
+    # literal 0s would be i64 next to the i32 SMEM load, and Mosaic fails
+    # to legalize the mixed-type transform function
+    zero = np.int32(0)
+
     def mk_spec(off):
         return pl.BlockSpec(
-            (1, tile, tile), lambda i, st, off=off: (st[stride * i + off], 0, 0)
+            (1, tile, tile),
+            lambda i, st, off=off: (st[stride * i + off], zero, zero),
         )
 
     in_specs = []
@@ -143,7 +149,7 @@ def _pallas_launch(
         grid=(s,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, tile, tile), lambda i, st: (st[stride * i], 0, 0)
+            (1, tile, tile), lambda i, st: (st[stride * i], zero, zero)
         ),
     )
     out = pl.pallas_call(
