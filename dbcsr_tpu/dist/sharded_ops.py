@@ -1,0 +1,538 @@
+"""Sharded elementwise / reduction / pattern-changing ops (v3).
+
+Ops that act DIRECTLY on owner-sharded tile stores ([ndev, n_max, T, T]
+with ``NamedSharding(mesh, P(('pr','pc'),))``, see ``sharded.py``) without
+ever gathering a matrix onto one host. The reference's elementwise layer
+(``src/ops/dbcsr_operations.F:109-125``) works on each rank's local blocks
+with scalar MPI reductions at the end; the TPU-native form is the same
+shape: per-device tile arithmetic inside ``jax.shard_map``, with
+``lax.psum``/``pmax`` for the scalar reductions.
+
+The key structural fact: pattern-changing results (add's index union,
+hadamard's intersection, filter's data-dependent survivors) keep the same
+owner bins as their operands — a tile's owner depends only on its (tile
+row, tile col) through the distribution's bins — so the remap from operand
+layout to result layout is OWNER-LOCAL by construction. Every op below
+moves zero bytes between devices outside the final scalar reductions.
+
+Block-granular semantics (per-block norms for ``sharded_filter``) reuse the
+indicator-matmul machinery of ``block/tileops.py``, with the indicator
+stacks resharded once per (index, dist) and the tiny [amax, bmax] combine
+on host — the sharded analog of the reference's norms kernels
+(``src/acc/cuda_hip/calculate_norms.cpp``).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..block.bcsr import BCSRMatrix, SYM_NONE
+from ..block.index import BCSRIndex, build_index, merge_index
+from ..block.store import store_layout
+from ..block.tileops import tile_align_map, tile_block_info, valid_mask
+from ..core.errors import dbcsr_assert
+from ..core.timing import timed
+from .distribution import Distribution
+from .grid import AXIS_COL, AXIS_ROW
+from .sharded import (
+    ShardLayout,
+    mesh_sharding,
+    shard_layout,
+    shard_store_with_layout,
+    unshard_store_with_layout,
+)
+
+__all__ = [
+    "ShardedMatrix",
+    "shard_matrix",
+    "build_sharded_add",
+    "sharded_add",
+    "build_sharded_hadamard",
+    "sharded_hadamard",
+    "sharded_scale",
+    "build_sharded_scale_by_vector",
+    "sharded_scale_by_vector",
+    "sharded_function_of_elements",
+    "sharded_trace",
+    "sharded_dot",
+    "sharded_frobenius",
+    "sharded_maxabs",
+    "sharded_block_norms",
+    "sharded_filter",
+]
+
+_DEV = P((AXIS_ROW, AXIS_COL))
+_OOB = np.int32(np.iinfo(np.int32).max)
+
+
+@dataclass(frozen=True)
+class ShardedMatrix:
+    """A BCSR matrix whose tile data lives owner-sharded on the mesh.
+
+    ``data`` is [ndev, n_max, T, T] laid out by ``shard`` (device-major,
+    zero padded); ``index`` stays replicated host metadata, exactly like
+    the reference keeps the (small) block index on every rank while the
+    ``data_area`` is distributed."""
+
+    name: str
+    index: BCSRIndex
+    tile: int
+    dist: Distribution
+    shard: ShardLayout
+    data: jax.Array
+    sym: str = SYM_NONE
+
+    @property
+    def nblks(self) -> int:
+        return self.index.nblks
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def mesh(self):
+        return self.dist.grid.mesh
+
+    def with_data(self, data: jax.Array) -> "ShardedMatrix":
+        return replace(self, data=data)
+
+    def to_local(self) -> BCSRMatrix:
+        """Gather back to a replicated local store."""
+        data = unshard_store_with_layout(self.data, self.shard, self.tile)
+        return BCSRMatrix(
+            name=self.name, index=self.index, data=data, sym=self.sym,
+            dist=self.dist,
+        )
+
+
+def shard_matrix(m: BCSRMatrix, dist: Distribution) -> ShardedMatrix:
+    """Owner-shard a local matrix over ``dist``'s grid."""
+    dbcsr_assert(
+        dist.grid.nlayer == 1, "sharded ops use a 2-D (pr, pc) grid"
+    )
+    sl = shard_layout(m.index, m.tile, dist)
+    data = shard_store_with_layout(m, sl, dist.grid.mesh)
+    return ShardedMatrix(
+        name=m.name, index=m.index, tile=m.tile, dist=dist, shard=sl,
+        data=data, sym=m.sym,
+    )
+
+
+# ---------------------------------------------------------------------------
+# owner-local remap between two shard layouts with the same bins
+# ---------------------------------------------------------------------------
+
+def _remap_table(
+    dst_index: BCSRIndex, dst_sl: ShardLayout,
+    src_index: BCSRIndex, src_sl: ShardLayout, tile: int,
+) -> np.ndarray:
+    """int32 [ndev, n_max_dst]: for every destination sharded position, the
+    LOCAL source slot on the same device holding that tile (OOB sentinel →
+    zero fill). Raises if any shared tile has different owners (layouts
+    built from different distributions)."""
+    dst_keys = store_layout(dst_index, tile).tile_keys()
+    src_keys = store_layout(src_index, tile).tile_keys()
+    amap = tile_align_map(dst_keys, src_keys)  # dst slot -> src slot | -1
+    tbl = np.full(dst_sl.ndev * dst_sl.n_max, _OOB, dtype=np.int32)
+    pos_valid = dst_sl.slot_of_pos >= 0
+    dslot = dst_sl.slot_of_pos[pos_valid]
+    sslot = amap[dslot]
+    hit = sslot >= 0
+    if hit.any():
+        dbcsr_assert(
+            np.array_equal(
+                src_sl.owner_of_slot[sslot[hit]],
+                dst_sl.owner_of_slot[dslot[hit]],
+            ),
+            "shard layouts disagree on tile owners — reshard one operand "
+            "onto the other's distribution first",
+        )
+        idx = np.flatnonzero(pos_valid)[hit]
+        tbl[idx] = src_sl.local_of_slot[sslot[hit]]
+    return tbl.reshape(dst_sl.ndev, dst_sl.n_max)
+
+
+def _put_dev(mesh, arr: np.ndarray) -> jax.Array:
+    """Place a [ndev, ...] host table device-sharded along axis 0."""
+    return jax.device_put(jnp.asarray(arr), mesh_sharding(mesh))
+
+
+def _local_take(x: jax.Array, tbl: jax.Array) -> jax.Array:
+    """Per-device tile gather with OOB → zero fill."""
+    return jnp.take(x, tbl, axis=0, mode="fill", fill_value=0)
+
+
+def _shard_constant(
+    store: jax.Array, sl: ShardLayout, tile: int, mesh
+) -> jax.Array:
+    """A local-store-ordered constant ([n_tiles, ...]) re-laid-out into the
+    sharded position order (zero padding)."""
+    take = np.where(sl.slot_of_pos >= 0, sl.slot_of_pos, _OOB).astype(
+        np.int32
+    )
+    arr = jnp.take(store, jnp.asarray(take), axis=0, mode="fill", fill_value=0)
+    arr = arr.reshape((sl.ndev, sl.n_max) + store.shape[1:])
+    return jax.device_put(arr, mesh_sharding(mesh))
+
+
+def _sharded_valid_mask(sm: ShardedMatrix) -> jax.Array:
+    """Cached sharded validity mask (1 on stored-block positions)."""
+    key = ("sharded_valid_mask", sm.tile, sm.shard.pos_of_slot.tobytes())
+    return sm.index._cached(
+        key,
+        lambda: _shard_constant(
+            valid_mask(sm.index, sm.tile), sm.shard, sm.tile, sm.mesh
+        ),
+    )
+
+
+def _check_compatible(a: ShardedMatrix, b: ShardedMatrix) -> None:
+    dbcsr_assert(a.tile == b.tile, "tile sizes differ")
+    dbcsr_assert(a.sym == b.sym, "sharded ops need matching symmetry")
+    dbcsr_assert(
+        a.mesh is b.mesh or a.mesh == b.mesh, "operands on different meshes"
+    )
+    dbcsr_assert(
+        np.array_equal(a.index.row_block_sizes, b.index.row_block_sizes)
+        and np.array_equal(a.index.col_block_sizes, b.index.col_block_sizes),
+        "incompatible block structures",
+    )
+
+
+# ---------------------------------------------------------------------------
+# add (index union) / hadamard (index intersection)
+# ---------------------------------------------------------------------------
+
+def build_sharded_add(
+    a: ShardedMatrix, b: ShardedMatrix
+) -> Tuple[BCSRIndex, ShardLayout, Callable]:
+    """Plan alpha*A + beta*B on sharded stores: the result's pattern is the
+    index union (``dbcsr_add``), its shard layout shares the operands'
+    owner bins, and the two remaps are owner-local tile gathers.
+
+    Returns (c_index, c_shard, fn) with
+    ``fn(x_sh, y_sh, alpha=1.0, beta=1.0) -> c_sh`` jit/scan-safe.
+    """
+    _check_compatible(a, b)
+    with timed("sharded_add_plan"):
+        c_index, _, _ = merge_index(a.index, b.index)
+        c_sl = shard_layout(c_index, a.tile, a.dist)
+        mesh = a.mesh
+        ta = _put_dev(mesh, _remap_table(c_index, c_sl, a.index, a.shard, a.tile))
+        tb = _put_dev(mesh, _remap_table(c_index, c_sl, b.index, b.shard, b.tile))
+        dtype = jnp.result_type(a.dtype, b.dtype)
+
+    def local(x, y, ix, iy, al, be):
+        gx = _local_take(x[0], ix[0]).astype(dtype)
+        gy = _local_take(y[0], iy[0]).astype(dtype)
+        return (al.astype(dtype) * gx + be.astype(dtype) * gy)[None]
+
+    smapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(_DEV, _DEV, _DEV, _DEV, P(), P()),
+        out_specs=_DEV,
+    )
+
+    def fn(x_sh, y_sh, alpha=1.0, beta=1.0):
+        return smapped(
+            x_sh, y_sh, ta, tb, jnp.asarray(alpha), jnp.asarray(beta)
+        )
+
+    return c_index, c_sl, fn
+
+
+def sharded_add(alpha, a: ShardedMatrix, beta, b: ShardedMatrix) -> ShardedMatrix:
+    c_index, c_sl, fn = build_sharded_add(a, b)
+    return ShardedMatrix(
+        name=a.name, index=c_index, tile=a.tile, dist=a.dist, shard=c_sl,
+        data=fn(a.data, b.data, alpha, beta), sym=a.sym,
+    )
+
+
+def build_sharded_hadamard(
+    a: ShardedMatrix, b: ShardedMatrix
+) -> Tuple[BCSRIndex, ShardLayout, Callable]:
+    """Plan the elementwise product on the pattern intersection
+    (``dbcsr_hadamard_product``). Exact without masking: a position covered
+    in only one operand multiplies against that operand's zero padding."""
+    _check_compatible(a, b)
+    with timed("sharded_hadamard_plan"):
+        pm = a.index.pattern().astype(bool).multiply(
+            b.index.pattern().astype(bool)
+        ).tocsr()
+        pm.sort_indices()
+        rows = np.repeat(
+            np.arange(pm.shape[0], dtype=np.int32),
+            np.diff(pm.indptr).astype(np.int64),
+        )
+        c_index, _ = build_index(
+            rows, pm.indices.astype(np.int32),
+            a.index.row_block_sizes, a.index.col_block_sizes,
+        )
+        c_sl = shard_layout(c_index, a.tile, a.dist)
+        mesh = a.mesh
+        ta = _put_dev(mesh, _remap_table(c_index, c_sl, a.index, a.shard, a.tile))
+        tb = _put_dev(mesh, _remap_table(c_index, c_sl, b.index, b.shard, b.tile))
+
+    def local(x, y, ix, iy):
+        return (_local_take(x[0], ix[0]) * _local_take(y[0], iy[0]))[None]
+
+    smapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(_DEV, _DEV, _DEV, _DEV), out_specs=_DEV,
+    )
+
+    def fn(x_sh, y_sh):
+        return smapped(x_sh, y_sh, ta, tb)
+
+    return c_index, c_sl, fn
+
+
+def sharded_hadamard(a: ShardedMatrix, b: ShardedMatrix) -> ShardedMatrix:
+    c_index, c_sl, fn = build_sharded_hadamard(a, b)
+    return ShardedMatrix(
+        name=a.name, index=c_index, tile=a.tile, dist=a.dist, shard=c_sl,
+        data=fn(a.data, b.data), sym=a.sym,
+    )
+
+
+# ---------------------------------------------------------------------------
+# same-pattern elementwise
+# ---------------------------------------------------------------------------
+
+def sharded_scale(sm: ShardedMatrix, alpha) -> ShardedMatrix:
+    """alpha * A (``dbcsr_scale``): pure local arithmetic."""
+    return sm.with_data(sm.data * jnp.asarray(alpha, sm.dtype))
+
+
+def build_sharded_scale_by_vector(
+    sm: ShardedMatrix, side: str = "right"
+) -> Callable:
+    """Plan row/col scaling (``dbcsr_scale_by_vector``): per-device tile
+    coordinates are plan constants, the full vector is a (replicated)
+    runtime argument re-tiled locally. Returns ``fn(x_sh, vec) -> x_sh``."""
+    dbcsr_assert(side in ("left", "right"), "side must be left|right")
+    sl, t, mesh = sm.shard, sm.tile, sm.mesh
+    lay = store_layout(sm.index, t)
+    axis = 0 if side == "left" else 1
+    n_full = sm.index.nfullrows if side == "left" else sm.index.nfullcols
+    ntiles_dim = lay.ntr if side == "left" else lay.ntc
+    coords = np.full(sl.ndev * sl.n_max, ntiles_dim, dtype=np.int32)  # pad row
+    pos_valid = sl.slot_of_pos >= 0
+    coords[pos_valid] = lay.tile_coords[sl.slot_of_pos[pos_valid], axis]
+    ct = _put_dev(mesh, coords.reshape(sl.ndev, sl.n_max))
+
+    def local(x, c, v):
+        vt = jnp.zeros(((ntiles_dim + 1) * t,), dtype=x.dtype)
+        vt = vt.at[:n_full].set(v.astype(x.dtype).reshape(n_full))
+        per = jnp.take(vt.reshape(ntiles_dim + 1, t), c[0], axis=0)
+        if side == "left":
+            return (x[0] * per[:, :, None])[None]
+        return (x[0] * per[:, None, :])[None]
+
+    smapped = jax.shard_map(
+        local, mesh=mesh, in_specs=(_DEV, _DEV, P()), out_specs=_DEV
+    )
+
+    def fn(x_sh, vec):
+        return smapped(x_sh, ct, jnp.asarray(vec))
+
+    return fn
+
+
+def sharded_scale_by_vector(
+    sm: ShardedMatrix, vec, side: str = "right"
+) -> ShardedMatrix:
+    return sm.with_data(build_sharded_scale_by_vector(sm, side)(sm.data, vec))
+
+
+def sharded_function_of_elements(sm: ShardedMatrix, fn) -> ShardedMatrix:
+    """Elementwise function on stored elements
+    (``dbcsr_function_of_elements``): local apply, sharded validity mask
+    keeps padding at zero when fn(0) != 0."""
+    from ..ops.arithmetic import ELEMENT_FUNCTIONS
+
+    if isinstance(fn, str):
+        dbcsr_assert(
+            fn in ELEMENT_FUNCTIONS, f"unknown element function {fn!r}"
+        )
+        fn = ELEMENT_FUNCTIONS[fn]
+    vm = _sharded_valid_mask(sm)
+    out = fn(sm.data)
+    return sm.with_data(jnp.where(vm > 0.5, out, jnp.zeros_like(out)))
+
+
+# ---------------------------------------------------------------------------
+# scalar reductions
+# ---------------------------------------------------------------------------
+
+def _assert_nonsym(sm: ShardedMatrix, what: str) -> None:
+    dbcsr_assert(
+        sm.sym == SYM_NONE,
+        f"sharded {what} needs a desymmetrized matrix (canonical stores "
+        "hold one triangle)",
+    )
+
+
+def sharded_trace(sm: ShardedMatrix):
+    """Tr(A): per-device partial over its diagonal tiles + psum
+    (``dbcsr_trace``; the reference reduces per-rank partials the same
+    way)."""
+    sl, t, mesh = sm.shard, sm.tile, sm.mesh
+    key = ("sharded_trace_tbl", t, sl.pos_of_slot.tobytes())
+
+    def mk():
+        lay = store_layout(sm.index, t)
+        diag = lay.tile_coords[:, 0] == lay.tile_coords[:, 1]
+        tbl = np.full((sl.ndev, sl.n_max), _OOB, dtype=np.int32)
+        n_diag = np.zeros(sl.ndev, dtype=np.int64)
+        for s in np.flatnonzero(diag):
+            d = int(sl.owner_of_slot[s])
+            tbl[d, n_diag[d]] = sl.local_of_slot[s]
+            n_diag[d] += 1
+        d_max = max(int(n_diag.max(initial=0)), 1)
+        return _put_dev(mesh, tbl[:, :d_max])
+
+    tbl = sm.index._cached(key, mk)
+
+    def local(x, c):
+        g = _local_take(x[0], c[0])
+        part = jnp.trace(g, axis1=1, axis2=2).sum()
+        return jax.lax.psum(jax.lax.psum(part, AXIS_ROW), AXIS_COL)
+
+    out = jax.shard_map(
+        local, mesh=mesh, in_specs=(_DEV, _DEV), out_specs=P()
+    )(sm.data, tbl)
+    return complex(out) if jnp.iscomplexobj(out) else float(out)
+
+
+def sharded_dot(a: ShardedMatrix, b: ShardedMatrix):
+    """Frobenius inner product Tr(A^H B) (``dbcsr_dot``): remap B onto A's
+    layout (owner-local), multiply, psum."""
+    _check_compatible(a, b)
+    _assert_nonsym(a, "dot")
+    tbl = _put_dev(
+        a.mesh, _remap_table(a.index, a.shard, b.index, b.shard, a.tile)
+    )
+
+    def local(x, y, iy):
+        gy = _local_take(y[0], iy[0])
+        part = jnp.sum(jnp.conj(x[0]) * gy)
+        return jax.lax.psum(jax.lax.psum(part, AXIS_ROW), AXIS_COL)
+
+    out = jax.shard_map(
+        local, mesh=a.mesh, in_specs=(_DEV, _DEV, _DEV), out_specs=P()
+    )(a.data, b.data, tbl)
+    return complex(out) if jnp.iscomplexobj(out) else float(out)
+
+
+def sharded_frobenius(sm: ShardedMatrix) -> float:
+    """Frobenius norm: local sum of |x|², global psum, sqrt."""
+    _assert_nonsym(sm, "frobenius norm")
+
+    def local(x):
+        part = jnp.sum((x * jnp.conj(x)).real)
+        return jax.lax.psum(jax.lax.psum(part, AXIS_ROW), AXIS_COL)
+
+    out = jax.shard_map(
+        local, mesh=sm.mesh, in_specs=(_DEV,), out_specs=P()
+    )(sm.data)
+    return float(jnp.sqrt(out))
+
+
+def sharded_maxabs(sm: ShardedMatrix) -> float:
+    """max |a_ij| (``dbcsr_maxabs``): local max, global pmax."""
+    _assert_nonsym(sm, "maxabs norm")
+
+    def local(x):
+        part = jnp.max(jnp.abs(x)) if x.size else jnp.float32(0)
+        return jax.lax.pmax(jax.lax.pmax(part, AXIS_ROW), AXIS_COL)
+
+    out = jax.shard_map(
+        local, mesh=sm.mesh, in_specs=(_DEV,), out_specs=P()
+    )(sm.data)
+    return float(out)
+
+
+# ---------------------------------------------------------------------------
+# pattern-changing: per-block norms → filter
+# ---------------------------------------------------------------------------
+
+def sharded_block_norms(sm: ShardedMatrix) -> np.ndarray:
+    """Per-block Frobenius-norm² from the sharded store: the indicator
+    stacks (J, I) are resharded once per layout, each device computes its
+    tiles' [amax, bmax] partials (two batched matmuls), and the tiny
+    per-block combine runs on host (``block_sums_sq``'s sharded twin)."""
+    info = tile_block_info(sm.index, sm.tile)
+    if sm.index.nblks == 0:
+        return np.zeros(0, dtype=np.float32)
+    sl, t, mesh = sm.shard, sm.tile, sm.mesh
+    key = ("sharded_block_norm_tables", t, sl.pos_of_slot.tobytes())
+
+    def mk():
+        J_sh = _shard_constant(info.J_dev, sl, t, mesh)
+        I_sh = _shard_constant(info.I_dev, sl, t, mesh)
+        # bid in sharded position order (host combine side)
+        bid = np.full(
+            (sl.ndev * sl.n_max,) + info.bid.shape[1:], -1, dtype=np.int64
+        )
+        pos_valid = sl.slot_of_pos >= 0
+        bid[pos_valid] = info.bid[sl.slot_of_pos[pos_valid]]
+        return J_sh, I_sh, bid
+
+    J_sh, I_sh, bid = sm.index._cached(key, mk)
+
+    def local(x, Jd, Id):
+        x2 = (x[0] * jnp.conj(x[0])).real.astype(jnp.float32)
+        y = jnp.einsum("tia,tij->taj", Jd[0], x2)
+        return jnp.einsum("taj,tjb->tab", y, Id[0])[None]
+
+    z = jax.shard_map(
+        local, mesh=mesh, in_specs=(_DEV, _DEV, _DEV), out_specs=_DEV
+    )(sm.data, J_sh, I_sh)
+    zh = np.asarray(z).reshape(-1)
+    out = np.zeros(sm.index.nblks + 1, dtype=np.float64)
+    np.add.at(out, bid.reshape(-1) + 1, zh)
+    return out[1:].astype(np.float32)
+
+
+def sharded_filter(sm: ShardedMatrix, eps: Optional[float]) -> ShardedMatrix:
+    """Drop blocks with Frobenius norm < eps (``dbcsr_filter``): norms from
+    the sharded store, survivor index on host, owner-local regather +
+    survivor mask — the data never leaves its owners."""
+    if sm.nblks == 0 or eps is None:
+        return sm
+    with timed("sharded_filter"):
+        nsq = sharded_block_norms(sm).astype(np.float64)
+        keep = nsq >= float(eps) ** 2
+        if keep.all():
+            return sm
+        new_index, _ = build_index(
+            sm.index.blk_rows[keep], sm.index.col_idx[keep],
+            sm.index.row_block_sizes, sm.index.col_block_sizes,
+        )
+        new_sl = shard_layout(new_index, sm.tile, sm.dist)
+        tbl = _put_dev(
+            sm.mesh,
+            _remap_table(new_index, new_sl, sm.index, sm.shard, sm.tile),
+        )
+        out = ShardedMatrix(
+            name=sm.name, index=new_index, tile=sm.tile, dist=sm.dist,
+            shard=new_sl, data=sm.data, sym=sm.sym,
+        )
+        vm = _sharded_valid_mask(out)
+
+        def local(x, ix, m):
+            return (_local_take(x[0], ix[0]) * m[0].astype(x.dtype))[None]
+
+        data = jax.shard_map(
+            local, mesh=sm.mesh, in_specs=(_DEV, _DEV, _DEV), out_specs=_DEV
+        )(sm.data, tbl, vm)
+        return out.with_data(data)
