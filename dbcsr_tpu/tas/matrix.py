@@ -158,16 +158,53 @@ def merge_row_groups(
     of per-group extraction; analog of ``dbcsr_tas_merge``
     (``src/tas/dbcsr_tas_mm.F:477``) for the row-split case.
     """
+    return _merge_groups(
+        parts, row_block_sizes, col_block_sizes, map_rows=True, name=name,
+        dtype=dtype,
+    )
+
+
+def merge_col_groups(
+    parts: List[Tuple[BCSRMatrix, np.ndarray]],
+    row_block_sizes: np.ndarray,
+    col_block_sizes: np.ndarray,
+    *,
+    name: str = "merged",
+    dtype=None,
+) -> BCSRMatrix:
+    """Assemble a full matrix from disjoint column-group submatrices
+    (``parts`` carry global col-block ids) — the colsplit twin of
+    :func:`merge_row_groups` (``dbcsr_tas_merge`` handles both via the
+    split's rowcol flag, ``src/tas/dbcsr_tas_split.F:60``)."""
+    return _merge_groups(
+        parts, row_block_sizes, col_block_sizes, map_rows=False, name=name,
+        dtype=dtype,
+    )
+
+
+def _merge_groups(
+    parts: List[Tuple[BCSRMatrix, np.ndarray]],
+    row_block_sizes: np.ndarray,
+    col_block_sizes: np.ndarray,
+    *,
+    map_rows: bool,
+    name: str,
+    dtype=None,
+) -> BCSRMatrix:
     from ..block.gather import apply_flat_gather
 
     rows_all: List[np.ndarray] = []
     cols_all: List[np.ndarray] = []
     part_of_blk: List[np.ndarray] = []
     offsets = []
-    for p, (sub, rows_of) in enumerate(parts):
-        gr = np.asarray(rows_of, dtype=np.int64)[sub.index.blk_rows]
-        rows_all.append(gr.astype(np.int32))
-        cols_all.append(sub.index.col_idx)
+    for p, (sub, blocks_of) in enumerate(parts):
+        bmap = np.asarray(blocks_of, dtype=np.int64)
+        if map_rows:
+            rows_all.append(bmap[sub.index.blk_rows].astype(np.int32))
+            cols_all.append(sub.index.col_idx)
+        else:
+            rows_all.append(sub.index.blk_rows)
+            cols_all.append(bmap[sub.index.col_idx].astype(np.int32))
         part_of_blk.append(np.full(sub.nblks, p, dtype=np.int32))
         offsets.append(sub.index.blk_offset[:-1])
     nnz = sum(len(r) for r in rows_all)

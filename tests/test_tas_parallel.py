@@ -49,3 +49,50 @@ def test_parallel_cyclic_split(rng):
         out = tas_multiply_parallel(a, b, nsplit=3, split_kind="cyclic")
     ref = np.asarray(a.to_dense()) @ np.asarray(b.to_dense())
     np.testing.assert_allclose(np.asarray(out.to_dense()), ref, atol=1e-10)
+
+
+@pytest.mark.parametrize("nsplit", [2, 4])
+def test_parallel_n_split(rng, nsplit):
+    """Tall-N orientation: B's columns split, A replicated."""
+    a, b = _mats(rng, m=20, k=24, n=200, occ=0.7)
+    with config_override(tile_size=TILE):
+        out, fl = tas_multiply_parallel(
+            a, b, long_dim="n", nsplit=nsplit, return_flops=True
+        )
+    ref = np.asarray(a.to_dense()) @ np.asarray(b.to_dense())
+    np.testing.assert_allclose(np.asarray(out.to_dense()), ref, atol=1e-10)
+    assert fl > 0
+
+
+@pytest.mark.parametrize("nsplit,split_kind", [(2, "contiguous"),
+                                               (4, "cyclic")])
+def test_parallel_k_split(rng, nsplit, split_kind):
+    """Deep-K orientation: contraction dim split, partial C psum'd."""
+    a, b = _mats(rng, m=24, k=200, n=20, occ=0.4)
+    with config_override(tile_size=TILE):
+        out = tas_multiply_parallel(
+            a, b, long_dim="k", nsplit=nsplit, split_kind=split_kind
+        )
+    ref = np.asarray(a.to_dense()) @ np.asarray(b.to_dense())
+    np.testing.assert_allclose(np.asarray(out.to_dense()), ref, atol=1e-10)
+
+
+def test_parallel_auto_picks_long_dim(rng):
+    """auto = the reference's max_mm_dim: splits whichever dim is largest."""
+    a, b = _mats(rng, m=20, k=200, n=24, occ=0.4)  # k largest
+    with config_override(tile_size=TILE):
+        out = tas_multiply_parallel(a, b, long_dim="auto", nsplit=4)
+    ref = np.asarray(a.to_dense()) @ np.asarray(b.to_dense())
+    np.testing.assert_allclose(np.asarray(out.to_dense()), ref, atol=1e-10)
+
+
+def test_parallel_k_split_matches_sequential(rng):
+    from dbcsr_tpu.tas import tas_multiply
+
+    a, b = _mats(rng, m=24, k=160, n=20, occ=0.3)
+    with config_override(tile_size=TILE):
+        par = tas_multiply_parallel(a, b, long_dim="k", nsplit=4)
+        seq = tas_multiply("N", "N", 1.0, a, b, nsplit=4).matrix
+    np.testing.assert_allclose(
+        np.asarray(par.to_dense()), np.asarray(seq.to_dense()), atol=1e-10
+    )
