@@ -69,6 +69,7 @@ def plan_summa(
     kb_b: np.ndarray,  # k tile -> prow bin (B's k sharding)
     p: int,
     q: int,
+    capacities: Optional[tuple] = None,  # (n_a, n_b, n_c, s_max) minima
 ) -> SummaPlan:
     """Tile-granular SUMMA schedule.
 
@@ -76,6 +77,9 @@ def plan_summa(
     on (kb_b[tr], colb[tc]). After the all_gathers every device holds A's
     full row-panel and B's full col-panel, so the local stacks reference
     positions in the GATHERED panels: A slot = owner_col * n_a + local slot.
+
+    ``capacities`` forces minimum panel/stack capacities so several plans
+    (e.g. TAS groups sharing one shard_map) can pad to common shapes.
     """
     # --- owner panels -------------------------------------------------------
     def group(coords, rkey, ckey):
@@ -90,6 +94,9 @@ def plan_summa(
     b_panels = group(b_coords, kb_b, colb)  # (kp, j) -> tiles
     n_a = max((len(v) for v in a_panels.values()), default=1)
     n_b = max((len(v) for v in b_panels.values()), default=1)
+    if capacities is not None:
+        n_a = max(n_a, capacities[0])
+        n_b = max(n_b, capacities[1])
 
     a_pack = np.full((p, q, n_a), -1, dtype=np.int64)
     for (i, kq), tiles in a_panels.items():
@@ -102,6 +109,8 @@ def plan_summa(
     c_coords = c_layout.tile_coords
     c_dev = rowb[c_coords[:, 0]] * q + colb[c_coords[:, 1]]
     n_c = max(int(np.bincount(c_dev, minlength=p * q).max()), 1)
+    if capacities is not None:
+        n_c = max(n_c, capacities[2])
     c_unpack = np.empty(len(c_coords), dtype=np.int64)
     pos = np.zeros(p * q, dtype=np.int64)
     c_keys_dev = {d: [] for d in range(p * q)}
@@ -128,7 +137,7 @@ def plan_summa(
             shape=shape,
         )
 
-    s_max = 1
+    s_max = 1 if capacities is None else max(1, capacities[3])
     triples = {}
     for i in range(p):
         for j in range(q):

@@ -14,7 +14,7 @@ from .mm import (
     split_factor_estimate,
     tas_multiply,
 )
-from .parallel import tas_multiply_parallel
+from .parallel import tas_multiply_parallel, tas_multiply_subgrid
 from .split import COLSPLIT, ROWSPLIT, TASSplit
 
 __all__ = [
@@ -25,6 +25,7 @@ __all__ = [
     "tas_from_matrix",
     "tas_multiply",
     "tas_multiply_parallel",
+    "tas_multiply_subgrid",
     "split_factor_estimate",
     "result_index_estimate",
     "extract_block_subset",

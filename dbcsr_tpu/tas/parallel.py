@@ -46,7 +46,7 @@ from ..ops.transform import desymmetrize
 from .matrix import extract_block_subset, merge_col_groups, merge_row_groups
 from .split import COLSPLIT, ROWSPLIT, TASSplit
 
-__all__ = ["tas_multiply_parallel"]
+__all__ = ["tas_multiply_parallel", "tas_multiply_subgrid"]
 
 _PREC = {
     "default": jax.lax.Precision.DEFAULT,
@@ -336,6 +336,214 @@ def tas_multiply_parallel(
             data=c_store[: c_lay.n_tiles]
             if c_lay.n_tiles
             else jnp.zeros((0, tile, tile), dtype=a.dtype),
+        )
+
+    if return_flops:
+        return out, eff
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 2-D sub-grids per group: each TAS group runs SUMMA on its own (pr, pc)
+# sub-mesh, all groups simultaneously over a (split, pr, pc) mesh — the
+# full analog of the reference's cart-grid subgroup communicators
+# (``dbcsr_tas_split.F:66-371``: every split group IS a 2-D process grid).
+# ---------------------------------------------------------------------------
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "p", "q", "n_a", "n_b", "n_c", "tile", "prec", "mesh", "a_grouped"
+    ),
+)
+def _group_summa_exec(
+    a_store, b_store, stacks, *,
+    p: int, q: int, n_a: int, n_b: int, n_c: int, tile: int,
+    prec: str, mesh, a_grouped: bool,
+):
+    """shard_map over ('split', pr, pc): within each split slice the SUMMA
+    all_gathers ride the (pr, pc) sub-mesh only — 'split' is absent from
+    the gather axes, so groups never communicate (until the merge)."""
+    precision = _PREC[prec]
+    dtype = a_store.dtype
+
+    def local_fn(a, b, st):
+        a = a.reshape(a.shape[-3:])  # [n_a, T, T] own piece
+        b = b.reshape(b.shape[-3:])
+        st = st.reshape(st.shape[-2:])
+        a_full = jax.lax.all_gather(a, "pc").reshape(q * n_a, tile, tile)
+        b_full = jax.lax.all_gather(b, "pr").reshape(p * n_b, tile, tile)
+        ga = jnp.take(a_full, st[:, 1], axis=0)
+        gb = jnp.take(b_full, st[:, 2], axis=0)
+        prods = jax.lax.dot_general(
+            ga, gb,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.promote_types(jnp.float32, dtype),
+            precision=precision,
+        ).astype(dtype)
+        c = jax.ops.segment_sum(prods, st[:, 0], num_segments=n_c + 1)
+        return c[:n_c][None, None, None]
+
+    gspec = PartitionSpec("split", "pr", "pc")
+    sspec = PartitionSpec("pr", "pc")  # replicated over 'split' (unmentioned)
+    run = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            gspec if a_grouped else sspec,
+            sspec if a_grouped else gspec,
+            gspec,
+        ),
+        out_specs=gspec,
+        check_vma=False,
+    )
+    return run(a_store, b_store, stacks)
+
+
+def tas_multiply_subgrid(
+    a: BCSRMatrix,
+    b: BCSRMatrix,
+    *,
+    long_dim: str = "m",
+    nsplit: int,
+    subgrid: Tuple[int, int],
+    devices=None,
+    split_kind: str = "contiguous",
+    return_flops: bool = False,
+):
+    """``C = A · B`` with ``nsplit`` TAS groups, each executing SUMMA on
+    its own ``subgrid = (p, q)`` device sub-mesh — ``nsplit * p * q``
+    devices total. ``long_dim='m'`` splits A's rows (B replicated per
+    group); ``long_dim='n'`` splits B's cols (A replicated per group)."""
+    import jax as _jax
+
+    from ..block.tileops import take_tiles
+    from ..core.config import get_config
+    from ..mm.summa import plan_summa
+
+    a = desymmetrize(a)
+    b = desymmetrize(b)
+    dbcsr_assert(a.tile == b.tile, "operand tile sizes differ")
+    dbcsr_assert(
+        np.array_equal(a.index.col_block_sizes, b.index.row_block_sizes),
+        "inner block dimensions do not match",
+    )
+    dbcsr_assert(long_dim in ("m", "n"), "subgrid TAS supports long_dim m|n")
+    p, q = subgrid
+    tile = a.tile
+    devs = list(devices) if devices is not None else list(_jax.devices())
+    need = nsplit * p * q
+    dbcsr_assert(
+        need <= len(devs),
+        f"subgrid TAS needs {need} devices, have {len(devs)}",
+    )
+    mesh = Mesh(
+        np.array(devs[:need]).reshape(nsplit, p, q), ("split", "pr", "pc")
+    )
+    prec = get_config().matmul_precision
+    mk = TASSplit.contiguous if split_kind == "contiguous" else TASSplit.cyclic
+    split_rows = long_dim == "m"
+    nblk_long = a.nblkrows if split_rows else b.index.nblkcols
+    split = mk(ROWSPLIT if split_rows else COLSPLIT, nblk_long, nsplit)
+
+    with timed("tas_subgrid/plan"):
+        # shared-operand tile bins (plain tile-cyclic; TAS groups carry no
+        # user distribution)
+        ktl = a.layout.ntc
+        kb_a = (np.arange(ktl, dtype=np.int64) % q).astype(np.int32)
+        kb_b = (np.arange(ktl, dtype=np.int64) % p).astype(np.int32)
+        subs, eff = [], 0.0
+        for g in range(nsplit):
+            blocks = split.blocks_of_group(g)
+            if split_rows:
+                a_g = extract_block_subset(a, row_blocks=blocks)
+                symb = symbolic_product(a_g.index, False, b.index, False)
+                c_g_index, _ = build_index(
+                    symb.rows, symb.cols,
+                    a_g.index.row_block_sizes, b.index.col_block_sizes,
+                )
+            else:
+                b_g = extract_block_subset(b, col_blocks=blocks)
+                symb = symbolic_product(a.index, False, b_g.index, False)
+                c_g_index, _ = build_index(
+                    symb.rows, symb.cols,
+                    a.index.row_block_sizes, b_g.index.col_block_sizes,
+                )
+            eff += symb.eff_flops
+            subs.append((blocks, a_g if split_rows else b_g, c_g_index))
+
+        def plan_group(g, caps):
+            blocks, sub, c_g_index = subs[g]
+            la = (sub if split_rows else a).layout
+            lb = (b if split_rows else sub).layout
+            c_lay = store_layout(c_g_index, tile)
+            rowb = (np.arange(la.ntr, dtype=np.int64) % p).astype(np.int32)
+            colb = (np.arange(lb.ntc, dtype=np.int64) % q).astype(np.int32)
+            return plan_summa(
+                la.tile_coords, lb.tile_coords, c_lay, rowb, colb,
+                kb_a, kb_b, p, q, capacities=caps,
+            ), c_lay
+
+        first = [plan_group(g, None)[0] for g in range(nsplit)]
+        caps = (
+            max(pl.n_a for pl in first),
+            max(pl.n_b for pl in first),
+            max(pl.n_c for pl in first),
+            max(pl.s_max for pl in first),
+        )
+        plans, c_lays = zip(*(plan_group(g, caps) for g in range(nsplit)))
+        n_a, n_b, n_c, s_max = caps
+
+        # grouped operand: one SUMMA-packed store per group, stacked on
+        # 'split'; shared operand: packed once (identical packs by
+        # construction — same coords, same bins)
+        grouped_stores = []
+        for g, (blocks, sub, _) in enumerate(subs):
+            pk = plans[g].a_pack if split_rows else plans[g].b_pack
+            cap = n_a if split_rows else n_b
+            grouped_stores.append(
+                take_tiles(sub.data, pk, tile).reshape(p, q, cap, tile, tile)
+            )
+        grouped = jnp.stack(grouped_stores)
+        if split_rows:
+            shared = take_tiles(b.data, plans[0].b_pack, tile).reshape(
+                p, q, n_b, tile, tile
+            )
+        else:
+            shared = take_tiles(a.data, plans[0].a_pack, tile).reshape(
+                p, q, n_a, tile, tile
+            )
+        stacks = np.stack([pl.stacks for pl in plans])
+
+    with timed("tas_subgrid/exec"):
+        gspec = NamedSharding(mesh, PartitionSpec("split", "pr", "pc"))
+        sspec = NamedSharding(mesh, PartitionSpec("pr", "pc"))
+        grouped = _jax.device_put(grouped, gspec)
+        shared = _jax.device_put(shared, sspec)
+        stacks_j = _jax.device_put(jnp.asarray(stacks), gspec)
+        c_groups = _group_summa_exec(
+            grouped if split_rows else shared,
+            shared if split_rows else grouped,
+            stacks_j,
+            p=p, q=q, n_a=n_a, n_b=n_b, n_c=n_c, tile=tile, prec=prec,
+            mesh=mesh, a_grouped=split_rows,
+        )
+
+    with timed("tas_subgrid/merge"):
+        parts = []
+        for g, ((blocks, _, c_g_index), plan, c_lay) in enumerate(
+            zip(subs, plans, c_lays)
+        ):
+            flat = c_groups[g].reshape(p * q * n_c, tile, tile)
+            data = take_tiles(flat, plan.c_unpack, tile)
+            parts.append((
+                BCSRMatrix(name=f"g{g}", index=c_g_index, data=data),
+                blocks,
+            ))
+        merge = merge_row_groups if split_rows else merge_col_groups
+        out = merge(
+            parts, a.index.row_block_sizes, b.index.col_block_sizes,
+            name="tas_subgrid", dtype=a.dtype,
         )
 
     if return_flops:

@@ -86,6 +86,41 @@ def test_parallel_auto_picks_long_dim(rng):
     np.testing.assert_allclose(np.asarray(out.to_dense()), ref, atol=1e-10)
 
 
+@pytest.mark.parametrize("long_dim,nsplit,p,q", [
+    ("m", 2, 2, 2),   # 2 groups x 2x2 sub-grid = 8 devices
+    ("n", 2, 2, 2),
+    ("m", 4, 1, 2),   # 4 groups x 1x2
+])
+def test_subgrid_groups(rng, long_dim, nsplit, p, q):
+    """Each TAS group runs SUMMA on its own 2-D sub-mesh."""
+    from dbcsr_tpu.tas import tas_multiply_subgrid
+
+    if long_dim == "m":
+        a, b = _mats(rng, m=160, k=24, n=20, occ=0.4)
+    else:
+        a, b = _mats(rng, m=20, k=24, n=160, occ=0.4)
+    with config_override(tile_size=TILE):
+        out, fl = tas_multiply_subgrid(
+            a, b, long_dim=long_dim, nsplit=nsplit, subgrid=(p, q),
+            return_flops=True,
+        )
+    ref = np.asarray(a.to_dense()) @ np.asarray(b.to_dense())
+    np.testing.assert_allclose(np.asarray(out.to_dense()), ref, atol=1e-10)
+    assert fl > 0
+
+
+def test_subgrid_matches_flat_parallel(rng):
+    from dbcsr_tpu.tas import tas_multiply_subgrid
+
+    a, b = _mats(rng, m=120, k=20, n=24, occ=0.3)
+    with config_override(tile_size=TILE):
+        sub = tas_multiply_subgrid(a, b, nsplit=2, subgrid=(2, 2))
+        flat = tas_multiply_parallel(a, b, nsplit=2)
+    np.testing.assert_allclose(
+        np.asarray(sub.to_dense()), np.asarray(flat.to_dense()), atol=1e-10
+    )
+
+
 def test_parallel_k_split_matches_sequential(rng):
     from dbcsr_tpu.tas import tas_multiply
 
