@@ -64,12 +64,49 @@ def _mk_workload(block_sizes, occupancy):
     return build
 
 
+def _mk_banded(nrows: int = 12000, bandwidth: int = 12):
+    """Banded fine-blocked pattern (the linear-scaling SCF shape; too many
+    block rows for the dense driver — exercises the stack path). Data is
+    built directly in store form for construction speed."""
+
+    def build(rng):
+        import jax
+        import jax.numpy as jnp
+
+        import dbcsr_tpu as dt
+        from dbcsr_tpu.block.bcsr import BCSRMatrix
+        from dbcsr_tpu.block.index import build_index
+        from dbcsr_tpu.block.store import store_layout
+        from dbcsr_tpu.block.tileops import valid_mask
+        from dbcsr_tpu.core.config import get_config
+
+        rbs = dt.random_block_sizes(nrows, [5, 13, 23], rng)
+        n = len(rbs)
+        w = 2 * bandwidth + 1
+        i = np.repeat(np.arange(n, dtype=np.int64), w)
+        j = i + np.tile(np.arange(-bandwidth, bandwidth + 1, dtype=np.int64), n)
+        keep = (j >= 0) & (j < n) & (rng.random(len(j)) < 0.5)
+        idx, _ = build_index(i[keep], j[keep], rbs, rbs)
+        t = get_config().tile_size
+        lay = store_layout(idx, t)
+        data = jax.random.normal(
+            jax.random.PRNGKey(0), (lay.n_tiles, t, t), jnp.float32
+        ) * valid_mask(idx, t)
+        a = BCSRMatrix(name="A", index=idx, data=data)
+        b = BCSRMatrix(name="B", index=idx, data=data * 0.5)
+        return a, b
+
+    return build
+
+
 #: workload classes mirroring BASELINE.md configs: uniform 23³ dense-blocked,
-#: uniform 5×5 sparse (dbcsr_example_3), mixed 5/13/23 (perf-driver recipe)
+#: uniform 5×5 sparse (dbcsr_example_3), mixed 5/13/23 (perf-driver recipe),
+#: banded fine-blocked at scale (stack path)
 WORKLOADS: Dict[str, Callable] = {
     "block23_dense": _mk_workload([23], 1.0),
     "block5_sparse10": _mk_workload([5], 0.10),
     "mixed_5_13_23_sparse20": _mk_workload([5, 13, 23], 0.20),
+    "banded_fine": _mk_banded(),
 }
 
 
@@ -78,9 +115,43 @@ def workload_class(block_sizes, occupancy: float) -> str:
     mean_bs = float(np.mean(block_sizes))
     if occupancy > 0.6:
         return "block23_dense"
+    if occupancy < 0.02:
+        return "banded_fine"
     if mean_bs <= 8:
         return "block5_sparse10"
     return "mixed_5_13_23_sparse20"
+
+
+_TABLE_CACHE: dict = {}
+
+
+def _cached_table() -> Optional[dict]:
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    if _TABLE_CACHE.get("kind") != kind:
+        _TABLE_CACHE["kind"] = kind
+        _TABLE_CACHE["table"] = load_params(kind)
+    return _TABLE_CACHE["table"]
+
+
+def tuned_stack_params(a_index, b_index) -> Optional[dict]:
+    """Per-workload-class tuned config for the current device — the runtime
+    analog of the reference's per-(m,n,k) parameter lookup at kernel launch
+    (``libsmm_acc.cpp`` parameter hash table). The engine consults this for
+    PERF-ONLY knobs (``stack_e_batch``, ``max_stack_size``) on parameters
+    the user left at their defaults; accuracy-affecting knobs (precision,
+    bf16 inputs) are never auto-applied."""
+    table = _cached_table()
+    if table is None:
+        return None
+    occ_a = a_index.nblks / max(a_index.nblkrows * a_index.nblkcols, 1)
+    occ_b = b_index.nblks / max(b_index.nblkrows * b_index.nblkcols, 1)
+    sizes = np.concatenate(
+        [a_index.row_block_sizes, b_index.col_block_sizes]
+    )
+    cls = workload_class(sizes, 0.5 * (occ_a + occ_b))
+    return table["results"].get(cls, {}).get("best")
 
 
 def steady_state_time(fn, args, *, n_lo: int = 4, n_hi: int = 44,
@@ -146,17 +217,29 @@ def sweep(
     from dbcsr_tpu.core.config import config_override
     from dbcsr_tpu.mm.engine import build_multiply_executor
 
+    from dbcsr_tpu.core.config import get_config
+
     grid = grid or DEFAULT_GRID
     names = list(grid)
     device_kind = jax.devices()[0].device_kind
     results: Dict[str, dict] = {}
     for wname in workloads or list(WORKLOADS):
-        rng = np.random.default_rng(seed)
-        a, b = WORKLOADS[wname](rng)
+        # tile_size binds at CONSTRUCTION (the matrix's store layout), so
+        # the workload must be rebuilt per swept tile size — same seed so
+        # every tile size sees the same logical matrices
+        built: Dict[int, tuple] = {}
+
+        def mats(ts):
+            if ts not in built:
+                with config_override(tile_size=ts):
+                    built[ts] = WORKLOADS[wname](np.random.default_rng(seed))
+            return built[ts]
+
         rows = []
         for combo in itertools.product(*(grid[n] for n in names)):
             cfg = dict(zip(names, combo))
             try:
+                a, b = mats(cfg.get("tile_size", get_config().tile_size))
                 with config_override(**cfg):
                     fn, _, eff_flops = build_multiply_executor(
                         "N", "N", a, b, driver=cfg.get("mm_driver")

@@ -134,6 +134,25 @@ def _maybe_bf16(a_st, b_st, prec: str, cfg):
     return a_st, b_st, None
 
 
+def _stack_knobs(cfg, a_index, b_index):
+    """Resolve the stack kernel's perf knobs: user/env-set config wins;
+    defaults defer to the per-workload-class tuned table (the reference
+    looks launch parameters up per (m,n,k) the same way,
+    ``src/acc/libsmm_acc/libsmm_acc.cpp`` parameter table)."""
+    e_batch = cfg.stack_e_batch
+    max_chunk = cfg.max_stack_size
+    if "D" in (cfg.provenance("stack_e_batch"), cfg.provenance("max_stack_size")):
+        from ..autotune import tuned_stack_params
+
+        best = tuned_stack_params(a_index, b_index)
+        if best:
+            if cfg.provenance("stack_e_batch") == "D":
+                e_batch = int(best.get("stack_e_batch", e_batch))
+            if cfg.provenance("max_stack_size") == "D":
+                max_chunk = int(best.get("max_stack_size", max_chunk))
+    return e_batch, max_chunk
+
+
 def _align_old_c(
     c: Optional[BCSRMatrix], c_index: BCSRIndex, tile: int
 ) -> Optional[jax.Array]:
@@ -409,10 +428,11 @@ def _execute_local(
             )
             if use_pallas:
                 a_in, b_in, out_dt = _maybe_bf16(a_st, b_st, prec, cfg)
+                e_batch, max_chunk = _stack_knobs(cfg, a.index, b.index)
                 prod_tiles = tile_stack_matmul_pallas(
                     a_in, b_in, tplan.stack, n_c_tiles=tplan.n_c_tiles,
-                    max_chunk=cfg.max_stack_size, precision=prec,
-                    out_dtype=out_dt,
+                    max_chunk=max_chunk, precision=prec,
+                    out_dtype=out_dt, e_batch=e_batch,
                 )
             else:
                 prod_tiles = tile_stack_matmul_xla(
@@ -871,6 +891,8 @@ def build_multiply_executor(
     stack_np = plan.stack
     n_c = plan.n_c_tiles
 
+    e_batch, max_chunk = _stack_knobs(cfg, a.index, b.index)
+
     def fn(a_data, b_data):
         a_st = op_store(a_data, a_perm, ca)
         b_st = op_store(b_data, b_perm, cb)
@@ -878,8 +900,8 @@ def build_multiply_executor(
             a_in, b_in, out_dt = _maybe_bf16(a_st, b_st, prec, cfg)
             prod = tile_stack_matmul_pallas(
                 a_in, b_in, stack_np, n_c_tiles=n_c,
-                max_chunk=cfg.max_stack_size, precision=prec,
-                out_dtype=out_dt,
+                max_chunk=max_chunk, precision=prec,
+                out_dtype=out_dt, e_batch=e_batch,
             )
         else:
             prod = tile_stack_matmul_xla(
