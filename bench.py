@@ -155,7 +155,7 @@ def main():
         vs = gflops / (0.70 * _chip_peak_flops() / 1e9)
     else:
         # secondary configs: regression ratio vs recorded v5e reference
-        refs = {"sparse5": 1478.5, "mixed": 6039.5, "banded": 642.5}
+        refs = {"sparse5": 1478.5, "mixed": 6039.5, "banded": 665.1}
         vs = gflops / refs[config]
     print(
         json.dumps(

@@ -1,0 +1,124 @@
+"""Python side of the C API shim (see ``capi.c`` / ``dbcsr_tpu.h``).
+
+The C layer passes raw buffer ADDRESSES (int64) plus shapes; this module
+marshals them to/from numpy and calls the public dbcsr_tpu API. It is the
+analog of the reference's ``src/dbcsr_api_c.F`` glue (Fortran side of the
+C bindings), with ctypes standing in for ISO_C_BINDING.
+"""
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+import dbcsr_tpu as dt
+
+
+def _i32(addr: int, n: int) -> np.ndarray:
+    buf = (ctypes.c_int32 * n).from_address(addr)
+    return np.frombuffer(buf, dtype=np.int32).copy()
+
+
+def _f64(addr: int, n: int) -> np.ndarray:
+    buf = (ctypes.c_double * n).from_address(addr)
+    return np.frombuffer(buf, dtype=np.float64)
+
+
+def init_lib():
+    dt.init_lib()
+
+
+def finalize_lib():
+    dt.finalize_lib()
+
+
+def create(name: str, rs_addr: int, nbr: int, cs_addr: int, nbc: int):
+    return dt.BCSRBuilder(
+        _i32(rs_addr, nbr), _i32(cs_addr, nbc), name=name, dtype=np.float64
+    )
+
+
+def put_block(builder, row: int, col: int, addr: int, m: int, n: int,
+              sum: int):
+    builder.put_block(
+        row, col, _f64(addr, m * n).reshape(m, n).copy(), sum=bool(sum)
+    )
+
+
+def reserve_diag_blocks(builder):
+    builder.reserve_diag_blocks()
+
+
+def finalize(builder):
+    return builder.finalize()
+
+
+def get_block(matrix, row: int, col: int, out_addr: int):
+    blk = matrix.get_block(row, col)
+    if blk is None:
+        return (0, 0, 0)
+    blk = np.asarray(blk, dtype=np.float64)
+    if out_addr:
+        _f64(out_addr, blk.size)[:] = blk.reshape(-1)
+    return (1, blk.shape[0], blk.shape[1])
+
+
+def get_nblks(matrix) -> int:
+    return int(matrix.nblks)
+
+
+def get_occupation(matrix) -> float:
+    return float(matrix.occupation())
+
+
+def multiply(transa: str, transb: str, alpha: float, a, b, beta: float,
+             c, filter_eps: float, retain_sparsity: int):
+    return dt.multiply(
+        transa, transb, alpha, a, b, beta, c,
+        filter_eps=None if filter_eps < 0 else filter_eps,
+        retain_sparsity=bool(retain_sparsity),
+    )
+
+
+def add(alpha: float, a, beta: float, b):
+    return dt.add(alpha, a, beta, b)
+
+
+def scale(a, alpha: float):
+    return dt.scale(a, alpha)
+
+
+def filter_blocks(a, eps: float):
+    return dt.filter_blocks(a, eps)
+
+
+def transpose(a):
+    return dt.transpose(a)
+
+
+def trace(a) -> float:
+    return float(dt.trace(a))
+
+
+def dot(a, b) -> float:
+    return float(dt.dot(a, b))
+
+
+def norm_frobenius(a) -> float:
+    return float(dt.norm_frobenius(a))
+
+
+def maxabs(a) -> float:
+    return float(dt.norm_maxabs(a))
+
+
+def checksum(a) -> float:
+    return float(dt.checksum(a))
+
+
+def binary_write(a, path: str):
+    dt.binary_write(a, path)
+
+
+def binary_read(path: str):
+    return dt.binary_read(path)
