@@ -20,6 +20,8 @@ from .sharded import (
 from .sharded_ops import (
     ShardedMatrix,
     build_sharded_add,
+    build_sharded_multiply,
+    sharded_multiply,
     build_sharded_hadamard,
     build_sharded_scale_by_vector,
     shard_matrix,
@@ -45,6 +47,8 @@ __all__ = [
     "shard_store",
     "unshard_store",
     "shard_matrix",
+    "sharded_multiply",
+    "build_sharded_multiply",
     "sharded_add",
     "sharded_hadamard",
     "sharded_scale",

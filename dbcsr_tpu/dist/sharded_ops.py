@@ -51,6 +51,8 @@ from .sharded import (
 __all__ = [
     "ShardedMatrix",
     "shard_matrix",
+    "build_sharded_multiply",
+    "sharded_multiply",
     "build_sharded_add",
     "sharded_add",
     "build_sharded_hadamard",
@@ -204,6 +206,102 @@ def _check_compatible(a: ShardedMatrix, b: ShardedMatrix) -> None:
         and np.array_equal(a.index.col_block_sizes, b.index.col_block_sizes),
         "incompatible block structures",
     )
+
+
+# ---------------------------------------------------------------------------
+# multiply on sharded matrices
+# ---------------------------------------------------------------------------
+
+def _reshard_positions(
+    x_sh: jax.Array, src_sl: ShardLayout, dst_sl: ShardLayout, tile: int,
+    mesh,
+) -> jax.Array:
+    """Move a sharded store between two layouts OF THE SAME INDEX (e.g. a
+    matrix's at-rest owner layout vs the executor's k-binned layout). A
+    position-level gather; XLA inserts the implied collectives."""
+    if (
+        src_sl.n_max == dst_sl.n_max
+        and src_sl.pos_of_slot.tobytes() == dst_sl.pos_of_slot.tobytes()
+    ):
+        return x_sh
+    take = np.full(dst_sl.ndev * dst_sl.n_max, _OOB, dtype=np.int32)
+    valid = dst_sl.slot_of_pos >= 0
+    take[valid] = src_sl.pos_of_slot[dst_sl.slot_of_pos[valid]]
+    flat = x_sh.reshape(src_sl.ndev * src_sl.n_max, tile, tile)
+    out = jnp.take(
+        flat, jnp.asarray(take), axis=0, mode="fill", fill_value=0
+    ).reshape(dst_sl.ndev, dst_sl.n_max, tile, tile)
+    return jax.lax.with_sharding_constraint(out, mesh_sharding(mesh))
+
+
+def build_sharded_multiply(
+    transa: str,
+    transb: str,
+    a: ShardedMatrix,
+    b: ShardedMatrix,
+    *,
+    algo: Optional[str] = None,
+    k_dist: Optional[np.ndarray] = None,
+):
+    """Plan op(A)·op(B) entirely on sharded stores: the distributed
+    executor (Cannon/SUMMA over the mesh) is planned from the indices, and
+    the operands are resharded from their at-rest owner layouts onto the
+    executor's k-binned panel layouts inside jit (the reference's
+    ``make_images`` alltoall, ``src/mm/dbcsr_mm_cannon.F:146``).
+
+    Returns ``(c_index, c_shard, fn)`` with ``fn(a_sh, b_sh) -> c_sh``.
+    """
+    from ..mm.engine import build_distributed_executor
+
+    dbcsr_assert(a.tile == b.tile, "tile sizes differ")
+    dbcsr_assert(a.sym == SYM_NONE and b.sym == SYM_NONE,
+                 "desymmetrize before sharded multiply")
+    tile, mesh = a.tile, a.mesh
+    # metadata stand-ins: the executor reads only index/layout at plan time
+    a_meta = BCSRMatrix(
+        name=a.name, index=a.index,
+        data=jnp.zeros((0, tile, tile), a.dtype),
+    )
+    b_meta = BCSRMatrix(
+        name=b.name, index=b.index,
+        data=jnp.zeros((0, tile, tile), b.dtype),
+    )
+    exec_fn, c_index, eff = build_distributed_executor(
+        transa, transb, a_meta, b_meta, a.dist, algo=algo, k_dist=k_dist,
+        sharded=True,
+    )
+    sl_a, sl_b, sl_c = exec_fn.shard_a, exec_fn.shard_b, exec_fn.shard_c
+
+    def fn(a_sh, b_sh):
+        xa = _reshard_positions(a_sh, a.shard, sl_a, tile, mesh)
+        xb = _reshard_positions(b_sh, b.shard, sl_b, tile, mesh)
+        return exec_fn(xa, xb)
+
+    fn.eff_flops = eff
+    return c_index, sl_c, fn
+
+
+def sharded_multiply(
+    transa: str,
+    transb: str,
+    alpha,
+    a: ShardedMatrix,
+    b: ShardedMatrix,
+    beta=0.0,
+    c: Optional[ShardedMatrix] = None,
+) -> ShardedMatrix:
+    """``C = alpha * op(A)·op(B) [+ beta * C]`` on sharded matrices
+    (``dbcsr_multiply`` with distributed data residency end to end)."""
+    c_index, c_sl, fn = build_sharded_multiply(transa, transb, a, b)
+    out = ShardedMatrix(
+        name=f"{a.name}*{b.name}", index=c_index, tile=a.tile, dist=a.dist,
+        shard=c_sl, data=fn(a.data, b.data), sym=SYM_NONE,
+    )
+    if alpha != 1.0:
+        out = sharded_scale(out, alpha)
+    if c is not None and beta != 0.0:
+        out = sharded_add(1.0, out, beta, c)
+    return out
 
 
 # ---------------------------------------------------------------------------

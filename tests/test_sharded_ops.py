@@ -166,6 +166,64 @@ def test_sharded_block_norms_and_filter(rng):
     assert got.index.nblks < a.index.nblks
 
 
+@pytest.mark.parametrize("transa,transb", [("N", "N"), ("T", "N")])
+def test_sharded_multiply_first_class(rng, transa, transb):
+    """sharded_multiply on ShardedMatrix operands: at-rest owner layouts
+    (from the plain dist) are resharded onto the executor's k-binned panel
+    layouts inside jit."""
+    from dbcsr_tpu.dist.sharded_ops import sharded_multiply
+
+    grid = ProcessGrid.make(2, 2)
+    with config_override(tile_size=TILE):
+        rbs = dt.random_block_sizes(72, [2, 4], rng)
+        kbs = dt.random_block_sizes(64, [4], rng)
+        cbs = dt.random_block_sizes(56, [2], rng)
+        a_shape = (rbs, kbs) if transa == "N" else (kbs, rbs)
+        a = dt.random_matrix(*a_shape, 0.4, rng, dtype=np.float32)
+        b = dt.random_matrix(kbs, cbs, 0.4, rng, dtype=np.float32)
+        dist = tile_aligned_dist(grid, rbs, cbs, TILE)
+        dist_a = tile_aligned_dist(grid, a_shape[0], a_shape[1], TILE)
+        dist_b = tile_aligned_dist(grid, kbs, cbs, TILE)
+        sa0 = shard_matrix(a, dist_a)
+        sb = shard_matrix(b, dist_b)
+        # operands carry their own at-rest layouts; the product's dist (C's
+        # m x n decomposition) comes from sa.dist
+        from dbcsr_tpu.dist.sharded_ops import ShardedMatrix
+
+        sa = ShardedMatrix(
+            name=sa0.name, index=sa0.index, tile=TILE, dist=dist,
+            shard=sa0.shard, data=sa0.data,
+        )
+        sc = sharded_multiply(transa, transb, 2.0, sa, sb)
+    da = np.asarray(a.to_dense())
+    if transa == "T":
+        da = da.T
+    ref = 2.0 * da @ np.asarray(b.to_dense())
+    np.testing.assert_allclose(
+        _dense(sc), ref, rtol=1e-4, atol=1e-4 * np.abs(ref).max()
+    )
+
+
+def test_sharded_multiply_beta_c(rng):
+    from dbcsr_tpu.dist.sharded_ops import sharded_multiply
+
+    grid = ProcessGrid.make(2, 2)
+    with config_override(tile_size=TILE):
+        rbs = dt.random_block_sizes(64, [4], rng)
+        a = dt.random_matrix(rbs, rbs, 0.5, rng, dtype=np.float32)
+        b = dt.random_matrix(rbs, rbs, 0.5, rng, dtype=np.float32)
+        c0 = dt.random_matrix(rbs, rbs, 0.3, rng, dtype=np.float32)
+        dist = tile_aligned_dist(grid, rbs, rbs, TILE)
+        sa, sb, sc0 = (shard_matrix(m, dist) for m in (a, b, c0))
+        out = sharded_multiply("N", "N", 1.0, sa, sb, beta=0.5, c=sc0)
+    ref = np.asarray(a.to_dense()) @ np.asarray(b.to_dense()) + 0.5 * np.asarray(
+        c0.to_dense()
+    )
+    np.testing.assert_allclose(
+        _dense(out), ref, rtol=1e-4, atol=1e-4 * np.abs(ref).max()
+    )
+
+
 def test_sharded_iteration_mixing_mm_and_ops(rng):
     """The full v3 loop: multiply + union-add + filter, never unsharding
     (the linear-scaling-SCF shape on sharded storage)."""

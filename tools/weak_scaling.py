@@ -70,6 +70,7 @@ def run(blocks_per_dev: int = 64, reps: int = 5) -> dict:
     # weak scaling: ideal time_n == time_1 * (work_n / (n * work_1))
     ideal_tn = t1 * (fln / (n * fl1))
     eff = ideal_tn / tn if tn > 0 else 0.0
+    virtual = devs[0].platform == "cpu"
     out = {
         "devices": n,
         "grid": [p, q],
@@ -78,6 +79,10 @@ def run(blocks_per_dev: int = 64, reps: int = 5) -> dict:
         "flops_1": fl1,
         "flops_n": fln,
         "weak_scaling_efficiency": round(eff, 3),
+        # an N-device CPU mesh timeshares ONE host's cores, so the
+        # efficiency number only measures orchestration overhead there;
+        # the >=80% BASELINE target applies to real chips over ICI
+        "virtual_mesh": virtual,
     }
     print(out)
     return out
