@@ -10,7 +10,8 @@ from .machine import (
     m_walltime,
 )
 from .stats import get_stats, print_statistics, reset_stats
-from .timing import timed, timer_report, timeset, timestop, reset_timers
+from .timing import (timed, timer_report, timeset, timestop, reset_timers,
+                     timings_report_callgraph, set_tracing)
 
 __all__ = [
     "Config", "config_override", "get_config", "print_config", "reset_config", "set_config",
@@ -20,4 +21,5 @@ __all__ = [
     "m_walltime", "m_memory", "m_peak_memory", "m_flush", "device_memory_stats",
     "get_stats", "print_statistics", "reset_stats",
     "timed", "timer_report", "timeset", "timestop", "reset_timers",
+    "timings_report_callgraph", "set_tracing",
 ]

@@ -68,6 +68,21 @@ def test_timer_report_contains_nested():
     assert "outer" in rep and "outer/inner" in rep
 
 
+def test_callgraph_export(tmp_path):
+    from dbcsr_tpu.core.timing import timings_report_callgraph
+
+    reset_timers()
+    with timed("top"):
+        for _ in range(3):
+            with timed("child"):
+                pass
+    path = str(tmp_path / "cg.out")
+    timings_report_callgraph(path)
+    text = open(path).read()
+    assert "events: Walltime_us" in text
+    assert "fn=top" in text and "cfn=child" in text and "calls=3 1" in text
+
+
 def test_statistics_report(rng):
     from dbcsr_tpu.core.stats import reset_stats
 
