@@ -26,6 +26,12 @@ class MMStats:
     num_stacks: int = 0
     total_stack_entries: int = 0
     max_memory_bytes: int = 0
+    #: (collective kind, size decade) -> (message count, total bytes) —
+    #: the analog of the reference's MPI message statistics with size
+    #: buckets (``dbcsr_mpi_statistics_type``, ``dbcsr_types.F:578-589``)
+    comm_msgs: Dict[Tuple[str, int], Tuple[int, float]] = field(
+        default_factory=dict
+    )
 
     def record_stack(self, m: int, n: int, k: int, nblocks: int) -> None:
         flops = 2.0 * m * n * k * nblocks
@@ -34,6 +40,21 @@ class MMStats:
         self.total_flops += flops
         self.num_stacks += 1
         self.total_stack_entries += nblocks
+
+    def record_comm(self, kind: str, count: int, msg_bytes: float) -> None:
+        """Record ``count`` device-to-device messages of ``msg_bytes``
+        each (computed statically from the collective's panel shapes)."""
+        if count <= 0 or msg_bytes <= 0:
+            return
+        bucket = 0
+        b = msg_bytes
+        while b >= 10:
+            b /= 10
+            bucket += 1
+        cnt, tot = self.comm_msgs.get((kind, bucket), (0, 0.0))
+        self.comm_msgs[(kind, bucket)] = (
+            cnt + count, tot + count * msg_bytes
+        )
 
 
 _stats = MMStats()
@@ -66,6 +87,13 @@ def print_statistics(out=None) -> str:
     lines.append(f" {'m x n x k':<16} {'blocks':>12} {'flops':>14}")
     for (m, n, k), (cnt, fl) in sorted(s.by_mnk.items(), key=lambda kv: -kv[1][1]):
         lines.append(f" {m}x{n}x{k:<10} {cnt:>12} {fl:>14.4E}")
+    if s.comm_msgs:
+        lines.append(" device communication (collective, message-size bucket)")
+        lines.append(f" {'kind':<14} {'size bucket':>14} {'messages':>10} {'bytes':>14}")
+        for (kind, bucket), (cnt, tot) in sorted(s.comm_msgs.items()):
+            lines.append(
+                f" {kind:<14} {'10^' + str(bucket) + ' B':>14} {cnt:>10} {tot:>14.4E}"
+            )
     text = "\n".join(lines)
     if out is not None:
         print(text, file=out)

@@ -657,7 +657,23 @@ def execute_cannon(
     with timed("cannon/plan"):
         tplan = _try_tiled_plan(a, ta, b, tb, c_index, dist, k_dist, tile, layers)
 
+    def _record_comm(n_a, n_b, n_c):
+        # static message accounting (the reference's MPI statistics,
+        # ``dbcsr_mpi_statistics_type``): p-1 ring shifts of each panel per
+        # device, one C psum across layers
+        st = get_stats()
+        ndev = p * p * layers
+        isz = a.data.dtype.itemsize
+        st.record_comm("ppermute_a", ndev * (p - 1), n_a * tile * tile * isz)
+        st.record_comm("ppermute_b", ndev * (p - 1), n_b * tile * tile * isz)
+        if layers > 1:
+            st.record_comm(
+                "psum_c_layers", ndev * (layers - 1),
+                n_c * tile * tile * isz,
+            )
+
     if tplan is not None:
+        _record_comm(tplan.n_a, tplan.n_b, tplan.n_c)
         with timed("cannon/exec"):
             a_st, _, _ = _op_store(a, ta, ca)
             b_st, _, _ = _op_store(b, tb, cb)
@@ -685,6 +701,7 @@ def execute_cannon(
             plan = plan_cannon(
                 a.index, ta, b.index, tb, c_index, dist, k_dist, tile
             )
+        _record_comm(plan.n_a, plan.n_b, plan.n_c)
         with timed("cannon/exec"):
             a_data = a.data.reshape(-1)
             b_data = b.data.reshape(-1)

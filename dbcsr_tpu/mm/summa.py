@@ -288,6 +288,13 @@ def execute_summa(
             a_coords, b_coords, c_lay, rowb, colb, kb % q, kb % p, p, q
         )
 
+    # static message accounting (the reference's MPI statistics): each
+    # device receives the other owners' panel pieces in the all_gathers
+    st = get_stats()
+    isz = a.data.dtype.itemsize
+    st.record_comm("allgather_a", p * q * (q - 1), plan.n_a * tile * tile * isz)
+    st.record_comm("allgather_b", p * q * (p - 1), plan.n_b * tile * tile * isz)
+
     with timed("summa/exec"):
         a_store = take_tiles(a_st, plan.a_pack, tile).reshape(
             p, q, plan.n_a, tile, tile
