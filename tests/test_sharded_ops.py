@@ -224,6 +224,36 @@ def test_sharded_multiply_beta_c(rng):
     )
 
 
+def test_sharded_ops_complex(rng):
+    """Complex dtype through the sharded elementwise/reduction layer
+    (conjugation in dot, complex block norms in filter)."""
+    grid = ProcessGrid.make(2, 2)
+    with config_override(tile_size=TILE):
+        rbs = dt.random_block_sizes(48, [2, 4], rng)
+        a = dt.random_matrix(rbs, rbs, 0.5, rng, dtype=np.complex64)
+        b = dt.random_matrix(rbs, rbs, 0.5, rng, dtype=np.complex64)
+    dist = tile_aligned_dist(grid, rbs, rbs, TILE)
+    sa, sb = shard_matrix(a, dist), shard_matrix(b, dist)
+    sc = sharded_add(1 + 1j, sa, 0.5j, sb)
+    ref = add(1 + 1j, a, 0.5j, b)
+    np.testing.assert_allclose(
+        _dense(sc), np.asarray(ref.to_dense()), rtol=1e-5, atol=1e-5
+    )
+    assert sharded_dot(sa, sb) == pytest.approx(dot(a, b), rel=1e-5)
+    assert sharded_trace(sa) == pytest.approx(trace(a), rel=1e-5)
+    np.testing.assert_allclose(
+        sharded_block_norms(sa), np.asarray(block_norms_sq(a)),
+        rtol=1e-5, atol=1e-6,
+    )
+    eps = float(np.sqrt(np.median(sharded_block_norms(sa))))
+    got = sharded_filter(sa, eps)
+    reff = filter_blocks(a, eps)
+    assert got.index.nblks == reff.index.nblks
+    np.testing.assert_allclose(
+        _dense(got), np.asarray(reff.to_dense()), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_sharded_iteration_mixing_mm_and_ops(rng):
     """The full v3 loop: multiply + union-add + filter, never unsharding
     (the linear-scaling-SCF shape on sharded storage)."""
