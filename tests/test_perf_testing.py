@@ -31,6 +31,22 @@ def test_parse_perf_mixed():
     assert cfg.k_blocks == [(2, 5), (1, 13)]
 
 
+def test_parse_perf_reference_recipes():
+    """All shipped recipes (mirroring the reference's tests/inputs/) parse,
+    with the TPU-v5e checksum references attached."""
+    import glob
+
+    for path in sorted(glob.glob(os.path.join(HERE, "inputs", "*.perf"))):
+        cfg = parse_perf(path)
+        assert cfg.m > 0 and cfg.n > 0 and cfg.k > 0, path
+    h2o = parse_perf(os.path.join(HERE, "inputs", "H2O.perf"))
+    assert (h2o.m, h2o.n, h2o.k) == (2208, 2208, 2208)
+    assert h2o.m_blocks == [(1, 23)] and h2o.nrep == 50
+    assert h2o.check_checksum and h2o.checksum_refs
+    rect2 = parse_perf(os.path.join(HERE, "inputs", "rect2_dense.perf"))
+    assert rect2.transa == "T" and rect2.k == 1000
+
+
 def test_run_perf_small(capsys):
     cfg = parse_perf(os.path.join(HERE, "inputs", "mixed_blocks.perf"))
     cfg.m, cfg.n, cfg.k = 92, 46, 69  # shrink for CI
