@@ -227,6 +227,21 @@ def run_perf(cfg: PerfConfig, *, seed: int = 0, verbose: bool = True) -> dict:
             for ref in cfg.checksum_refs
         )
         result["checksum_match"] = bool(ok)
+
+    # steady-state device rate of the plain product (plan-once executor,
+    # marginal-time methodology — the per-call numbers above include host
+    # planning and dispatch, which the reference's driver also measures)
+    try:
+        from .autotune import steady_state_time
+        from .mm.engine import build_multiply_executor
+
+        fn, _, eff_x = build_multiply_executor(cfg.transa, cfg.transb, a, b)
+        t_steady = steady_state_time(fn, (a.data, b.data))
+        result["steady_time_s"] = t_steady
+        result["flops_per_s_steady"] = eff_x / t_steady if t_steady else 0.0
+    except Exception:  # diagnostics only — never fail the run
+        result["flops_per_s_steady"] = None
+
     if verbose:
         print(
             f" multiplies {cfg.nrep}   mean {mean_t*1e3:9.3f} ms  "
@@ -237,6 +252,11 @@ def run_perf(cfg: PerfConfig, *, seed: int = 0, verbose: bool = True) -> dict:
             f"GFLOP/s mean {result['flops_per_s_mean']/1e9:9.2f}  "
             f"best {result['flops_per_s_best']/1e9:9.2f}"
         )
+        if result.get("flops_per_s_steady"):
+            print(
+                f" steady-state executor  "
+                f"GFLOP/s {result['flops_per_s_steady']/1e9:9.2f}"
+            )
         print(f" checksum {cks:.15E}")
         print(json.dumps(result))
     return result
