@@ -159,6 +159,47 @@ def test_contract_rank3_rank3_to_rank4_with_maps():
     _einsum_check("ijk,klm->limj", a, b, out)
 
 
+def test_contract_rank4_inputs():
+    # C[i,j,m,n] = sum_{k,l} A[i,j,k,l] B[k,l,m,n]  ("ijkl,klmn->ijmn") —
+    # rank-4 operands, the reference's maxrank (dbcsr_tensor.fypp)
+    rng = np.random.default_rng(11)
+    bs_i, bs_j = np.array([2, 2]), np.array([3])
+    bs_k, bs_l = np.array([2, 1]), np.array([2])
+    bs_m, bs_n = np.array([2]), np.array([1, 2])
+    a = _random_tensor(
+        [bs_i, bs_j, bs_k, bs_l], 0.7, rng, NDMapping(4, (0, 1), (2, 3))
+    )
+    b = _random_tensor(
+        [bs_k, bs_l, bs_m, bs_n], 0.7, rng, NDMapping(4, (0, 1), (2, 3))
+    )
+    out = contract(
+        1.0, a, b,
+        contract_1=(2, 3), notcontract_1=(0, 1),
+        contract_2=(0, 1), notcontract_2=(2, 3),
+    )
+    _einsum_check("ijkl,klmn->ijmn", a, b, out)
+
+
+def test_contract_rank4_rank2_misaligned_layout():
+    # rank-4 x rank-2 where A's at-rest layout does NOT match the
+    # contraction grouping (forces the align/refold path)
+    rng = np.random.default_rng(12)
+    bs_i, bs_j, bs_k, bs_l = (
+        np.array([2]), np.array([2, 1]), np.array([3]), np.array([2, 2])
+    )
+    bs_p = np.array([3, 1])
+    a = _random_tensor(
+        [bs_i, bs_j, bs_k, bs_l], 0.8, rng, NDMapping(4, (0, 2), (1, 3))
+    )
+    b = _random_tensor([bs_l, bs_p], 0.9, rng)
+    out = contract(
+        1.0, a, b,
+        contract_1=(3,), notcontract_1=(0, 1, 2),
+        contract_2=(0,), notcontract_2=(1,),
+    )
+    _einsum_check("ijkl,lp->ijkp", a, b, out)
+
+
 def test_contract_alpha_beta_accumulate():
     rng = np.random.default_rng(8)
     bs_i, bs_k, bs_j = np.array([2, 3]), np.array([2, 2]), np.array([4])
