@@ -224,6 +224,29 @@ def test_sharded_multiply_beta_c(rng):
     )
 
 
+def test_sharded_checkpoint_roundtrip(rng, tmp_path):
+    """Per-shard checkpoint write/read without gathering (the MPI-IO
+    analog for owner-sharded storage)."""
+    from dbcsr_tpu.dist.sharded_ops import (
+        sharded_checkpoint_read,
+        sharded_checkpoint_write,
+    )
+
+    a, _, dist = _pair(rng)
+    sa = shard_matrix(a, dist)
+    d = str(tmp_path / "ckpt")
+    sharded_checkpoint_write(sa, d)
+    import os
+
+    assert os.path.exists(os.path.join(d, "index.npz"))
+    assert os.path.exists(os.path.join(d, "shard_3.npy"))
+    back = sharded_checkpoint_read(d, dist.grid)
+    assert back.nblks == sa.nblks and back.tile == sa.tile
+    np.testing.assert_array_equal(_dense(back), np.asarray(a.to_dense()))
+    # restored data is owner-sharded, usable directly by sharded ops
+    assert sharded_trace(back) == pytest.approx(trace(a), rel=1e-5)
+
+
 def test_sharded_ops_complex(rng):
     """Complex dtype through the sharded elementwise/reduction layer
     (conjugation in dot, complex block norms in filter)."""
