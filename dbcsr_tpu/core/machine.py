@@ -18,6 +18,7 @@ __all__ = [
     "m_memory",
     "m_peak_memory",
     "m_flush",
+    "m_energy",
     "device_memory_stats",
 ]
 
@@ -54,6 +55,20 @@ def m_peak_memory() -> int:
 def m_flush(stream=None) -> None:
     """Flush an output stream (``m_flush``)."""
     (stream or sys.stdout).flush()
+
+
+def m_energy() -> float:
+    """Cumulative energy counter in joules (``m_energy``,
+    ``src/base/dbcsr_machine.F:54-180``: Cray PM counters there, 0.0
+    elsewhere). Reads the host RAPL counter when the kernel exposes it;
+    returns 0.0 otherwise, exactly like the reference off-Cray."""
+    try:
+        with open(
+            "/sys/class/powercap/intel-rapl:0/energy_uj"
+        ) as f:
+            return int(f.read()) / 1e6
+    except (OSError, ValueError):
+        return 0.0
 
 
 def device_memory_stats(device=None) -> Optional[Dict[str, int]]:
