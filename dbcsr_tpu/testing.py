@@ -27,6 +27,8 @@ __all__ = [
     "check_multiply",
     "test_mm",
     "test_binary_io",
+    "test_tas",
+    "test_tensor",
     "validate_kernels",
     "run_tests",
 ]
@@ -201,11 +203,70 @@ def test_binary_io(*, seed: int = 0, verbose: bool = False) -> bool:
     return good
 
 
+def test_tas(*, seed: int = 0, verbose: bool = False) -> bool:
+    """TAS self-test: tall multiply vs dense oracle (the reference's
+    ``dbcsr_tas_unittest`` checksum recipe in miniature)."""
+    from .tas import tas_multiply
+
+    rng = np.random.default_rng(seed)
+    mbs = random_block_sizes(300, [2, 3], rng)
+    kbs = random_block_sizes(24, [3], rng)
+    nbs = random_block_sizes(20, [2], rng)
+    a = random_matrix(mbs, kbs, 0.3, rng, dtype=np.float64, name="A")
+    b = random_matrix(kbs, nbs, 0.6, rng, dtype=np.float64, name="B")
+    out = tas_multiply("N", "N", 1.0, a, b, nsplit=4).matrix
+    ref = to_dense_local(a) @ to_dense_local(b)
+    good = bool(np.abs(to_dense_local(out) - ref).max() <= 1e-10 * max(
+        np.abs(ref).max(), 1.0
+    ))
+    if verbose or not good:
+        print(f"test_tas: {'OK' if good else 'FAILED'}")
+    return good
+
+
+def test_tensor(*, seed: int = 0, verbose: bool = False) -> bool:
+    """Tensor self-test: rank-3 contraction vs an einsum oracle (the
+    reference's ``dbcsr_t_contract_test``)."""
+    from .tensors import NDMapping, TensorBuilder, contract
+
+    rng = np.random.default_rng(seed)
+    bs = [np.array([2, 3]), np.array([2, 2]), np.array([3, 1, 2])]
+    bs_l = [np.array([4])]
+
+    def build(sizes, occ, mapping=None):
+        bld = TensorBuilder(sizes, mapping, dtype=np.float64)
+        nbpd = [len(s) for s in sizes]
+        for flat in np.flatnonzero(rng.random(int(np.prod(nbpd))) < occ):
+            bi = np.unravel_index(flat, nbpd)
+            shp = tuple(int(sizes[d][bi[d]]) for d in range(len(sizes)))
+            bld.put_block(bi, rng.standard_normal(shp))
+        return bld.finalize()
+
+    a = build(bs, 0.7, NDMapping(3, (0, 1), (2,)))
+    b = build([bs[2]] + bs_l, 0.8)
+    out = contract(
+        1.0, a, b,
+        contract_1=(2,), notcontract_1=(0, 1),
+        contract_2=(0,), notcontract_2=(1,),
+    )
+    ref = np.einsum("ijk,kl->ijl", np.asarray(a.to_dense()),
+                    np.asarray(b.to_dense()))
+    good = bool(
+        np.abs(np.asarray(out.to_dense()) - ref).max()
+        <= 1e-10 * max(np.abs(ref).max(), 1.0)
+    )
+    if verbose or not good:
+        print(f"test_tensor: {'OK' if good else 'FAILED'}")
+    return good
+
+
 def run_tests(*, verbose: bool = False) -> bool:
     """Run every built-in self-test (``dbcsr_run_tests``)."""
     ok = test_mm(verbose=verbose)
     ok = test_binary_io(verbose=verbose) and ok
     ok = validate_kernels(verbose=verbose) and ok
+    ok = test_tas(verbose=verbose) and ok
+    ok = test_tensor(verbose=verbose) and ok
     if verbose:
         print(f"run_tests: {'ALL OK' if ok else 'FAILURES'}")
     return ok
