@@ -112,7 +112,9 @@ def main():
 
     from dbcsr_tpu.block.store import store_layout
 
-    chain = store_layout(c_index, a.tile).n_tiles == a.layout.n_tiles
+    chain = np.array_equal(
+        store_layout(c_index, a.tile).tile_keys(), a.layout.tile_keys()
+    )
 
     @partial(jax.jit, static_argnames="n")
     def loop(a_data, b_data, n):

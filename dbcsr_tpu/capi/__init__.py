@@ -29,11 +29,6 @@ def header_path() -> str:
 def build_capi(cc: str = "gcc") -> Optional[str]:
     """Compile the shim; returns the .so path (cached) or None if no
     compiler / no shared libpython is available."""
-    with open(_SRC, "rb") as f:
-        tag = hashlib.sha256(f.read()).hexdigest()[:12]
-    so = os.path.join(_HERE, f"_capi_{tag}.so")
-    if os.path.exists(so):
-        return so
     inc = sysconfig.get_paths()["include"]
     libdir = sysconfig.get_config_var("LIBDIR")
     ver = sysconfig.get_config_var("LDVERSION") or sysconfig.get_config_var(
@@ -41,6 +36,16 @@ def build_capi(cc: str = "gcc") -> Optional[str]:
     )
     if not (libdir and ver):
         return None
+    with open(_SRC, "rb") as f:
+        # cache key covers the source AND the Python ABI it embeds, so a
+        # different interpreter triggers a rebuild instead of loading a
+        # binary linked against the wrong libpython
+        tag = hashlib.sha256(
+            f.read() + f"|{ver}|{libdir}".encode()
+        ).hexdigest()[:12]
+    so = os.path.join(_HERE, f"_capi_{tag}.so")
+    if os.path.exists(so):
+        return so
     tmp = so + f".tmp{os.getpid()}"
     cmd = [
         cc, "-O2", "-shared", "-fPIC", f"-I{inc}", f"-I{_HERE}", _SRC,

@@ -45,16 +45,25 @@ static int64_t put_handle(PyObject *o) { /* steals the reference */
     g_obj[h - 1] = o;
     return h;
   }
-  if (g_cap == 0 || g_obj[g_cap - 1] != NULL) {
-    int64_t ncap = g_cap ? 2 * g_cap : 64;
-    g_obj = (PyObject **)realloc(g_obj, (size_t)ncap * sizeof(PyObject *));
-    g_free = (int64_t *)realloc(g_free, (size_t)ncap * sizeof(int64_t));
-    memset(g_obj + g_cap, 0, (size_t)(ncap - g_cap) * sizeof(PyObject *));
-    for (int64_t i = ncap; i > g_cap; --i) g_free[g_nfree++] = i;
-    g_cap = ncap;
-    return put_handle(o);
+  int64_t ncap = g_cap ? 2 * g_cap : 64;
+  PyObject **nobj =
+      (PyObject **)realloc(g_obj, (size_t)ncap * sizeof(PyObject *));
+  int64_t *nfree =
+      (int64_t *)realloc(g_free, (size_t)ncap * sizeof(int64_t));
+  if (!nobj || !nfree) {
+    /* keep the old (still valid) tables; report failure as handle 0 */
+    if (nobj) g_obj = nobj;
+    if (nfree) g_free = nfree;
+    Py_DECREF(o);
+    snprintf(g_err, sizeof(g_err), "out of memory growing handle table");
+    return 0;
   }
-  return 0; /* unreachable */
+  g_obj = nobj;
+  g_free = nfree;
+  memset(g_obj + g_cap, 0, (size_t)(ncap - g_cap) * sizeof(PyObject *));
+  for (int64_t i = ncap; i > g_cap; --i) g_free[g_nfree++] = i;
+  g_cap = ncap;
+  return put_handle(o);
 }
 
 static PyObject *get_handle(int64_t h) {
@@ -162,7 +171,7 @@ static int finish_obj(PyGILState_STATE st, PyObject *r, int64_t *out) {
   }
   *out = put_handle(r);
   PyGILState_Release(st);
-  return 0;
+  return *out == 0; /* 0 = handle-table OOM (error already recorded) */
 }
 
 /* result float -> *out */

@@ -53,15 +53,15 @@ class _TimerEnv(threading.local):
         self.stack: List[_Frame] = []
         self.stats: Dict[str, RoutineStat] = {}
         self.edges: Dict[tuple, List[float]] = {}  # (caller, callee) -> [calls, time]
-        self.tracing: bool = True
 
 
 _env = _TimerEnv()
+_tracing: bool = True  # process-wide, like the reference's toggle
 
 
 def timeset(name: str) -> None:
     frame = _Frame(name, time.perf_counter())
-    if _env.tracing and _TraceAnnotation is not None:
+    if _tracing and _TraceAnnotation is not None:
         try:
             frame.annotation = _TraceAnnotation(name)
             frame.annotation.__enter__()
@@ -101,10 +101,11 @@ def timed(name: str) -> Iterator[None]:
 
 
 def set_tracing(enabled: bool) -> None:
-    """Toggle jax.profiler trace annotations for timed ranges (the
-    reference's ``timings_setup_tracing``,
+    """Toggle jax.profiler trace annotations for timed ranges,
+    process-wide (the reference's ``timings_setup_tracing``,
     ``src/core/dbcsr_timings_report.F:357``)."""
-    _env.tracing = bool(enabled)
+    global _tracing
+    _tracing = bool(enabled)
 
 
 def reset_timers() -> None:

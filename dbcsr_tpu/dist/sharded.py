@@ -58,6 +58,9 @@ class ShardLayout:
     pos_of_slot: np.ndarray  # int64 [n_tiles]
     #: inverse: global slot per sharded position (-1 padding)
     slot_of_pos: np.ndarray  # int64 [p*q*n_max]
+    #: O(1) fingerprint for cache keys / layout-equality checks (hash of
+    #: the construction inputs — no per-call hashing of the big maps)
+    token: str = ""
 
     @property
     def ndev(self) -> int:
@@ -79,6 +82,12 @@ def shard_layout_from_bins(
     )
 
     def mk():
+        import hashlib
+
+        token = hashlib.sha1(
+            repr((tile, p, q, id(index))).encode()
+            + rowb.tobytes() + colb.tobytes()
+        ).hexdigest()[:16]
         lay = store_layout(index, tile)
         coords = lay.tile_coords
         owner = (rowb[coords[:, 0]] * q + colb[coords[:, 1]]).astype(np.int32)
@@ -96,6 +105,7 @@ def shard_layout_from_bins(
         return ShardLayout(
             p=p, q=q, n_max=n_max, owner_of_slot=owner,
             local_of_slot=local, pos_of_slot=pos, slot_of_pos=inv,
+            token=token,
         )
 
     return index._cached(key, mk)

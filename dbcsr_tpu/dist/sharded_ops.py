@@ -188,7 +188,7 @@ def _shard_constant(
 
 def _sharded_valid_mask(sm: ShardedMatrix) -> jax.Array:
     """Cached sharded validity mask (1 on stored-block positions)."""
-    key = ("sharded_valid_mask", sm.tile, sm.shard.pos_of_slot.tobytes())
+    key = ("sharded_valid_mask", sm.tile, sm.shard.token)
     return sm.index._cached(
         key,
         lambda: _shard_constant(
@@ -221,10 +221,15 @@ def _reshard_positions(
     """Move a sharded store between two layouts OF THE SAME INDEX (e.g. a
     matrix's at-rest owner layout vs the executor's k-binned layout). A
     position-level gather; XLA inserts the implied collectives."""
-    if (
-        src_sl.n_max == dst_sl.n_max
-        and src_sl.pos_of_slot.tobytes() == dst_sl.pos_of_slot.tobytes()
-    ):
+    same = (
+        src_sl.token == dst_sl.token
+        if src_sl.token and dst_sl.token
+        else (
+            src_sl.n_max == dst_sl.n_max
+            and src_sl.pos_of_slot.tobytes() == dst_sl.pos_of_slot.tobytes()
+        )
+    )
+    if same:
         return x_sh
     take = np.full(dst_sl.ndev * dst_sl.n_max, _OOB, dtype=np.int32)
     valid = dst_sl.slot_of_pos >= 0
@@ -486,7 +491,7 @@ def sharded_trace(sm: ShardedMatrix):
     (``dbcsr_trace``; the reference reduces per-rank partials the same
     way)."""
     sl, t, mesh = sm.shard, sm.tile, sm.mesh
-    key = ("sharded_trace_tbl", t, sl.pos_of_slot.tobytes())
+    key = ("sharded_trace_tbl", t, sl.token)
 
     def mk():
         lay = store_layout(sm.index, t)
@@ -662,7 +667,7 @@ def sharded_block_norms(sm: ShardedMatrix) -> np.ndarray:
     if sm.index.nblks == 0:
         return np.zeros(0, dtype=np.float32)
     sl, t, mesh = sm.shard, sm.tile, sm.mesh
-    key = ("sharded_block_norm_tables", t, sl.pos_of_slot.tobytes())
+    key = ("sharded_block_norm_tables", t, sl.token)
 
     def mk():
         J_sh = _shard_constant(info.J_dev, sl, t, mesh)

@@ -36,7 +36,7 @@ from ..dist.distribution import Distribution, dist_tile_bins
 from ..dist.grid import AXIS_COL, AXIS_ROW
 from .tileplan import enumerate_tile_triples
 
-__all__ = ["execute_summa"]
+__all__ = ["execute_summa", "pad_summa_plan"]
 
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
@@ -69,7 +69,6 @@ def plan_summa(
     kb_b: np.ndarray,  # k tile -> prow bin (B's k sharding)
     p: int,
     q: int,
-    capacities: Optional[tuple] = None,  # (n_a, n_b, n_c, s_max) minima
 ) -> SummaPlan:
     """Tile-granular SUMMA schedule.
 
@@ -77,9 +76,8 @@ def plan_summa(
     on (kb_b[tr], colb[tc]). After the all_gathers every device holds A's
     full row-panel and B's full col-panel, so the local stacks reference
     positions in the GATHERED panels: A slot = owner_col * n_a + local slot.
-
-    ``capacities`` forces minimum panel/stack capacities so several plans
-    (e.g. TAS groups sharing one shard_map) can pad to common shapes.
+    (Plans sharing one shard_map pad to common capacities with
+    :func:`pad_summa_plan`.)
     """
     # --- owner panels -------------------------------------------------------
     def group(coords, rkey, ckey):
@@ -94,9 +92,6 @@ def plan_summa(
     b_panels = group(b_coords, kb_b, colb)  # (kp, j) -> tiles
     n_a = max((len(v) for v in a_panels.values()), default=1)
     n_b = max((len(v) for v in b_panels.values()), default=1)
-    if capacities is not None:
-        n_a = max(n_a, capacities[0])
-        n_b = max(n_b, capacities[1])
 
     a_pack = np.full((p, q, n_a), -1, dtype=np.int64)
     for (i, kq), tiles in a_panels.items():
@@ -109,8 +104,6 @@ def plan_summa(
     c_coords = c_layout.tile_coords
     c_dev = rowb[c_coords[:, 0]] * q + colb[c_coords[:, 1]]
     n_c = max(int(np.bincount(c_dev, minlength=p * q).max()), 1)
-    if capacities is not None:
-        n_c = max(n_c, capacities[2])
     c_unpack = np.empty(len(c_coords), dtype=np.int64)
     pos = np.zeros(p * q, dtype=np.int64)
     c_keys_dev = {d: [] for d in range(p * q)}
@@ -137,7 +130,7 @@ def plan_summa(
             shape=shape,
         )
 
-    s_max = 1 if capacities is None else max(1, capacities[3])
+    s_max = 1
     triples = {}
     for i in range(p):
         for j in range(q):
@@ -186,6 +179,37 @@ def plan_summa(
         p=p, q=q, n_a=n_a, n_b=n_b, n_c=n_c, s_max=s_max,
         a_pack=a_pack.reshape(-1), b_pack=b_pack.reshape(-1),
         stacks=stacks, c_unpack=c_unpack,
+    )
+
+
+def pad_summa_plan(
+    plan: SummaPlan, n_a: int, n_b: int, n_c: int, s_max: int
+) -> SummaPlan:
+    """Re-pad a plan to larger capacities (so several group plans share one
+    shard_map's static shapes). Gathered-panel slot ids are re-encoded for
+    the new panel strides; padded stack rows are trash entries."""
+    if (plan.n_a, plan.n_b, plan.n_c, plan.s_max) == (n_a, n_b, n_c, s_max):
+        return plan
+    p, q = plan.p, plan.q
+
+    def repad_pack(flat: np.ndarray, old_n: int, new_n: int) -> np.ndarray:
+        out = np.full((p, q, new_n), -1, dtype=flat.dtype)
+        out[:, :, :old_n] = flat.reshape(p, q, old_n)
+        return out.reshape(-1)
+
+    st = plan.stacks
+    new = np.zeros((p, q, s_max, 3), dtype=np.int32)
+    new[..., 0] = n_c  # trash
+    so = plan.s_max
+    new[:, :, :so, 0] = np.where(st[..., 0] == plan.n_c, n_c, st[..., 0])
+    new[:, :, :so, 1] = (st[..., 1] // plan.n_a) * n_a + st[..., 1] % plan.n_a
+    new[:, :, :so, 2] = (st[..., 2] // plan.n_b) * n_b + st[..., 2] % plan.n_b
+    c_unpack = (plan.c_unpack // plan.n_c) * n_c + plan.c_unpack % plan.n_c
+    return SummaPlan(
+        p=p, q=q, n_a=n_a, n_b=n_b, n_c=n_c, s_max=s_max,
+        a_pack=repad_pack(plan.a_pack, plan.n_a, n_a),
+        b_pack=repad_pack(plan.b_pack, plan.n_b, n_b),
+        stacks=new, c_unpack=c_unpack,
     )
 
 

@@ -472,7 +472,7 @@ def tas_multiply_subgrid(
             eff += symb.eff_flops
             subs.append((blocks, a_g if split_rows else b_g, c_g_index))
 
-        def plan_group(g, caps):
+        def plan_group(g):
             blocks, sub, c_g_index = subs[g]
             la = (sub if split_rows else a).layout
             lb = (b if split_rows else sub).layout
@@ -481,18 +481,19 @@ def tas_multiply_subgrid(
             colb = (np.arange(lb.ntc, dtype=np.int64) % q).astype(np.int32)
             return plan_summa(
                 la.tile_coords, lb.tile_coords, c_lay, rowb, colb,
-                kb_a, kb_b, p, q, capacities=caps,
+                kb_a, kb_b, p, q,
             ), c_lay
 
-        first = [plan_group(g, None)[0] for g in range(nsplit)]
-        caps = (
-            max(pl.n_a for pl in first),
-            max(pl.n_b for pl in first),
-            max(pl.n_c for pl in first),
-            max(pl.s_max for pl in first),
-        )
-        plans, c_lays = zip(*(plan_group(g, caps) for g in range(nsplit)))
-        n_a, n_b, n_c, s_max = caps
+        from ..mm.summa import pad_summa_plan
+
+        first, c_lays = zip(*(plan_group(g) for g in range(nsplit)))
+        n_a = max(pl.n_a for pl in first)
+        n_b = max(pl.n_b for pl in first)
+        n_c = max(pl.n_c for pl in first)
+        s_max = max(pl.s_max for pl in first)
+        plans = [
+            pad_summa_plan(pl, n_a, n_b, n_c, s_max) for pl in first
+        ]
 
         # grouped operand: one SUMMA-packed store per group, stacked on
         # 'split'; shared operand: packed once (identical packs by
