@@ -15,7 +15,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# DBCSR_TEST_PLATFORM=tpu runs the suite against the real chip (slow:
+# remote compiles); default is the virtual 8-device CPU mesh
+jax.config.update(
+    "jax_platforms", os.environ.get("DBCSR_TEST_PLATFORM", "cpu")
+)
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
