@@ -136,6 +136,9 @@ def shard_store_with_layout(m, sl: ShardLayout, mesh) -> jax.Array:
     mesh. (Single-controller: built locally then laid out; on multi-host
     each process only materializes its addressable shards via jax.)"""
     t = m.tile
+    if m.data.shape[0] == 0:  # empty matrix: all positions are padding
+        arr = jnp.zeros((sl.ndev, sl.n_max, t, t), dtype=m.data.dtype)
+        return jax.device_put(arr, mesh_sharding(mesh))
     take = np.where(
         sl.slot_of_pos >= 0, sl.slot_of_pos, np.iinfo(np.int32).max
     ).astype(np.int32)
