@@ -86,6 +86,10 @@ def test_fold_symmetric_roundtrip(rng):
 
 
 def test_multiply_complex(rng):
+    import jax
+
+    if jax.devices()[0].platform == "tpu":
+        pytest.skip("complex128 is not supported by the TPU backend")
     rbs = dt.random_block_sizes(20, [2, 4], rng)
     a = make(rng, rbs, rbs, 0.5, np.complex128)
     b = make(rng, rbs, rbs, 0.5, np.complex128)
