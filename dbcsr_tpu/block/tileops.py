@@ -170,10 +170,18 @@ def tile_block_info(index: BCSRIndex, tile: int) -> TileBlockInfo:
 
 @jax.jit
 def _per_tile_block_sums(store, J_dev, I_dev):
-    """z[t, a, b] = sum_{i,j} J[t,i,a] * |x[t,i,j]|^2 * I[t,j,b]."""
+    """z[t, a, b] = sum_{i,j} J[t,i,a] * |x[t,i,j]|^2 * I[t,j,b].
+
+    HIGHEST precision: norms are true single precision like the
+    reference's (``calculate_norms.cpp``); the MXU's default bf16 pass
+    would quantize them to ~3 digits."""
     x2 = (store * jnp.conj(store)).real.astype(jnp.float32)
-    y = jnp.einsum("tia,tij->taj", J_dev, x2)
-    return jnp.einsum("taj,tjb->tab", y, I_dev)
+    y = jnp.einsum(
+        "tia,tij->taj", J_dev, x2, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.einsum(
+        "taj,tjb->tab", y, I_dev, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def block_sums_sq(index: BCSRIndex, tile: int, store: jax.Array) -> np.ndarray:

@@ -683,9 +683,14 @@ def sharded_block_norms(sm: ShardedMatrix) -> np.ndarray:
     J_sh, I_sh, bid = sm.index._cached(key, mk)
 
     def local(x, Jd, Id):
+        # HIGHEST precision: true-f32 norms (see tileops._per_tile_block_sums)
         x2 = (x[0] * jnp.conj(x[0])).real.astype(jnp.float32)
-        y = jnp.einsum("tia,tij->taj", Jd[0], x2)
-        return jnp.einsum("taj,tjb->tab", y, Id[0])[None]
+        y = jnp.einsum(
+            "tia,tij->taj", Jd[0], x2, precision=jax.lax.Precision.HIGHEST
+        )
+        return jnp.einsum(
+            "taj,tjb->tab", y, Id[0], precision=jax.lax.Precision.HIGHEST
+        )[None]
 
     z = jax.shard_map(
         local, mesh=mesh, in_specs=(_DEV, _DEV, _DEV), out_specs=_DEV
