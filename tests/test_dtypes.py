@@ -10,12 +10,23 @@ from dbcsr_tpu.tas import tas_multiply
 from dbcsr_tpu.tensors import TensorBuilder, contract
 
 
+def _skip_if_unsupported(dtype):
+    import jax
+
+    if (
+        np.dtype(dtype) == np.complex128
+        and jax.devices()[0].platform == "tpu"
+    ):
+        pytest.skip("complex128 is not supported by the TPU backend")
+
+
 def dense(m):
     return np.asarray(m.to_dense())
 
 
 @pytest.mark.parametrize("dtype", [np.float32, np.float64, np.complex64, np.complex128])
 def test_multiply_all_dtypes(rng, dtype):
+    _skip_if_unsupported(dtype)
     bs = dt.random_block_sizes(30, [2, 3], rng)
     a = dt.random_matrix(bs, bs, 0.5, rng, dtype=dtype)
     b = dt.random_matrix(bs, bs, 0.5, rng, dtype=dtype)
@@ -26,6 +37,7 @@ def test_multiply_all_dtypes(rng, dtype):
 
 
 def test_hermitian_desymmetrize_and_multiply(rng):
+    _skip_if_unsupported(np.complex128)
     bs = dt.random_block_sizes(24, [2, 3], rng)
     h = dt.random_matrix(bs, bs, 0.6, rng, dtype=np.complex128, sym="H")
     dh = dense(h)
@@ -36,6 +48,7 @@ def test_hermitian_desymmetrize_and_multiply(rng):
 
 
 def test_complex_conjugate_transpose_combos(rng):
+    _skip_if_unsupported(np.complex128)
     bs = dt.random_block_sizes(20, [2, 4], rng)
     a = dt.random_matrix(bs, bs, 0.5, rng, dtype=np.complex128)
     b = dt.random_matrix(bs, bs, 0.5, rng, dtype=np.complex128)
@@ -50,6 +63,7 @@ def test_complex_conjugate_transpose_combos(rng):
 
 
 def test_tas_multiply_complex(rng):
+    _skip_if_unsupported(np.complex128)
     mbs = dt.random_block_sizes(50, [2, 3], rng)
     kbs = dt.random_block_sizes(8, [2], rng)
     nbs = dt.random_block_sizes(10, [3], rng)
@@ -61,6 +75,7 @@ def test_tas_multiply_complex(rng):
 
 
 def test_contract_complex(rng):
+    _skip_if_unsupported(np.complex128)
     bs_i, bs_k, bs_j = np.array([2, 3]), np.array([2, 2]), np.array([4])
     def rand_t(shape_bs):
         tb = TensorBuilder(shape_bs, dtype=np.complex128)
@@ -86,6 +101,7 @@ def test_contract_complex(rng):
 
 
 def test_complex_norms_and_ops(rng):
+    _skip_if_unsupported(np.complex128)
     bs = dt.random_block_sizes(16, [2, 3], rng)
     m = dt.random_matrix(bs, bs, 0.6, rng, dtype=np.complex128)
     dm = dense(m)
