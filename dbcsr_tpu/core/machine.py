@@ -19,6 +19,7 @@ __all__ = [
     "m_peak_memory",
     "m_flush",
     "m_energy",
+    "backend_supports_complex",
     "device_memory_stats",
 ]
 
@@ -55,6 +56,45 @@ def m_peak_memory() -> int:
 def m_flush(stream=None) -> None:
     """Flush an output stream (``m_flush``)."""
     (stream or sys.stdout).flush()
+
+
+_COMPLEX_OK: dict = {}
+
+
+def backend_supports_complex() -> bool:
+    """Whether the default backend can do complex arithmetic (cached probe).
+
+    Stock jax-on-TPU decomposes complex64 into real ops, but restricted
+    toolchains (e.g. AOT-only compile services) may reject complex HLO
+    entirely; CPU/GPU always support it. The probe runs in a SUBPROCESS:
+    on backends that lack complex support, even a failed complex
+    ``device_put`` leaves the in-process runtime client in a broken state,
+    so it must never be attempted in the caller's process."""
+    import subprocess
+
+    import jax
+
+    key = jax.devices()[0].platform
+    if key not in _COMPLEX_OK:
+        if key in ("cpu", "gpu", "cuda", "rocm"):
+            _COMPLEX_OK[key] = True
+        else:
+            code = (
+                "import os, jax, jax.numpy as jnp;"
+                "jax.config.update('jax_platforms',"
+                " os.environ['DT_PROBE_PLATFORM']);"
+                "(jnp.ones((2, 2), jnp.complex64) + 1).block_until_ready()"
+            )
+            env = dict(os.environ, DT_PROBE_PLATFORM=key)
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c", code], env=env,
+                    capture_output=True, timeout=300,
+                )
+                _COMPLEX_OK[key] = r.returncode == 0
+            except Exception:
+                _COMPLEX_OK[key] = False
+    return _COMPLEX_OK[key]
 
 
 def m_energy() -> float:

@@ -11,13 +11,12 @@ from dbcsr_tpu.tensors import TensorBuilder, contract
 
 
 def _skip_if_unsupported(dtype):
-    import jax
+    from dbcsr_tpu.core.machine import backend_supports_complex
 
-    if (
-        np.dtype(dtype) == np.complex128
-        and jax.devices()[0].platform == "tpu"
+    if np.issubdtype(np.dtype(dtype), np.complexfloating) and (
+        not backend_supports_complex()
     ):
-        pytest.skip("complex128 is not supported by the TPU backend")
+        pytest.skip("backend does not support complex arithmetic")
 
 
 def dense(m):

@@ -86,10 +86,10 @@ def test_fold_symmetric_roundtrip(rng):
 
 
 def test_multiply_complex(rng):
-    import jax
+    from dbcsr_tpu.core.machine import backend_supports_complex
 
-    if jax.devices()[0].platform == "tpu":
-        pytest.skip("complex128 is not supported by the TPU backend")
+    if not backend_supports_complex():
+        pytest.skip("backend does not support complex arithmetic")
     rbs = dt.random_block_sizes(20, [2, 4], rng)
     a = make(rng, rbs, rbs, 0.5, np.complex128)
     b = make(rng, rbs, rbs, 0.5, np.complex128)

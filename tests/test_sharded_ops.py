@@ -248,6 +248,10 @@ def test_sharded_checkpoint_roundtrip(rng, tmp_path):
 
 
 def test_sharded_ops_complex(rng):
+    from dbcsr_tpu.core.machine import backend_supports_complex
+
+    if not backend_supports_complex():
+        pytest.skip("backend does not support complex arithmetic")
     """Complex dtype through the sharded elementwise/reduction layer
     (conjugation in dot, complex block norms in filter)."""
     grid = ProcessGrid.make(2, 2)
