@@ -49,6 +49,13 @@ class Config:
     #: use on-the-fly per-row epsilon thresholds (eps/row_count)**2 like
     #: dbcsr_mm_cannon.F:1100-1113 (else a flat eps**2 block filter)
     per_row_eps: bool = True
+    #: triple-survival rule for on-the-fly filtering: "sum" keeps a C block
+    #: when the SUM of its contributions' norm products clears the
+    #: threshold (cheap superset; post-filter prunes the rest); "exact"
+    #: reproduces the reference rule — a C block survives iff ANY single
+    #: triple has |a|^2*|b|^2 >= (eps/row_count)^2
+    #: (dbcsr_mm_csr.F:260-280, dbcsr_mm_cannon.F:1042-1113)
+    filter_mode: str = "sum"
     #: accumulate tile products in this dtype on the MXU
     acc_dtype: str = "float32"
     #: matmul precision for f32 inputs: "default" | "high" | "highest"

@@ -85,8 +85,25 @@ def print_statistics(out=None) -> str:
     if s.num_stacks:
         lines.append(f" avg stack size           {s.total_stack_entries / s.num_stacks:.1f}")
     lines.append(f" {'m x n x k':<16} {'blocks':>12} {'flops':>14}")
+    any_aggregated = False
+
+    def _lbl(v: int) -> str:
+        # negative labels mark aggregated "other" classes (mnk_statistics):
+        # the magnitude is the count-weighted mean size of the tail
+        nonlocal any_aggregated
+        if v < 0:
+            any_aggregated = True
+            return f"~{-v}"
+        return str(v)
+
     for (m, n, k), (cnt, fl) in sorted(s.by_mnk.items(), key=lambda kv: -kv[1][1]):
-        lines.append(f" {m}x{n}x{k:<10} {cnt:>12} {fl:>14.4E}")
+        mnk = f"{_lbl(m)}x{_lbl(n)}x{_lbl(k)}"
+        lines.append(f" {mnk:<16} {cnt:>12} {fl:>14.4E}")
+    if any_aggregated:
+        lines.append(
+            " (~s = classes beyond the top-8 distinct sizes aggregated;"
+            " label is the mean size, flops are exact)"
+        )
     if s.comm_msgs:
         lines.append(" device communication (collective, message-size bucket)")
         lines.append(f" {'kind':<14} {'size bucket':>14} {'messages':>10} {'bytes':>14}")

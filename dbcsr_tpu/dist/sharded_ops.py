@@ -306,7 +306,11 @@ def sharded_multiply(
     )
     if alpha != 1.0:
         out = sharded_scale(out, alpha)
-    if c is not None and beta != 0.0:
+    if c is not None:
+        # always merge C's index — even at beta == 0 the result's sparsity
+        # pattern retains C's (zeroed) blocks, matching the local engine
+        # (engine.py merges c.index into c_index regardless of beta) and the
+        # reference's beta-scaling semantics (src/mm/dbcsr_mm.F:630-709)
         out = sharded_add(1.0, out, beta, c)
     return out
 

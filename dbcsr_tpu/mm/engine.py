@@ -345,13 +345,11 @@ def multiply(
         if cfg.collect_mnk_stats:
             from .plan import mnk_statistics
 
-            for (m_, n_, k_), cnt in mnk_statistics(
+            for (m_, n_, k_), (cnt, fl) in mnk_statistics(
                 a.index, ta, b.index, tb, symb.rows, symb.cols
             ).items():
                 prev_cnt, prev_fl = stats.by_mnk.get((m_, n_, k_), (0, 0.0))
-                stats.by_mnk[(m_, n_, k_)] = (
-                    prev_cnt + cnt, prev_fl + 2.0 * m_ * n_ * k_ * cnt
-                )
+                stats.by_mnk[(m_, n_, k_)] = (prev_cnt + cnt, prev_fl + fl)
 
     if return_flops:
         return result, symb.eff_flops
@@ -556,7 +554,8 @@ def build_distributed_executor(
     planning done up front — the distributed steady-state form for
     weak-scaling measurement (BASELINE metric #2).
 
-    With ``sharded=True`` (N,N only) the executor consumes and produces the
+    With ``sharded=True`` (all transpose combinations supported, see
+    ``tests/test_sharded.py``) the executor consumes and produces the
     SHARDED at-rest form (``dist/sharded.py``): inputs are
     ``[ndev, n_max, T, T]`` owner-partitioned arrays, the output is C's
     sharded store (its per-device tile order IS the plan's C ordering), and

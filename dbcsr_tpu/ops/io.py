@@ -47,8 +47,14 @@ _VERSION = 1
 
 def _write_array(f, arr: np.ndarray) -> None:
     data = np.ascontiguousarray(arr)
+    descr = np.lib.format.dtype_to_descr(data.dtype).encode()
+    if len(descr) > 16:
+        raise DbcsrError(
+            f"dtype descriptor {descr!r} exceeds the 16-byte checkpoint "
+            "field; refusing to write a corrupt snapshot"
+        )
     f.write(struct.pack("<B", 0))
-    f.write(struct.pack("<16s", np.lib.format.dtype_to_descr(data.dtype).encode()))
+    f.write(struct.pack("<16s", descr))
     f.write(struct.pack("<q", data.size))
     f.write(data.tobytes())
 
@@ -246,10 +252,21 @@ def get_stored_coordinates(m: BCSRMatrix, row: int, col: int) -> Optional[int]:
 
 def checksum(m: BCSRMatrix, *, pos: bool = False) -> float:
     """Matrix checksum (``dbcsr_checksum``, ``src/dist/dbcsr_dist_util.F:56``).
-    ``pos=True`` weights elements by position for layout-sensitive checks."""
+
+    ``pos=True`` matches the reference's position-dependent form
+    (``pd_blk_cs``, ``src/dist/dbcsr_dist_util.F:552-577``): each element is
+    weighted by ``log(|global_row * global_col|)`` with 1-based global
+    element coordinates — invariant under re-blocking of identical logical
+    content, so values are comparable to reference checksums."""
     host = m.flat_host()
     if not pos:
         return float((np.abs(host).astype(np.float64) ** 2).sum())
-    # position-weighted variant: weight by 1-based flat element index
-    w = np.arange(1, host.size + 1, dtype=np.float64)
+    idx = m.index
+    _, bn = idx.blk_shapes
+    b_of = idx.elem_to_blk
+    off_in_blk = np.arange(host.size, dtype=np.int64) - idx.blk_offset[b_of]
+    ncols = bn[b_of].astype(np.int64)
+    gr = idx.row_offsets[idx.blk_rows[b_of]] + off_in_blk // ncols + 1
+    gc = idx.col_offsets[idx.col_idx[b_of]] + off_in_blk % ncols + 1
+    w = np.log(np.abs(gr.astype(np.float64) * gc.astype(np.float64)))
     return float((host.real.astype(np.float64) * w).sum())

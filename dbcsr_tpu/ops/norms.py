@@ -40,9 +40,37 @@ def block_norms(m: BCSRMatrix) -> np.ndarray:
 
 def norm_frobenius(m: BCSRMatrix) -> float:
     if m.sym != SYM_NONE:
+        # Off-diagonal stored blocks count twice. Diagonal blocks follow
+        # desymmetrize's shadowing convention (transform.py): the strictly-
+        # lower interior is replaced by the reflected upper triangle, so it
+        # contributes 2*||triu(b,1)||^2 + ||diag(b)||^2 — stored strictly-
+        # lower elements of diagonal blocks are ignored. This keeps
+        # norm_frobenius(m) == norm_frobenius(desymmetrize(m)) even when a
+        # stored diagonal block is not internally symmetric.
         nsq = block_norms_sq(m).astype(np.float64)
         diag = m.index.blk_rows == m.index.col_idx
-        return float(np.sqrt(2.0 * nsq.sum() - nsq[diag].sum()))
+        off_sum = nsq[~diag].sum()
+        idx = m.index
+        diag_ids = np.flatnonzero(diag)
+        diag_sum = 0.0
+        if len(diag_ids):
+            host = m.flat_host()
+            _, bn = idx.blk_shapes
+            spans = np.concatenate(
+                [
+                    np.arange(idx.blk_offset[b], idx.blk_offset[b + 1])
+                    for b in diag_ids
+                ]
+            )
+            b_of = idx.elem_to_blk[spans]
+            off_in_blk = spans - idx.blk_offset[b_of]
+            ncols = bn[b_of].astype(np.int64)
+            r_loc = off_in_blk // ncols
+            c_loc = off_in_blk % ncols
+            w = np.where(r_loc < c_loc, 2.0, np.where(r_loc == c_loc, 1.0, 0.0))
+            vals = host[spans]
+            diag_sum = float(((vals * np.conj(vals)).real.astype(np.float64) * w).sum())
+        return float(np.sqrt(2.0 * off_sum + diag_sum))
     if m.data.size == 0:
         return 0.0
     # padding positions are exactly 0, so the raw store sum is the norm
