@@ -461,7 +461,12 @@ def plan_cannon_tiled(
     layers: int,
 ) -> Optional[TiledCannonPlan]:
     """Build the tile-granular Cannon schedule, or None if any tile maps
-    outside the grid."""
+    outside the grid.
+
+    Fully vectorized single pass: panels, pack maps, per-device C sets and
+    the per-(device, layer, tick) stacks all come from one global triple
+    enumeration + numpy grouping — no Python loop over tiles, panels or
+    grid cells (the O(P²) per-panel scipy loop flagged in round 1)."""
     import scipy.sparse as sp
 
     from .tileplan import enumerate_tile_triples
@@ -469,118 +474,132 @@ def plan_cannon_tiled(
     klay = _tile_layer_split(kb, layers)
     kl = kb * layers + klay  # combined (bin, layer) id per k tile
     nkl = p * layers
+    mt, ktl, ntc_n = int(len(rowb)), int(len(kb)), int(len(colb))
 
-    # --- panels -----------------------------------------------------------
-    def panels(coords, rkey, ckey):
-        """dict (rk, ck) -> list of op-store tile slots, row-major order."""
-        out = {}
-        pid_r = rkey[coords[:, 0]]
-        pid_c = ckey[coords[:, 1]]
-        for t in range(len(coords)):
-            out.setdefault((int(pid_r[t]), int(pid_c[t])), []).append(t)
-        return out
+    # --- panels: panel id + slot-within-panel per tile -------------------
+    # (stable sort keeps each panel's tiles in row-major store order, the
+    # panel slot order the executor's pack maps rely on)
+    def panelize(coords, rk, ck, npan_c):
+        pid = (
+            rk[coords[:, 0]].astype(np.int64) * npan_c
+            + ck[coords[:, 1]].astype(np.int64)
+        )
+        order = np.argsort(pid, kind="stable")
+        counts = np.bincount(pid, minlength=p * npan_c if npan_c else 1)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        slot = np.empty(len(pid), dtype=np.int64)
+        slot[order] = np.arange(len(pid), dtype=np.int64) - starts[pid[order]]
+        return pid, slot, counts
 
-    a_panels = panels(a_coords, rowb, kl)
-    b_panels = panels(b_coords, kl, colb)
-    n_a = max((len(v) for v in a_panels.values()), default=1)
-    n_b = max((len(v) for v in b_panels.values()), default=1)
+    a_pid, a_slot, a_counts = panelize(a_coords, rowb, kl, nkl)
+    b_pid, b_slot, b_counts = panelize(b_coords, kl, colb, p)
+    n_a = max(int(a_counts.max()) if a_counts.size else 0, 1)
+    n_b = max(int(b_counts.max()) if b_counts.size else 0, 1)
 
     # pack maps: pre-shifted destinations (make_images 'L'/'R'
     # predistribution, dbcsr_mm_cannon.F:146-751)
-    a_pack = np.full((p, p, layers, n_a), -1, dtype=np.int64)
-    for (pi, kli), tiles in a_panels.items():
-        kbin, lay_ = kli // layers, kli % layers
-        dev_col = (kbin - pi) % p
-        a_pack[pi, dev_col, lay_, : len(tiles)] = tiles
-    b_pack = np.full((p, p, layers, n_b), -1, dtype=np.int64)
-    for (kli, pj), tiles in b_panels.items():
-        kbin, lay_ = kli // layers, kli % layers
-        dev_row = (kbin - pj) % p
-        b_pack[dev_row, pj, lay_, : len(tiles)] = tiles
+    a_pi, a_kli = a_pid // nkl, a_pid % nkl
+    a_kbin, a_lay = a_kli // layers, a_kli % layers
+    a_devcol = (a_kbin - a_pi) % p
+    a_pack = np.full(p * p * layers * n_a, -1, dtype=np.int64)
+    a_pack[((a_pi * p + a_devcol) * layers + a_lay) * n_a + a_slot] = (
+        np.arange(len(a_coords), dtype=np.int64)
+    )
+    b_kli, b_pj = b_pid // p, b_pid % p
+    b_kbin, b_lay = b_kli // layers, b_kli % layers
+    b_devrow = (b_kbin - b_pj) % p
+    b_pack = np.full(p * p * layers * n_b, -1, dtype=np.int64)
+    b_pack[((b_devrow * p + b_pj) * layers + b_lay) * n_b + b_slot] = (
+        np.arange(len(b_coords), dtype=np.int64)
+    )
 
-    # --- per-device C tile sets --------------------------------------------
+    # --- per-device C tile sets ------------------------------------------
     c_coords = c_layout.tile_coords
-    c_dev = rowb[c_coords[:, 0]] * p + colb[c_coords[:, 1]]
-    n_c = max(int(np.bincount(c_dev, minlength=p * p).max()), 1)
-    c_unpack = np.empty(len(c_coords), dtype=np.int64)
-    pos_in_dev = np.zeros(p * p, dtype=np.int64)
-    c_keys_dev = {d: [] for d in range(p * p)}
-    for s in range(len(c_coords)):
-        d = int(c_dev[s])
-        c_unpack[s] = d * n_c + pos_in_dev[d]
-        c_keys_dev[d].append(
-            int(c_coords[s, 0]) * c_layout.ntc + int(c_coords[s, 1])
+    c_dev = (
+        rowb[c_coords[:, 0]].astype(np.int64) * p
+        + colb[c_coords[:, 1]].astype(np.int64)
+    )
+    c_counts = np.bincount(c_dev, minlength=p * p)
+    n_c = max(int(c_counts.max()) if len(c_coords) else 0, 1)
+    c_starts = np.concatenate([[0], np.cumsum(c_counts)[:-1]])
+    order_c = np.argsort(c_dev, kind="stable")
+    pos = np.empty(len(c_dev), dtype=np.int64)
+    pos[order_c] = np.arange(len(c_dev), dtype=np.int64) - c_starts[c_dev[order_c]]
+    c_unpack = c_dev * n_c + pos
+    # per-device key lists, concatenated sorted-by-(dev, key): tile_coords
+    # are globally row-major sorted so keys ascend within each device
+    c_keys = (
+        c_coords[:, 0].astype(np.int64) * c_layout.ntc
+        + c_coords[:, 1].astype(np.int64)
+    )
+    keyspace = int(c_layout.ntr) * int(c_layout.ntc) + 1
+    c_devkey = c_dev[order_c] * keyspace + c_keys[order_c]
+
+    # --- stacks: one global triple enumeration, grouped ------------------
+    amat = sp.csr_matrix(
+        (
+            np.arange(1, len(a_coords) + 1, dtype=np.int64),
+            (a_coords[:, 0].astype(np.int64), a_coords[:, 1].astype(np.int64)),
+        ),
+        shape=(mt, ktl),
+    )
+    bmat = sp.csr_matrix(
+        (
+            np.arange(1, len(b_coords) + 1, dtype=np.int64),
+            (b_coords[:, 0].astype(np.int64), b_coords[:, 1].astype(np.int64)),
+        ),
+        shape=(ktl, ntc_n),
+    )
+    cr, cc, asl_g, bsl_g = enumerate_tile_triples(amat, bmat)
+
+    n_groups = p * p * layers * p
+    if len(cr) == 0:
+        stacks = np.zeros((p, p, layers, p, 1, 3), dtype=np.int32)
+        stacks[..., 0] = n_c
+        return TiledCannonPlan(
+            p=p, layers=layers, n_a=n_a, n_b=n_b, n_c=n_c, s_max=1,
+            a_pack=a_pack, b_pack=b_pack, stacks=stacks, c_unpack=c_unpack,
         )
-        pos_in_dev[d] += 1
-    c_keys_dev = {d: np.asarray(v, dtype=np.int64) for d, v in c_keys_dev.items()}
 
-    # --- stacks per (device, layer, tick) ----------------------------------
-    def pat(tiles, coords, shape):
-        """Panel tile pattern in GLOBAL tile coordinates; values = local
-        panel slot + 1 (tiles list order = panel slot order)."""
-        return sp.csr_matrix(
-            (
-                np.arange(1, len(tiles) + 1, dtype=np.int64),
-                (coords[tiles, 0].astype(np.int64), coords[tiles, 1].astype(np.int64)),
-            ),
-            shape=shape,
-        )
-
-    mt = int(len(rowb))
-    ktl = int(len(kb))
-    ntc = int(len(colb))
-    triples = {}
-    s_max = 1
-    for i in range(p):
-        for j in range(p):
-            for l in range(layers):
-                per_tick = []
-                for t in range(p):
-                    kbin = (i + j + t) % p
-                    kli = kbin * layers + l
-                    ta_ = a_panels.get((i, kli), [])
-                    tb_ = b_panels.get((kli, j), [])
-                    if not ta_ or not tb_:
-                        per_tick.append(None)
-                        continue
-                    amat = pat(np.asarray(ta_), a_coords, (mt, ktl))
-                    bmat = pat(np.asarray(tb_), b_coords, (ktl, ntc))
-                    cr, cc, asl, bsl = enumerate_tile_triples(amat, bmat)
-                    per_tick.append((cr, cc, asl, bsl))
-                    s_max = max(s_max, len(cr))
-                triples[(i, j, l)] = per_tick
-
-    stacks = np.zeros((p, p, layers, p, s_max, 3), dtype=np.int32)
-    stacks[..., 0] = n_c  # trash slot default
-    for (i, j, l), per_tick in triples.items():
-        keys = c_keys_dev[i * p + j]
-        for t, tri in enumerate(per_tick):
-            if tri is None:
-                continue
-            cr, cc, asl, bsl = tri
-            s = len(cr)
-            if s == 0:
-                continue
-            ck = cr * c_layout.ntc + cc
-            cslot = np.searchsorted(keys, ck)
-            ok = (cslot < len(keys)) & (
-                keys[np.minimum(cslot, max(len(keys) - 1, 0))] == ck
-            )
-            cslot = np.where(ok, cslot, n_c)  # no C block there -> trash
-            order = np.argsort(cslot, kind="stable")
-            stacks[i, j, l, t, :s, 0] = cslot[order]
-            stacks[i, j, l, t, :s, 1] = asl[order]
-            stacks[i, j, l, t, :s, 2] = bsl[order]
+    i_t = rowb[cr].astype(np.int64)
+    j_t = colb[cc].astype(np.int64)
+    kli_t = kl[a_coords[asl_g, 1]].astype(np.int64)
+    kbin_t, l_t = kli_t // layers, kli_t % layers
+    t_t = (kbin_t - i_t - j_t) % p  # tick when this k bin visits (i, j)
+    dev_t = i_t * p + j_t
+    dk = dev_t * keyspace + cr.astype(np.int64) * c_layout.ntc + cc
+    ppos = np.searchsorted(c_devkey, dk)
+    ok = (ppos < len(c_devkey)) & (
+        c_devkey[np.minimum(ppos, max(len(c_devkey) - 1, 0))] == dk
+    )
+    cslot = np.where(ok, ppos - c_starts[dev_t], n_c)  # absent C -> trash
+    group = (dev_t * layers + l_t) * p + t_t
+    gcounts = np.bincount(group, minlength=n_groups)
+    s_max = max(int(gcounts.max()), 1)
+    gstarts = np.concatenate([[0], np.cumsum(gcounts)[:-1]])
+    order_t = np.lexsort((cslot, group))  # by group, then output tile
+    posg = np.arange(len(cr), dtype=np.int64) - gstarts[group[order_t]]
+    flat = np.zeros((n_groups * s_max, 3), dtype=np.int32)
+    flat[:, 0] = n_c
+    rowsel = group[order_t] * s_max + posg
+    flat[rowsel, 0] = cslot[order_t]
+    flat[rowsel, 1] = a_slot[asl_g[order_t]]
+    flat[rowsel, 2] = b_slot[bsl_g[order_t]]
+    stacks = flat.reshape(p, p, layers, p, s_max, 3)
 
     return TiledCannonPlan(
         p=p, layers=layers, n_a=n_a, n_b=n_b, n_c=n_c, s_max=s_max,
-        a_pack=a_pack.reshape(-1), b_pack=b_pack.reshape(-1),
-        stacks=stacks, c_unpack=c_unpack,
+        a_pack=a_pack, b_pack=b_pack, stacks=stacks, c_unpack=c_unpack,
     )
 
 
 def _try_tiled_plan(a, ta, b, tb, c_index, dist, k_dist, tile, layers):
-    """Tiled plan when all three distributions are tile-aligned, else None."""
+    """Tiled plan when all three distributions are tile-aligned, else None.
+
+    Plans are content-cached (index patterns + distribution + k_dist):
+    a second multiply over the same patterns skips planning entirely —
+    the distributed analog of the local plan cache, standing in for the
+    reference's batched-mm amortization (``dbcsr_tas_batched_mm_*``)."""
     from ..block.store import store_layout
     from ..dist.distribution import dist_tile_bins
 
@@ -591,6 +610,29 @@ def _try_tiled_plan(a, ta, b, tb, c_index, dist, k_dist, tile, layers):
 
     if not get_config().use_tiled_cannon:
         return None
+
+    from .plancache import (
+        array_fingerprint,
+        dist_fingerprint,
+        get_plan_cache,
+        index_fingerprint,
+    )
+
+    pcache = get_plan_cache()
+    key = pcache.key(
+        a.index, ta, b.index, tb,
+        extra=(
+            "cannon_tiled",
+            index_fingerprint(c_index),
+            dist_fingerprint(dist),
+            array_fingerprint(k_dist),
+            tile,
+            layers,
+        ),
+    )
+    cached = pcache.get(key)
+    if cached is not None:
+        return cached
     rowb = dist_tile_bins(dist.row_dist, m_sizes, tile, majority=True)
     colb = dist_tile_bins(dist.col_dist, n_sizes, tile, majority=True)
     kb = dist_tile_bins(k_dist, k_sizes, tile, majority=True)
@@ -609,9 +651,12 @@ def _try_tiled_plan(a, ta, b, tb, c_index, dist, k_dist, tile, layers):
     else:
         b_coords = b_lay.tile_coords
     c_lay = store_layout(c_index, tile)
-    return plan_cannon_tiled(
+    plan = plan_cannon_tiled(
         a_coords, b_coords, c_lay, rowb, colb, kb, dist.grid.nprow, layers
     )
+    if plan is not None:
+        pcache.put(key, plan)
+    return plan
 
 
 def execute_cannon(

@@ -291,10 +291,6 @@ def multiply(
             if algo == "auto":
                 algo = "cannon" if grid.nprow == grid.npcol else "summa"
             if algo == "summa":
-                dbcsr_assert(
-                    grid.nlayer == 1,
-                    "SUMMA has no 2.5D layer axis; use Cannon on a square grid",
-                )
                 from .summa import execute_summa as _exec_dist
             else:
                 dbcsr_assert(
@@ -653,7 +649,12 @@ def build_distributed_executor(
             return out.astype(np.int64)
 
         shard_in = (sl_a, sl_b, remap)
-        panel_sharding = NamedSharding(grid.mesh, _P(_AR, _AC))
+        if grid.nlayer > 1:
+            from ..dist.grid import AXIS_LAYER as _AL
+
+            panel_sharding = NamedSharding(grid.mesh, _P(_AR, _AC, _AL))
+        else:
+            panel_sharding = NamedSharding(grid.mesh, _P(_AR, _AC))
         out_sharding = NamedSharding(grid.mesh, _P((_AR, _AC)))
         shard_out = (sl_c, panel_sharding, out_sharding)
 
@@ -667,9 +668,6 @@ def build_distributed_executor(
         stacks_j = jnp.asarray(plan.stacks)
 
         if sharded:
-            dbcsr_assert(
-                grid.nlayer == 1, "sharded Cannon executor: layers=1 (v1)"
-            )
             sl_a, sl_b, remap = shard_in
             sl_c, panel_sh, out_sh = shard_out
             dbcsr_assert(plan.n_c == sl_c.n_max, "C shard layout mismatch")
@@ -686,15 +684,15 @@ def build_distributed_executor(
                 bf = b_sh.reshape(sl_b.ndev * sl_b.n_max, tile, tile)
                 a_store = op_tiles(jnp.take(
                     af, a_pos, axis=0, mode="fill", fill_value=0
-                ), ta, ca).reshape(p, p, 1, plan.n_a, tile, tile)
+                ), ta, ca).reshape(p, p, grid.nlayer, plan.n_a, tile, tile)
                 b_store = op_tiles(jnp.take(
                     bf, b_pos, axis=0, mode="fill", fill_value=0
-                ), tb, cb).reshape(p, p, 1, plan.n_b, tile, tile)
+                ), tb, cb).reshape(p, p, grid.nlayer, plan.n_b, tile, tile)
                 a_store = jax.lax.with_sharding_constraint(a_store, panel_sh)
                 b_store = jax.lax.with_sharding_constraint(b_store, panel_sh)
                 c_tiles = _cannon_exec(
                     a_store, b_store, stacks_j,
-                    p=p, layers=1, n_a=plan.n_a, n_b=plan.n_b,
+                    p=p, layers=grid.nlayer, n_a=plan.n_a, n_b=plan.n_b,
                     n_c=plan.n_c, tile=tile, s_max=plan.s_max, prec=prec,
                     mesh=grid.mesh,
                 )
@@ -722,13 +720,14 @@ def build_distributed_executor(
                 plan.c_unpack, tile,
             )
     else:
-        dbcsr_assert(grid.nlayer == 1, "SUMMA has no layer axis")
         from .summa import _summa_exec, plan_summa
 
         plan = plan_summa(
-            a_coords, b_coords, c_lay, rowb, colb, kb % q, kb % p, p, q
+            a_coords, b_coords, c_lay, rowb, colb, kb % q, kb % p, p, q,
+            grid.nlayer,
         )
         stacks_j = jnp.asarray(plan.stacks)
+        lshape = (p, q, grid.nlayer) if grid.nlayer > 1 else (p, q)
 
         if sharded:
             from .summa import _summa_exec as _sx
@@ -749,16 +748,17 @@ def build_distributed_executor(
                 bf = b_sh.reshape(sl_b.ndev * sl_b.n_max, tile, tile)
                 a_store = op_tiles(jnp.take(
                     af, a_pos, axis=0, mode="fill", fill_value=0
-                ), ta, ca).reshape(p, q, plan.n_a, tile, tile)
+                ), ta, ca).reshape(*lshape, plan.n_a, tile, tile)
                 b_store = op_tiles(jnp.take(
                     bf, b_pos, axis=0, mode="fill", fill_value=0
-                ), tb, cb).reshape(p, q, plan.n_b, tile, tile)
+                ), tb, cb).reshape(*lshape, plan.n_b, tile, tile)
                 a_store = jax.lax.with_sharding_constraint(a_store, panel_sh)
                 b_store = jax.lax.with_sharding_constraint(b_store, panel_sh)
                 c_tiles = _sx(
                     a_store, b_store, stacks_j,
                     p=p, q=q, n_a=plan.n_a, n_b=plan.n_b, n_c=plan.n_c,
                     tile=tile, s_max=plan.s_max, prec=prec, mesh=grid.mesh,
+                    layers=grid.nlayer,
                 )
                 out = c_tiles.reshape(sl_c.ndev, sl_c.n_max, tile, tile)
                 return jax.lax.with_sharding_constraint(out, out_sh)
@@ -768,15 +768,16 @@ def build_distributed_executor(
 
         def fn(a_data, b_data):
             a_store = take_tiles(a_op(a_data), plan.a_pack, tile).reshape(
-                p, q, plan.n_a, tile, tile
+                *lshape, plan.n_a, tile, tile
             )
             b_store = take_tiles(b_op(b_data), plan.b_pack, tile).reshape(
-                p, q, plan.n_b, tile, tile
+                *lshape, plan.n_b, tile, tile
             )
             c_tiles = _summa_exec(
                 a_store, b_store, stacks_j,
                 p=p, q=q, n_a=plan.n_a, n_b=plan.n_b, n_c=plan.n_c,
                 tile=tile, s_max=plan.s_max, prec=prec, mesh=grid.mesh,
+                layers=grid.nlayer,
             )
             return take_tiles(
                 c_tiles.reshape(p * q * plan.n_c, tile, tile),

@@ -37,6 +37,31 @@ def index_fingerprint(index: BCSRIndex) -> bytes:
     return index._cached("fingerprint", mk)
 
 
+def array_fingerprint(*arrays) -> bytes:
+    """Stable content hash over numpy arrays (distribution vectors etc.)."""
+    import numpy as np
+
+    h = hashlib.blake2b(digest_size=16)
+    for a in arrays:
+        a = np.ascontiguousarray(a)
+        h.update(str(a.dtype).encode())
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    return h.digest()
+
+
+def dist_fingerprint(dist) -> bytes:
+    """Content hash of a Distribution (grid shape + row/col maps),
+    cached on the object."""
+    if getattr(dist, "_fingerprint", None) is None:
+        g = dist.grid
+        h = hashlib.blake2b(digest_size=16)
+        h.update(bytes([g.nprow, g.npcol, g.nlayer]))
+        h.update(array_fingerprint(dist.row_dist, dist.col_dist))
+        object.__setattr__(dist, "_fingerprint", h.digest())
+    return dist._fingerprint
+
+
 class PlanCache:
     def __init__(self, capacity: int = _CAPACITY):
         self._cap = capacity

@@ -53,10 +53,11 @@ class SummaPlan:
     n_b: int
     n_c: int
     s_max: int
-    a_pack: np.ndarray  # int32 [P*Q*n_a] op-store slot (-1 pad)
+    a_pack: np.ndarray  # int32 [P*Q*L*n_a] op-store slot (-1 pad)
     b_pack: np.ndarray
-    stacks: np.ndarray  # int32 [P, Q, s_max, 3] (c, a_local, b_local)
+    stacks: np.ndarray  # int32 [P, Q(, L), s_max, 3] (c, a_local, b_local)
     c_unpack: np.ndarray  # int32 [c n_tiles] -> [P*Q*n_c] position
+    layers: int = 1  # 2.5D C-reduction layers (L); legacy shapes when 1
 
 
 def plan_summa(
@@ -69,6 +70,7 @@ def plan_summa(
     kb_b: np.ndarray,  # k tile -> prow bin (B's k sharding)
     p: int,
     q: int,
+    layers: int = 1,
 ) -> SummaPlan:
     """Tile-granular SUMMA schedule.
 
@@ -78,108 +80,137 @@ def plan_summa(
     positions in the GATHERED panels: A slot = owner_col * n_a + local slot.
     (Plans sharing one shard_map pad to common capacities with
     :func:`pad_summa_plan`.)
+
+    Fully vectorized single pass (no Python loop over tiles, panels or
+    grid cells): panels, pack maps, per-device C sets and per-device
+    stacks all come from one global triple enumeration + numpy grouping.
+
+    With ``layers > 1`` each k tile additionally carries a 2.5D layer
+    (round-robin within its (kq, kp) bin pair — the tile-granular
+    ``make_layers_3D_C_reduction``, ``src/mm/dbcsr_mm_3d.F:1038``): panels
+    and stacks grow a layer axis and per-layer C partials are psum'd over
+    the layer mesh axis by the executor.
     """
-    # --- owner panels -------------------------------------------------------
-    def group(coords, rkey, ckey):
-        out = {}
-        pr = rkey[coords[:, 0]]
-        pc = ckey[coords[:, 1]]
-        for t in range(len(coords)):
-            out.setdefault((int(pr[t]), int(pc[t])), []).append(t)
-        return out
+    from .cannon import _tile_layer_split
 
-    a_panels = group(a_coords, rowb, kb_a)  # (i, kq) -> tiles
-    b_panels = group(b_coords, kb_b, colb)  # (kp, j) -> tiles
-    n_a = max((len(v) for v in a_panels.values()), default=1)
-    n_b = max((len(v) for v in b_panels.values()), default=1)
+    mt, ktl, ntc = int(len(rowb)), int(len(kb_a)), int(len(colb))
+    L = int(layers)
+    klay = _tile_layer_split(kb_a * p + kb_b, L)
 
-    a_pack = np.full((p, q, n_a), -1, dtype=np.int64)
-    for (i, kq), tiles in a_panels.items():
-        a_pack[i, kq, : len(tiles)] = tiles
-    b_pack = np.full((p, q, n_b), -1, dtype=np.int64)
-    for (kp, j), tiles in b_panels.items():
-        b_pack[kp, j, : len(tiles)] = tiles
-
-    # --- C ownership ---------------------------------------------------------
-    c_coords = c_layout.tile_coords
-    c_dev = rowb[c_coords[:, 0]] * q + colb[c_coords[:, 1]]
-    n_c = max(int(np.bincount(c_dev, minlength=p * q).max()), 1)
-    c_unpack = np.empty(len(c_coords), dtype=np.int64)
-    pos = np.zeros(p * q, dtype=np.int64)
-    c_keys_dev = {d: [] for d in range(p * q)}
-    for s in range(len(c_coords)):
-        d = int(c_dev[s])
-        c_unpack[s] = d * n_c + pos[d]
-        c_keys_dev[d].append(
-            int(c_coords[s, 0]) * c_layout.ntc + int(c_coords[s, 1])
+    # --- owner panels: panel id + slot within panel per tile -------------
+    def panelize(coords, rk, ck, ncpan):
+        pid = (
+            rk[coords[:, 0]].astype(np.int64) * ncpan
+            + ck[coords[:, 1]].astype(np.int64)
         )
-        pos[d] += 1
-    c_keys_dev = {d: np.asarray(v, dtype=np.int64) for d, v in c_keys_dev.items()}
+        order = np.argsort(pid, kind="stable")
+        counts = np.bincount(pid, minlength=1)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        slot = np.empty(len(pid), dtype=np.int64)
+        slot[order] = np.arange(len(pid), dtype=np.int64) - starts[pid[order]]
+        return pid, slot, counts
 
-    # --- per-device stacks over the gathered panels ---------------------------
-    mt, ktl, ntc = len(rowb), len(kb_a), len(colb)
-
-    def pat(slots_with_offsets, coords, shape):
-        tiles = np.concatenate([t for t, _ in slots_with_offsets]) if slots_with_offsets else np.zeros(0, np.int64)
-        vals = np.concatenate([o for _, o in slots_with_offsets]) if slots_with_offsets else np.zeros(0, np.int64)
-        return sp.csr_matrix(
-            (
-                vals + 1,
-                (coords[tiles, 0].astype(np.int64), coords[tiles, 1].astype(np.int64)),
-            ),
-            shape=shape,
-        )
-
-    s_max = 1
-    triples = {}
-    for i in range(p):
-        for j in range(q):
-            # A row-panel i: pieces from every owner col kq
-            a_parts = []
-            for kq in range(q):
-                tl = a_panels.get((i, kq), [])
-                if tl:
-                    base = kq * n_a
-                    a_parts.append(
-                        (np.asarray(tl), base + np.arange(len(tl), dtype=np.int64))
-                    )
-            b_parts = []
-            for kp in range(p):
-                tl = b_panels.get((kp, j), [])
-                if tl:
-                    base = kp * n_b
-                    b_parts.append(
-                        (np.asarray(tl), base + np.arange(len(tl), dtype=np.int64))
-                    )
-            amat = pat(a_parts, a_coords, (mt, ktl))
-            bmat = pat(b_parts, b_coords, (ktl, ntc))
-            cr, cc, asl, bsl = enumerate_tile_triples(amat, bmat)
-            triples[(i, j)] = (cr, cc, asl, bsl)
-            s_max = max(s_max, len(cr))
-
-    stacks = np.zeros((p, q, s_max, 3), dtype=np.int32)
-    stacks[..., 0] = n_c
-    for (i, j), (cr, cc, asl, bsl) in triples.items():
-        s = len(cr)
-        if s == 0:
-            continue
-        keys = c_keys_dev[i * q + j]
-        ck = cr * c_layout.ntc + cc
-        cslot = np.searchsorted(keys, ck)
-        ok = (cslot < len(keys)) & (
-            keys[np.minimum(cslot, max(len(keys) - 1, 0))] == ck
-        )
-        cslot = np.where(ok, cslot, n_c)
-        order = np.argsort(cslot, kind="stable")
-        stacks[i, j, :s, 0] = cslot[order]
-        stacks[i, j, :s, 1] = asl[order]
-        stacks[i, j, :s, 2] = bsl[order]
-
-    return SummaPlan(
-        p=p, q=q, n_a=n_a, n_b=n_b, n_c=n_c, s_max=s_max,
-        a_pack=a_pack.reshape(-1), b_pack=b_pack.reshape(-1),
-        stacks=stacks, c_unpack=c_unpack,
+    # A panel key (i, kq, l); B panel key (kp, j, l)
+    a_pid, a_slot, a_counts = panelize(
+        a_coords, rowb, kb_a * L + klay, q * L
     )
+    b_pid, b_slot, b_counts = panelize(
+        b_coords, kb_b * L + klay, colb, q
+    )
+    n_a = max(int(a_counts.max()) if a_counts.size else 0, 1)
+    n_b = max(int(b_counts.max()) if b_counts.size else 0, 1)
+
+    # pack index layouts: A -> [i, kq, l, slot], B -> [kp, j, l, slot]
+    a_i, a_kql = a_pid // (q * L), a_pid % (q * L)
+    a_kq, a_l = a_kql // L, a_kql % L
+    a_pack = np.full(p * q * L * n_a, -1, dtype=np.int64)
+    a_pack[((a_i * q + a_kq) * L + a_l) * n_a + a_slot] = np.arange(
+        len(a_coords), dtype=np.int64
+    )
+    b_kpl, b_j = b_pid // q, b_pid % q
+    b_kp, b_l = b_kpl // L, b_kpl % L
+    b_pack = np.full(p * q * L * n_b, -1, dtype=np.int64)
+    b_pack[((b_kp * q + b_j) * L + b_l) * n_b + b_slot] = np.arange(
+        len(b_coords), dtype=np.int64
+    )
+
+    # --- C ownership ------------------------------------------------------
+    c_coords = c_layout.tile_coords
+    c_dev = (
+        rowb[c_coords[:, 0]].astype(np.int64) * q
+        + colb[c_coords[:, 1]].astype(np.int64)
+    )
+    c_counts = np.bincount(c_dev, minlength=p * q)
+    n_c = max(int(c_counts.max()) if len(c_coords) else 0, 1)
+    c_starts = np.concatenate([[0], np.cumsum(c_counts)[:-1]])
+    order_c = np.argsort(c_dev, kind="stable")
+    pos = np.empty(len(c_dev), dtype=np.int64)
+    pos[order_c] = np.arange(len(c_dev), dtype=np.int64) - c_starts[c_dev[order_c]]
+    c_unpack = c_dev * n_c + pos
+    c_keys = (
+        c_coords[:, 0].astype(np.int64) * c_layout.ntc
+        + c_coords[:, 1].astype(np.int64)
+    )
+    keyspace = int(c_layout.ntr) * int(c_layout.ntc) + 1
+    c_devkey = c_dev[order_c] * keyspace + c_keys[order_c]
+
+    # --- stacks over the gathered panels: one global enumeration ----------
+    amat = sp.csr_matrix(
+        (
+            np.arange(1, len(a_coords) + 1, dtype=np.int64),
+            (a_coords[:, 0].astype(np.int64), a_coords[:, 1].astype(np.int64)),
+        ),
+        shape=(mt, ktl),
+    )
+    bmat = sp.csr_matrix(
+        (
+            np.arange(1, len(b_coords) + 1, dtype=np.int64),
+            (b_coords[:, 0].astype(np.int64), b_coords[:, 1].astype(np.int64)),
+        ),
+        shape=(ktl, ntc),
+    )
+    cr, cc, asl_g, bsl_g = enumerate_tile_triples(amat, bmat)
+
+    def finish(stacks, s_max):
+        if L == 1:  # legacy shapes (stacks [P, Q, s, 3])
+            stacks = stacks.reshape(p, q, s_max, 3)
+        return SummaPlan(
+            p=p, q=q, n_a=n_a, n_b=n_b, n_c=n_c, s_max=s_max,
+            a_pack=a_pack, b_pack=b_pack, stacks=stacks,
+            c_unpack=c_unpack, layers=L,
+        )
+
+    if len(cr) == 0:
+        stacks = np.zeros((p, q, L, 1, 3), dtype=np.int32)
+        stacks[..., 0] = n_c
+        return finish(stacks, 1)
+
+    i_t = rowb[cr].astype(np.int64)
+    j_t = colb[cc].astype(np.int64)
+    l_t = klay[a_coords[asl_g, 1]]  # layer of the triple's k tile
+    dev_t = i_t * q + j_t
+    # gathered-panel slots: A slot = owner_col * n_a + local, B analogous
+    a_gslot = a_kq[asl_g] * n_a + a_slot[asl_g]
+    b_gslot = b_kp[bsl_g] * n_b + b_slot[bsl_g]
+    dk = dev_t * keyspace + cr.astype(np.int64) * c_layout.ntc + cc
+    ppos = np.searchsorted(c_devkey, dk)
+    ok = (ppos < len(c_devkey)) & (
+        c_devkey[np.minimum(ppos, max(len(c_devkey) - 1, 0))] == dk
+    )
+    cslot = np.where(ok, ppos - c_starts[dev_t], n_c)
+    group = dev_t * L + l_t
+    gcounts = np.bincount(group, minlength=p * q * L)
+    s_max = max(int(gcounts.max()), 1)
+    gstarts = np.concatenate([[0], np.cumsum(gcounts)[:-1]])
+    order_t = np.lexsort((cslot, group))
+    posg = np.arange(len(cr), dtype=np.int64) - gstarts[group[order_t]]
+    flat = np.zeros((p * q * L * s_max, 3), dtype=np.int32)
+    flat[:, 0] = n_c
+    rowsel = group[order_t] * s_max + posg
+    flat[rowsel, 0] = cslot[order_t]
+    flat[rowsel, 1] = a_gslot[order_t]
+    flat[rowsel, 2] = b_gslot[order_t]
+    return finish(flat.reshape(p, q, L, s_max, 3), s_max)
 
 
 def pad_summa_plan(
@@ -190,6 +221,7 @@ def pad_summa_plan(
     the new panel strides; padded stack rows are trash entries."""
     if (plan.n_a, plan.n_b, plan.n_c, plan.s_max) == (n_a, n_b, n_c, s_max):
         return plan
+    assert plan.layers == 1, "pad_summa_plan: layered plans not padded (TAS)"
     p, q = plan.p, plan.q
 
     def repad_pack(flat: np.ndarray, old_n: int, new_n: int) -> np.ndarray:
@@ -215,12 +247,15 @@ def pad_summa_plan(
 
 @partial(
     jax.jit,
-    static_argnames=("p", "q", "n_a", "n_b", "n_c", "tile", "s_max", "prec", "mesh"),
+    static_argnames=(
+        "p", "q", "n_a", "n_b", "n_c", "tile", "s_max", "prec", "mesh",
+        "layers",
+    ),
 )
 def _summa_exec(
-    a_store,  # [P, Q, n_a, T, T] A tiles at their owners
-    b_store,  # [P, Q, n_b, T, T]
-    stacks,  # [P, Q, s_max, 3]
+    a_store,  # [P, Q(, L), n_a, T, T] A tiles at their owners
+    b_store,  # [P, Q(, L), n_b, T, T]
+    stacks,  # [P, Q(, L), s_max, 3]
     *,
     p: int,
     q: int,
@@ -231,17 +266,25 @@ def _summa_exec(
     s_max: int,
     prec: str,
     mesh,
+    layers: int = 1,
 ):
-    """all_gather panels along the opposite axes, local tile stacks."""
+    """all_gather panels along the opposite axes, local tile stacks.
+
+    With ``layers > 1`` the k range is pre-split over the layer mesh axis
+    and per-layer C partials are psum'd over it — the 2.5D C-reduction of
+    the reference (``multiply_3D``, ``src/mm/dbcsr_mm_3d.F:1038-1136``)
+    composed with SUMMA."""
     from jax.sharding import PartitionSpec as P
+
+    from ..dist.grid import AXIS_LAYER
 
     dtype = a_store.dtype
     precision = _PRECISIONS[prec]
 
     def local_fn(a, b, st):
-        a = a[0, 0]  # [n_a, T, T] own A piece
-        b = b[0, 0]
-        st = st[0, 0]
+        a = a.reshape(a.shape[-3:])  # [n_a, T, T] own A piece
+        b = b.reshape(b.shape[-3:])
+        st = st.reshape(st.shape[-2:])
         # gather A's row panel across the column axis, B's col panel across
         # the row axis (the SUMMA broadcasts, pipelined by XLA over ICI)
         a_full = jax.lax.all_gather(a, AXIS_COL)  # [Q, n_a, T, T]
@@ -257,12 +300,21 @@ def _summa_exec(
             precision=precision,
         ).astype(dtype)
         c = jax.ops.segment_sum(prods, st[:, 0], num_segments=n_c + 1)
+        if layers > 1:
+            c = jax.lax.psum(c, AXIS_LAYER)
         return c[:n_c][None, None]
 
+    spec_in = (
+        P(AXIS_ROW, AXIS_COL, AXIS_LAYER)
+        if layers > 1
+        else P(AXIS_ROW, AXIS_COL)
+    )
+    # layer axis unmentioned in the out spec: the psum makes per-layer
+    # outputs identical (replicated over the layer axis)
     summa = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(AXIS_ROW, AXIS_COL), P(AXIS_ROW, AXIS_COL), P(AXIS_ROW, AXIS_COL)),
+        in_specs=(spec_in, spec_in, spec_in),
         out_specs=P(AXIS_ROW, AXIS_COL),
         check_vma=False,
     )
@@ -291,6 +343,7 @@ def execute_summa(
 
     tile = a.tile
     p, q = dist.grid.nprow, dist.grid.npcol
+    layers = dist.grid.nlayer
     m_sizes = a.index.col_block_sizes if ta else a.index.row_block_sizes
     k_sizes = a.index.row_block_sizes if ta else a.index.col_block_sizes
     n_sizes = b.index.row_block_sizes if tb else b.index.col_block_sizes
@@ -308,29 +361,59 @@ def execute_summa(
     c_lay = store_layout(c_index, tile)
 
     with timed("summa/plan"):
-        plan = plan_summa(
-            a_coords, b_coords, c_lay, rowb, colb, kb % q, kb % p, p, q
+        from .plancache import (
+            array_fingerprint,
+            dist_fingerprint,
+            get_plan_cache,
+            index_fingerprint,
         )
+
+        pcache = get_plan_cache()
+        key = pcache.key(
+            a.index, ta, b.index, tb,
+            extra=(
+                "summa",
+                index_fingerprint(c_index),
+                dist_fingerprint(dist),
+                array_fingerprint(k_dist),
+                tile,
+                layers,
+            ),
+        )
+        plan = pcache.get(key)
+        if plan is None:
+            plan = plan_summa(
+                a_coords, b_coords, c_lay, rowb, colb, kb % q, kb % p,
+                p, q, layers,
+            )
+            pcache.put(key, plan)
 
     # static message accounting (the reference's MPI statistics): each
     # device receives the other owners' panel pieces in the all_gathers
     st = get_stats()
     isz = a.data.dtype.itemsize
-    st.record_comm("allgather_a", p * q * (q - 1), plan.n_a * tile * tile * isz)
-    st.record_comm("allgather_b", p * q * (p - 1), plan.n_b * tile * tile * isz)
+    ndev = p * q * layers
+    st.record_comm("allgather_a", ndev * (q - 1), plan.n_a * tile * tile * isz)
+    st.record_comm("allgather_b", ndev * (p - 1), plan.n_b * tile * tile * isz)
+    if layers > 1:
+        st.record_comm(
+            "psum_c_layers", ndev * (layers - 1),
+            plan.n_c * tile * tile * isz,
+        )
 
     with timed("summa/exec"):
+        shape_mid = (p, q, layers) if layers > 1 else (p, q)
         a_store = take_tiles(a_st, plan.a_pack, tile).reshape(
-            p, q, plan.n_a, tile, tile
+            *shape_mid, plan.n_a, tile, tile
         )
         b_store = take_tiles(b_st, plan.b_pack, tile).reshape(
-            p, q, plan.n_b, tile, tile
+            *shape_mid, plan.n_b, tile, tile
         )
         c_tiles = _summa_exec(
             a_store, b_store, jnp.asarray(plan.stacks),
             p=p, q=q, n_a=plan.n_a, n_b=plan.n_b, n_c=plan.n_c,
             tile=tile, s_max=plan.s_max, prec=cfg.matmul_precision,
-            mesh=dist.grid.mesh,
+            mesh=dist.grid.mesh, layers=layers,
         )
         prod = take_tiles(
             c_tiles.reshape(p * q * plan.n_c, tile, tile), plan.c_unpack, tile

@@ -161,3 +161,31 @@ def test_sharded_executor_transposes(rng, transa, transb):
     np.testing.assert_allclose(
         np.asarray(c.to_dense()), da @ db, rtol=1e-4, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("algo", ["cannon", "summa"])
+def test_sharded_executor_25d_layers(rng, algo):
+    """2.5D on the sharded at-rest path (round-2: layers lifted from the
+    sharded executor): 2x2x2 mesh, owner-sharded stores in and out."""
+    grid = ProcessGrid.make(2, 2, nlayer=2)
+    p = q = 2
+    with config_override(tile_size=TILE):
+        rbs = dt.random_block_sizes(64, [4], rng)
+        a = dt.random_matrix(rbs, rbs, 0.6, rng, dtype=np.float32)
+        b = dt.random_matrix(rbs, rbs, 0.6, rng, dtype=np.float32)
+        dist = tile_aligned_dist(grid, rbs, rbs, TILE)
+        fn_l, c_index, _ = build_distributed_executor(
+            "N", "N", a, b, dist, algo=algo
+        )
+        out_local = fn_l(a.data, b.data)
+        fn_s, c_index2, _ = build_distributed_executor(
+            "N", "N", a, b, dist, algo=algo, sharded=True
+        )
+        a_sh = shard_store_with_layout(a, fn_s.shard_a, grid.mesh)
+        b_sh = shard_store_with_layout(b, fn_s.shard_b, grid.mesh)
+        out_sh = jax.jit(fn_s)(a_sh, b_sh)
+    assert c_index2.nblks == c_index.nblks
+    back = unshard_store_with_layout(out_sh, fn_s.shard_c, TILE)
+    np.testing.assert_allclose(
+        np.asarray(back), np.asarray(out_local), rtol=1e-5, atol=1e-5
+    )

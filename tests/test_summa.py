@@ -66,10 +66,34 @@ def test_summa_transposes_alpha_beta(rng):
     )
 
 
-def test_summa_rejects_layers(rng):
-    grid = ProcessGrid.make(2, 2, nlayer=2)
+@pytest.mark.parametrize("p,q,l", [(2, 2, 2), (1, 4, 2), (2, 1, 4)])
+def test_summa_25d_layers(rng, p, q, l):
+    """2.5D SUMMA: k split over the layer mesh axis, C partials psum'd
+    (round-2: layer axis on the SUMMA path, dbcsr_mm_3d.F analog)."""
+    grid = ProcessGrid.make(p, q, nlayer=l)
     a, b = _mats(rng)
     dist = tile_aligned_dist(grid, a.row_block_sizes, b.col_block_sizes, TILE)
     with config_override(tile_size=TILE, mm_dist_algo="summa"):
-        with pytest.raises(Exception):
-            dt.multiply("N", "N", 1.0, a, b, dist=dist)
+        c = dt.multiply("N", "N", 1.0, a, b, dist=dist)
+    ref = np.asarray(a.to_dense()) @ np.asarray(b.to_dense())
+    np.testing.assert_allclose(
+        np.asarray(c.to_dense()), ref, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_summa_25d_executor_transposes(rng):
+    from dbcsr_tpu.mm.engine import build_distributed_executor
+
+    grid = ProcessGrid.make(2, 2, nlayer=2)
+    a, b = _mats(rng, occ=0.5)
+    dist = tile_aligned_dist(grid, a.row_block_sizes, b.col_block_sizes, TILE)
+    with config_override(tile_size=TILE):
+        fn, c_index, _ = build_distributed_executor(
+            "N", "N", a, b, dist, algo="summa"
+        )
+        out = fn(a.data, b.data)
+    c = dt.BCSRMatrix(name="c", index=c_index, data=out)
+    ref = np.asarray(a.to_dense()) @ np.asarray(b.to_dense())
+    np.testing.assert_allclose(
+        np.asarray(c.to_dense()), ref, rtol=1e-4, atol=1e-4
+    )
