@@ -44,6 +44,23 @@ def default_tile() -> int:
     return get_config().tile_size
 
 
+def emulate_complex(dtype) -> bool:
+    """True when ``dtype`` is complex and the device backend cannot hold
+    complex arrays (e.g. restricted TPU toolchains): the matrix then stores
+    SPLIT re/im real tile stores and every device op runs as real
+    arithmetic — the TPU-native form of the reference's z/c type classes
+    (``src/data/dbcsr.fypp:15-28``) on such backends."""
+    if not np.issubdtype(np.dtype(dtype), np.complexfloating):
+        return False
+    from ..core.machine import backend_supports_complex
+
+    return not backend_supports_complex()
+
+
+def _real_dtype(cdtype) -> np.dtype:
+    return np.zeros(0, dtype=cdtype).real.dtype
+
+
 @dataclass(frozen=True)
 class BCSRMatrix:
     name: str
@@ -51,12 +68,61 @@ class BCSRMatrix:
     data: jax.Array  # tile store [n_tiles, T, T]; padding positions == 0
     sym: str = SYM_NONE
     dist: Optional[object] = None  # dist.Distribution, None = local/replicated
+    #: imaginary tile store for SPLIT-COMPLEX emulation (backends that
+    #: reject complex arrays); None = real or native-complex storage
+    data_im: Optional[jax.Array] = None
+    #: logical complex dtype name when emulated (e.g. "complex128")
+    cdtype: Optional[str] = None
 
     def __post_init__(self):
         dbcsr_assert(self.sym in _SYMS, f"bad symmetry {self.sym!r}")
         dbcsr_assert(
             self.data.ndim == 3 and self.data.shape[1] == self.data.shape[2],
             f"data must be a [n_tiles, T, T] tile store, got {self.data.shape}",
+        )
+        if self.data_im is not None:
+            dbcsr_assert(
+                self.data_im.shape == self.data.shape
+                and self.cdtype is not None,
+                "split-complex store: data_im must mirror data",
+            )
+
+    # -- split-complex emulation ------------------------------------------
+    @property
+    def is_complex_emulated(self) -> bool:
+        return self.data_im is not None
+
+    def parts(self) -> Tuple["BCSRMatrix", "BCSRMatrix"]:
+        """(re, im) as plain REAL matrices sharing this index — the unit the
+        emulated ops are composed from. Symmetry carries over per part: for
+        'H' the real part is 'S' and the imaginary part is 'A'."""
+        dbcsr_assert(self.is_complex_emulated, "not an emulated matrix")
+        if self.sym == SYM_HERMITIAN:
+            sym_re, sym_im = SYM_SYMMETRIC, SYM_ANTISYMMETRIC
+        else:
+            sym_re = sym_im = self.sym
+        re = replace(
+            self, data=self.data, data_im=None, cdtype=None, sym=sym_re,
+            name=f"{self.name}.re",
+        )
+        im = replace(
+            self, data=self.data_im, data_im=None, cdtype=None, sym=sym_im,
+            name=f"{self.name}.im",
+        )
+        return re, im
+
+    @staticmethod
+    def combine(
+        re: "BCSRMatrix", im: "BCSRMatrix", cdtype, *,
+        name: str = "matrix", sym: str = SYM_NONE,
+    ) -> "BCSRMatrix":
+        """Pack two aligned REAL matrices back into one emulated matrix."""
+        dbcsr_assert(
+            re.data.shape == im.data.shape, "combine: part stores differ"
+        )
+        return replace(
+            re, data_im=im.data, cdtype=np.dtype(cdtype).name, name=name,
+            sym=sym,
         )
 
     # -- layout -------------------------------------------------------------
@@ -71,6 +137,8 @@ class BCSRMatrix:
     # -- shape / structure ------------------------------------------------
     @property
     def dtype(self):
+        if self.data_im is not None:
+            return np.dtype(self.cdtype)
         return self.data.dtype
 
     @property
@@ -113,17 +181,48 @@ class BCSRMatrix:
 
     def with_data(self, data: jax.Array) -> "BCSRMatrix":
         dbcsr_assert(data.shape == self.data.shape, "store shape mismatch")
+        dbcsr_assert(
+            self.data_im is None,
+            "with_data on a split-complex matrix: replace via with_flat or "
+            "BCSRMatrix.combine",
+        )
         return replace(self, data=data)
 
     def with_flat(self, flat) -> "BCSRMatrix":
         """Replace data from host-side flat block data (reference layout)."""
         flat = np.asarray(flat).reshape(-1)
         dbcsr_assert(len(flat) == self.index.nelems, "flat size mismatch")
+        if emulate_complex(flat.dtype):
+            new = BCSRMatrix.from_flat(
+                self.index, flat, name=self.name, sym=self.sym,
+                dist=self.dist, tile=self.tile,
+            )
+            return new
         return replace(
-            self, data=jnp.asarray(self.layout.store_from_flat(flat))
+            self, data=jnp.asarray(self.layout.store_from_flat(flat)),
+            data_im=None, cdtype=None,
         )
 
     def astype(self, dtype) -> "BCSRMatrix":
+        dtype = np.dtype(dtype)
+        if self.data_im is not None:
+            if np.issubdtype(dtype, np.complexfloating):
+                rt = _real_dtype(dtype)
+                return replace(
+                    self, data=self.data.astype(rt),
+                    data_im=self.data_im.astype(rt), cdtype=dtype.name,
+                )
+            # drop the imaginary part (numpy casting semantics)
+            return replace(
+                self, data=self.data.astype(dtype), data_im=None, cdtype=None
+            )
+        if emulate_complex(dtype):
+            rt = _real_dtype(dtype)
+            return replace(
+                self, data=self.data.real.astype(rt),
+                data_im=jnp.zeros_like(self.data, dtype=rt),
+                cdtype=dtype.name,
+            )
         return replace(self, data=self.data.astype(dtype))
 
     # -- host access (block granularity) ------------------------------------
@@ -131,6 +230,10 @@ class BCSRMatrix:
         """Flat block data on host (the reference's ``data_area`` layout:
         block b occupies ``flat[blk_offset[b]:blk_offset[b+1]]`` row-major).
         One device fetch + numpy gather."""
+        if self.data_im is not None:
+            re = self.layout.flat_from_store(np.asarray(self.data))
+            im = self.layout.flat_from_store(np.asarray(self.data_im))
+            return (re + 1j * im).astype(self.cdtype)
         return self.layout.flat_from_store(np.asarray(self.data))
 
     def get_block(self, row: int, col: int) -> Optional[np.ndarray]:
@@ -145,9 +248,12 @@ class BCSRMatrix:
         o0, o1 = int(self.index.blk_offset[b]), int(self.index.blk_offset[b + 1])
         bm = int(self.index.row_block_sizes[row])
         bn = int(self.index.col_block_sizes[col])
-        flat = np.asarray(self.data).reshape(-1)[
-            self.layout.elem_dest[o0:o1]
-        ]
+        dest = self.layout.elem_dest[o0:o1]
+        flat = np.asarray(self.data).reshape(-1)[dest]
+        if self.data_im is not None:
+            flat = (
+                flat + 1j * np.asarray(self.data_im).reshape(-1)[dest]
+            ).astype(self.cdtype)
         blk = flat.reshape(bm, bn)
         if tr:
             blk = blk.T
@@ -172,7 +278,12 @@ class BCSRMatrix:
     # -- conversions ------------------------------------------------------
     def to_dense(self) -> jax.Array:
         """Full dense matrix (symmetry expanded). Tile-granular device
-        scatter — runs at HBM bandwidth."""
+        scatter — runs at HBM bandwidth. Split-complex matrices combine on
+        the host (numpy result) since the device cannot hold complex."""
+        if self.data_im is not None:
+            re, im = self.parts()
+            out = np.asarray(re.to_dense()) + 1j * np.asarray(im.to_dense())
+            return out.astype(self.cdtype)
         lay = self.layout
         t = self.tile
         grid = jnp.zeros(
@@ -244,7 +355,21 @@ class BCSRMatrix:
         """Construct from a canonical index + host flat block data."""
         t = tile or default_tile()
         lay = store_layout(index, t)
-        store = lay.store_from_flat(np.asarray(flat).reshape(-1))
+        flat = np.asarray(flat).reshape(-1)
+        if emulate_complex(flat.dtype):
+            rt = _real_dtype(flat.dtype)
+            return BCSRMatrix(
+                name=name, index=index,
+                data=jnp.asarray(
+                    lay.store_from_flat(np.ascontiguousarray(flat.real, dtype=rt))
+                ),
+                data_im=jnp.asarray(
+                    lay.store_from_flat(np.ascontiguousarray(flat.imag, dtype=rt))
+                ),
+                cdtype=np.dtype(flat.dtype).name,
+                sym=sym, dist=dist,
+            )
+        store = lay.store_from_flat(flat)
         return BCSRMatrix(
             name=name, index=index, data=jnp.asarray(store), sym=sym, dist=dist
         )

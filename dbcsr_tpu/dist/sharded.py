@@ -131,20 +131,35 @@ def mesh_sharding(mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec((AXIS_ROW, AXIS_COL)))
 
 
+def put_global(arr, sharding: NamedSharding) -> jax.Array:
+    """Place a (process-locally materialized, identical-everywhere) array
+    onto a mesh that may span processes: plain ``device_put`` on a
+    single-controller mesh; per-shard ``make_array_from_callback`` when the
+    mesh contains non-addressable devices (multi-process ``jax.distributed``
+    runs — each process materializes only its addressable shards)."""
+    mesh_devs = sharding.mesh.devices.flat
+    if all(d.process_index == jax.process_index() for d in mesh_devs):
+        return jax.device_put(arr, sharding)
+    arrnp = np.asarray(arr)
+    return jax.make_array_from_callback(
+        arrnp.shape, sharding, lambda idx: arrnp[idx]
+    )
+
+
 def shard_store_with_layout(m, sl: ShardLayout, mesh) -> jax.Array:
     """Local store -> owner-sharded array [ndev, n_max, T, T] placed on the
-    mesh. (Single-controller: built locally then laid out; on multi-host
-    each process only materializes its addressable shards via jax.)"""
+    mesh. (Single-controller: built locally then laid out; on multi-process
+    meshes each process materializes only its addressable shards.)"""
     t = m.tile
     if m.data.shape[0] == 0:  # empty matrix: all positions are padding
         arr = jnp.zeros((sl.ndev, sl.n_max, t, t), dtype=m.data.dtype)
-        return jax.device_put(arr, mesh_sharding(mesh))
+        return put_global(arr, mesh_sharding(mesh))
     take = np.where(
         sl.slot_of_pos >= 0, sl.slot_of_pos, np.iinfo(np.int32).max
     ).astype(np.int32)
     arr = jnp.take(m.data, jnp.asarray(take), axis=0, mode="fill", fill_value=0)
     arr = arr.reshape(sl.ndev, sl.n_max, t, t)
-    return jax.device_put(arr, mesh_sharding(mesh))
+    return put_global(arr, mesh_sharding(mesh))
 
 
 def shard_store(m, dist: Distribution) -> jax.Array:

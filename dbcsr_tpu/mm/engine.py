@@ -191,6 +191,20 @@ def multiply(
     """
     from ..ops.transform import desymmetrize
 
+    if (
+        a.is_complex_emulated
+        or b.is_complex_emulated
+        or (c is not None and c.is_complex_emulated)
+    ):
+        from ..ops.complex_emu import emu_multiply
+
+        return emu_multiply(
+            transa, transb, alpha, a, b, beta, c,
+            filter_eps=filter_eps, retain_sparsity=retain_sparsity,
+            return_flops=return_flops, dist=dist, k_dist=k_dist,
+            limits=limits,
+        )
+
     cfg = get_config()
     ta, ca = _effective_trans(transa)
     tb, cb = _effective_trans(transb)

@@ -313,3 +313,272 @@ def tile_stack_matmul(
         n_c_tiles=n_c_tiles,
         acc_dtype=acc_dtype,
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped A-caching stack kernel (manual double-buffered DMA)
+# ---------------------------------------------------------------------------
+#
+# The flat kernel above pays full HBM traffic for every stack entry (2 tiles
+# per entry): the Pallas pipeline cannot elide DMAs for repeated tile
+# indices under scalar-prefetch index maps (measured round 1 — see
+# ARCHITECTURE.md "Stack-kernel roofline"). This kernel recovers the A-side
+# reuse factor explicitly, the way the reference's double-buffered largeDB
+# kernels stage operand slabs in shared memory
+# (``src/acc/libsmm_acc/kernels/smm_acc_dnt_largeDB1.h``):
+#
+# - the host groups runs of up to ``group`` consecutive output tiles whose
+#   union of A tiles fits a ``cache``-slot VMEM panel;
+# - per group, each distinct A tile is DMA'd HBM->VMEM exactly ONCE
+#   (A traffic drops by the in-group reuse factor);
+# - B tiles stream through a ``ring``-deep manual ring buffer (DMAs issued
+#   ``ring`` entries ahead — the depth hides both issue latency and HBM
+#   latency under the MXU);
+# - the group's C tiles accumulate in the pipelined output window
+#   ([group, T, T] per grid step, written back once).
+#
+# Entries are packed one int32 each: (out_local | a_cache_slot | b_tile).
+
+# int32 entry packing: [out_local:3][a_cache_slot:8][b_tile:20] (the top
+# bit stays clear -> no sign-extension surprises in SMEM scalar reads)
+_GROUP_MAX = 8     # out_local < 8
+_CACHE_MAX = 256   # a cache slot < 256
+_B_BITS = 20       # b tile index < 2^20 (1M tiles ~ 68 GB of f32 tiles)
+
+
+def _plan_groups(
+    stack_np: np.ndarray, n_c_tiles: int, group: int, cache: int
+):
+    """Host grouping pass: split the c-sorted stack into groups of up to
+    ``group`` output rows whose distinct A tiles fit the ``cache``-slot
+    panel. A c-run larger than one group's budget is split across groups
+    (its partial sums are segment-summed on device afterwards).
+
+    Returns (ebounds, abounds, aload, packed_entries, seg, n_groups) where
+    ``seg[n_groups*group]`` maps each padded output row to its c slot
+    (n_c_tiles for padding rows)."""
+    S = len(stack_np)
+    ebounds = [0]
+    abounds = [0]
+    aload: list = []
+    seg: list = []
+    e_packed = np.empty(S, dtype=np.int32)
+    cache_map: dict = {}
+    locals_used = 0
+    cur_c = -1
+    cur_local = -1
+    st = stack_np
+
+    def flush(pos):
+        nonlocal cache_map, locals_used, cur_c, cur_local
+        aload.extend(cache_map.keys())
+        abounds.append(len(aload))
+        ebounds.append(pos)
+        seg.extend([n_c_tiles] * (group - locals_used))  # padding rows
+        cache_map = {}
+        locals_used = 0
+        cur_c = -1
+        cur_local = -1
+
+    for pos in range(S):
+        c = int(st[pos, 0])
+        aa = int(st[pos, 1])
+        bb = int(st[pos, 2])
+        need_local = c != cur_c
+        new_a = aa not in cache_map
+        if (need_local and locals_used == group) or (
+            new_a and len(cache_map) == cache
+        ):
+            flush(pos)
+            need_local = True
+            new_a = True
+        if new_a:
+            cache_map[aa] = len(cache_map)
+        if need_local:
+            cur_local = locals_used
+            locals_used += 1
+            seg.append(c)
+            cur_c = c
+        e_packed[pos] = np.int32(
+            (cur_local << (_B_BITS + 8)) | (cache_map[aa] << _B_BITS) | bb
+        )
+    if locals_used or cache_map:
+        flush(S)
+
+    n_groups = len(ebounds) - 1
+    return (
+        np.asarray(ebounds, dtype=np.int32),
+        np.asarray(abounds, dtype=np.int32),
+        np.asarray(aload, dtype=np.int32),
+        e_packed,
+        np.asarray(seg, dtype=np.int32),
+        n_groups,
+    )
+
+
+def _grouped_kernel(
+    # scalar prefetch
+    ebounds_ref, abounds_ref, aload_ref, entries_ref,
+    # tensor inputs (stay in HBM/ANY)
+    a_hbm, b_hbm,
+    # pipelined output window [group, T, T]
+    out_ref,
+    # scratch
+    a_cache, b_ring, a_sems, b_sems,
+    *, precision, ring: int, cache: int,
+):
+    g = pl.program_id(0)
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    a0 = abounds_ref[g]
+    na = abounds_ref[g + 1] - a0
+
+    def start_a(i, _):
+        pltpu.make_async_copy(
+            a_hbm.at[aload_ref[a0 + i]], a_cache.at[i], a_sems.at[i]
+        ).start()
+        return 0
+
+    jax.lax.fori_loop(0, na, start_a, 0)
+
+    e0 = ebounds_ref[g]
+    ne = ebounds_ref[g + 1] - e0
+
+    def b_dma(j):
+        return pltpu.make_async_copy(
+            b_hbm.at[entries_ref[e0 + j] & ((1 << _B_BITS) - 1)],
+            b_ring.at[j % ring],
+            b_sems.at[j % ring],
+        )
+
+    def warm(j, _):
+        b_dma(j).start()
+        return 0
+
+    jax.lax.fori_loop(0, jnp.minimum(ne, ring), warm, 0)
+
+    def wait_a(i, _):
+        pltpu.make_async_copy(
+            a_hbm.at[aload_ref[a0 + i]], a_cache.at[i], a_sems.at[i]
+        ).wait()
+        return 0
+
+    jax.lax.fori_loop(0, na, wait_a, 0)
+
+    def body(j, _):
+        packed = entries_ref[e0 + j]
+        b_dma(j).wait()
+        ac = (packed >> _B_BITS) & 0xFF
+        ol = packed >> (_B_BITS + 8)
+        prod = jnp.dot(
+            a_cache[ac],
+            b_ring[j % ring],
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+        @pl.when(j + ring < ne)
+        def _():
+            b_dma(j + ring).start()
+
+        out_ref[pl.ds(ol, 1)] = out_ref[pl.ds(ol, 1)] + prod.astype(
+            out_ref.dtype
+        )[None]
+        return 0
+
+    jax.lax.fori_loop(0, ne, body, 0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_groups", "group", "cache", "ring", "tile", "interpret",
+        "precision", "out_dtype",
+    ),
+)
+def _grouped_launch(
+    a_tiles, b_tiles, ebounds, abounds, aload, entries, *,
+    n_groups: int, group: int, cache: int, ring: int, tile: int,
+    interpret: bool, precision: str, out_dtype,
+):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (group, tile, tile), lambda g, *refs: (g, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((cache, tile, tile), a_tiles.dtype),
+            pltpu.VMEM((ring, tile, tile), b_tiles.dtype),
+            pltpu.SemaphoreType.DMA((cache,)),
+            pltpu.SemaphoreType.DMA((ring,)),
+        ],
+    )
+    return pl.pallas_call(
+        partial(
+            _grouped_kernel,
+            precision=_PRECISIONS[precision],
+            ring=ring,
+            cache=cache,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_groups * group, tile, tile), out_dtype
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * int(entries.shape[0]) * tile * tile * tile,
+            bytes_accessed=(len(aload) + entries.shape[0] + n_groups * group)
+            * tile * tile * a_tiles.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(ebounds, abounds, aload, entries, a_tiles, b_tiles)
+
+
+def tile_stack_matmul_grouped(
+    a_tiles: jax.Array,
+    b_tiles: jax.Array,
+    stack_np: np.ndarray,  # host int32 [S, 3] sorted by c
+    *,
+    n_c_tiles: int,
+    group: int = 8,
+    cache: int = 128,
+    ring: int = 8,
+    interpret: bool = False,
+    precision: str = "highest",
+    out_dtype=None,
+) -> jax.Array:
+    """A-caching grouped stack processor (see module comment above).
+
+    Returns the [n_c_tiles, T, T] output store (group-padded layout is
+    gathered back to consecutive c slots on device)."""
+    tile = a_tiles.shape[1]
+    out_dtype = out_dtype or a_tiles.dtype
+    if len(stack_np) == 0:
+        return jnp.zeros((n_c_tiles, tile, tile), dtype=out_dtype)
+    if b_tiles.shape[0] >= (1 << _B_BITS) or group > _GROUP_MAX or (
+        cache > _CACHE_MAX
+    ):
+        raise ValueError("grouped kernel limits exceeded")
+    ebounds, abounds, aload, entries, seg, n_groups = _plan_groups(
+        stack_np, n_c_tiles, group, cache
+    )
+    out = _grouped_launch(
+        a_tiles, b_tiles,
+        jnp.asarray(ebounds), jnp.asarray(abounds), jnp.asarray(aload),
+        jnp.asarray(entries),
+        n_groups=n_groups, group=group, cache=cache, ring=ring, tile=tile,
+        interpret=interpret, precision=precision, out_dtype=out_dtype,
+    )
+    # combine split c-runs (tile-granular segment sum; a plain gather when
+    # every c slot was produced exactly once)
+    if len(seg) == n_c_tiles * 1 and np.array_equal(seg, np.arange(n_c_tiles)):
+        return out
+    full = jax.ops.segment_sum(
+        out, jnp.asarray(seg), num_segments=n_c_tiles + 1
+    )
+    return full[:n_c_tiles]

@@ -66,6 +66,10 @@ def add(alpha, a: BCSRMatrix, beta, b: BCSRMatrix) -> BCSRMatrix:
     """alpha*A + beta*B with index union (``dbcsr_add``). The tile stores
     are dense-on-tiles with zero padding, so the union-aligned element sum
     IS the matrix sum — one tile gather per operand, one add."""
+    if a.is_complex_emulated or b.is_complex_emulated:
+        from .complex_emu import emu_add
+
+        return emu_add(alpha, a, beta, b)
     dbcsr_assert(_same_structure(a, b), "incompatible block structures")
     if a.sym != b.sym:
         a, b = desymmetrize(a), desymmetrize(b)
@@ -83,6 +87,10 @@ def add(alpha, a: BCSRMatrix, beta, b: BCSRMatrix) -> BCSRMatrix:
 
 
 def scale(m: BCSRMatrix, alpha) -> BCSRMatrix:
+    if m.is_complex_emulated:
+        from .complex_emu import emu_scale
+
+        return emu_scale(m, alpha)
     return m.with_data(m.data * jnp.asarray(alpha, m.dtype))
 
 
@@ -91,6 +99,18 @@ def scale_by_vector(m: BCSRMatrix, vec, side: str = "right") -> BCSRMatrix:
     diag(v)·A) — ``dbcsr_scale_by_vector``. The vector is re-tiled to
     [n_tiles, T] by a tile-level gather and broadcast-multiplied."""
     dbcsr_assert(side in ("left", "right"), "side must be left|right")
+    if m.is_complex_emulated:
+        from .complex_emu import map_parts
+        from .arithmetic import add as _add
+
+        v = np.asarray(vec)
+        re, im = m.parts()
+        rr = scale_by_vector(re, v.real, side)
+        ii = scale_by_vector(im, v.real, side)
+        if np.iscomplexobj(v) and np.abs(v.imag).max() > 0:
+            rr = _add(1.0, rr, -1.0, scale_by_vector(im, v.imag, side))
+            ii = _add(1.0, ii, 1.0, scale_by_vector(re, v.imag, side))
+        return BCSRMatrix.combine(rr, ii, m.dtype, name=m.name, sym=m.sym)
     lay = m.layout
     t = m.tile
     if side == "left":
@@ -111,11 +131,22 @@ def set_value(m: BCSRMatrix, value) -> BCSRMatrix:
     validity mask."""
     if value == 0:
         return zero(m)
+    if m.is_complex_emulated:
+        value = complex(value)
+        re, im = m.parts()
+        return BCSRMatrix.combine(
+            set_value(re, value.real), set_value(im, value.imag),
+            m.dtype, name=m.name, sym=m.sym,
+        )
     vm = valid_mask(m.index, m.tile).astype(m.dtype)
     return m.with_data(vm * jnp.asarray(value, m.dtype))
 
 
 def zero(m: BCSRMatrix) -> BCSRMatrix:
+    if m.is_complex_emulated:
+        from .complex_emu import map_parts
+
+        return map_parts(m, zero)
     return m.with_data(jnp.zeros_like(m.data))
 
 
@@ -128,6 +159,10 @@ def trace(m: BCSRMatrix) -> float:
     """Sum of diagonal elements (``dbcsr_trace``). Only diagonal tiles
     (tr == tc) intersect the diagonal; padding zeros make the raw diagonal
     sum exact."""
+    if m.is_complex_emulated:
+        from .complex_emu import emu_trace
+
+        return emu_trace(m)
     mm = desymmetrize(m)
     slots = _diag_slots(mm)
     if len(slots) == 0:
@@ -142,6 +177,10 @@ def dot(a: BCSRMatrix, b: BCSRMatrix) -> float:
     tile intersection — positions where either operand stores nothing are 0."""
     dbcsr_assert(_same_structure(a, b), "incompatible block structures")
     dbcsr_assert(a.tile == b.tile, "tile sizes differ")
+    if a.is_complex_emulated or b.is_complex_emulated:
+        from .complex_emu import emu_dot
+
+        return emu_dot(a, b)
     a = desymmetrize(a)
     b = desymmetrize(b)
     ka, kb = a.layout.tile_keys(), b.layout.tile_keys()
@@ -160,6 +199,10 @@ def hadamard_product(a: BCSRMatrix, b: BCSRMatrix) -> BCSRMatrix:
     covered by only one operand multiply against 0."""
     dbcsr_assert(_same_structure(a, b), "incompatible block structures")
     dbcsr_assert(a.tile == b.tile, "tile sizes differ")
+    if a.is_complex_emulated or b.is_complex_emulated:
+        from .complex_emu import emu_hadamard
+
+        return emu_hadamard(a, b)
     a = desymmetrize(a)
     b = desymmetrize(b)
     pa = a.index.pattern()
@@ -184,6 +227,10 @@ def filter_blocks(m: BCSRMatrix, eps: float) -> BCSRMatrix:
     matmul) zeroing dropped blocks that share tiles with survivors."""
     if m.nblks == 0 or eps is None:
         return m
+    if m.is_complex_emulated:
+        from .complex_emu import emu_filter
+
+        return emu_filter(m, eps)
     with timed("filter"):
         nsq = block_norms_sq(m).astype(np.float64)
         keep = nsq >= float(eps) ** 2

@@ -31,6 +31,10 @@ def block_norms_sq(m: BCSRMatrix) -> np.ndarray:
     """Squared Frobenius norm per stored block, float32 host [nblks]
     (single-precision norms like the reference,
     ``src/mm/dbcsr_mm_common.F:629``)."""
+    if m.is_complex_emulated:
+        from .complex_emu import emu_block_norms_sq
+
+        return emu_block_norms_sq(m)
     return block_sums_sq(m.index, m.tile, m.data)
 
 
@@ -39,6 +43,9 @@ def block_norms(m: BCSRMatrix) -> np.ndarray:
 
 
 def norm_frobenius(m: BCSRMatrix) -> float:
+    if m.is_complex_emulated:
+        re, im = m.parts()
+        return float(np.hypot(norm_frobenius(re), norm_frobenius(im)))
     if m.sym != SYM_NONE:
         # Off-diagonal stored blocks count twice. Diagonal blocks follow
         # desymmetrize's shadowing convention (transform.py): the strictly-
@@ -80,6 +87,10 @@ def norm_frobenius(m: BCSRMatrix) -> float:
 def norm_maxabs(m: BCSRMatrix) -> float:
     if m.data.size == 0:
         return 0.0
+    if m.is_complex_emulated:
+        return float(
+            jnp.sqrt(jnp.max(m.data * m.data + m.data_im * m.data_im))
+        )
     return float(jnp.max(jnp.abs(m.data)))
 
 
@@ -87,6 +98,13 @@ def norm_column(m: BCSRMatrix) -> float:
     """Matrix 1-norm: max over columns of sum_i |a_ij| (the reference's
     column norm, ``dbcsr_norm_column``); sublane reduction per tile +
     tile-column combine."""
+    if m.is_complex_emulated:
+        from .transform import desymmetrize as _desym
+
+        mm = _desym(m)
+        re, im = mm.parts()
+        absm = re.with_data(jnp.sqrt(re.data * re.data + im.data * im.data))
+        return norm_column(absm)
     mm = m
     if m.sym != SYM_NONE:
         from .transform import desymmetrize
@@ -105,6 +123,13 @@ def norm_gershgorin(m: BCSRMatrix) -> float:
     """Gershgorin-circle bound: max over rows of sum_j |a_ij| (on the
     symmetry-expanded matrix). Lane reduction per tile + tile-row combine —
     all at >=128-lane granularity."""
+    if m.is_complex_emulated:
+        from .transform import desymmetrize as _desym
+
+        mm = _desym(m)
+        re, im = mm.parts()
+        absm = re.with_data(jnp.sqrt(re.data * re.data + im.data * im.data))
+        return norm_gershgorin(absm)
     mm = m
     if m.sym != SYM_NONE:
         from .transform import desymmetrize

@@ -59,6 +59,17 @@ def fold_symmetric(m: BCSRMatrix, sym: str = SYM_SYMMETRIC) -> BCSRMatrix:
     hermitian, as in the reference."""
     if m.sym != SYM_NONE:
         return m
+    if m.is_complex_emulated:
+        sym_re, sym_im = (
+            (SYM_SYMMETRIC, SYM_ANTISYMMETRIC)
+            if sym == SYM_HERMITIAN
+            else (sym, sym)
+        )
+        re, im = m.parts()
+        return BCSRMatrix.combine(
+            fold_symmetric(re, sym_re), fold_symmetric(im, sym_im),
+            m.dtype, name=m.name, sym=sym,
+        )
     with timed("fold_symmetric"):
         keep = m.index.blk_rows <= m.index.col_idx
         rows = m.index.blk_rows[keep]
@@ -84,6 +95,10 @@ def retile(m: BCSRMatrix, tile: int) -> BCSRMatrix:
     element gather between the two layouts."""
     if tile == m.tile:
         return m
+    if m.is_complex_emulated:
+        from .complex_emu import map_parts
+
+        return map_parts(m, lambda x: retile(x, tile))
     from ..block.gather import apply_flat_gather
 
     data = apply_flat_gather(
@@ -98,6 +113,17 @@ def transpose(m: BCSRMatrix, *, conjugate: bool = False) -> BCSRMatrix:
     """Deep transpose (``dbcsr_new_transposed``): tile permutation +
     vectorized per-tile transpose. Symmetric inputs are expanded first; the
     result has symmetry 'N'."""
+    if m.is_complex_emulated:
+        from ..block.bcsr import BCSRMatrix as _M
+
+        if m.sym != SYM_NONE:
+            m = desymmetrize(m)
+        re, im = m.parts()
+        rr = transpose(re)
+        ii = transpose(im)
+        if conjugate:
+            ii = ii.with_data(-ii.data)
+        return _M.combine(rr, ii, m.dtype, name=m.name + "^T", sym=SYM_NONE)
     if m.sym != SYM_NONE:
         m = desymmetrize(m)
     with timed("transpose"):
@@ -125,6 +151,14 @@ def desymmetrize(m: BCSRMatrix) -> BCSRMatrix:
     of diagonal blocks are shadowed by the upper triangle."""
     if m.sym == SYM_NONE:
         return m
+    if m.is_complex_emulated:
+        from ..block.bcsr import BCSRMatrix as _M
+
+        re, im = m.parts()  # H carries as re 'S' / im 'A'
+        return _M.combine(
+            desymmetrize(re), desymmetrize(im), m.dtype, name=m.name,
+            sym=SYM_NONE,
+        )
     with timed("desymmetrize"):
         rows_u = m.index.blk_rows
         cols_u = m.index.col_idx

@@ -102,6 +102,15 @@ def extract_block_subset(
     plus one device gather — the TPU-native form of the reference's subgroup
     matrix extraction inside TAS reshape (``dbcsr_tas_reshape_ops.F``).
     """
+    if m.is_complex_emulated:
+        from ..ops.complex_emu import map_parts
+
+        return map_parts(
+            m,
+            lambda x: extract_block_subset(
+                x, row_blocks=row_blocks, col_blocks=col_blocks
+            ),
+        )
     dbcsr_assert(m.sym == SYM_NONE, "desymmetrize before subset extraction")
     idx = m.index
     rows_sel = (
@@ -192,6 +201,24 @@ def _merge_groups(
     dtype=None,
 ) -> BCSRMatrix:
     from ..block.gather import apply_flat_gather
+
+    if any(sub.is_complex_emulated for sub, _ in parts):
+        from ..block.bcsr import BCSRMatrix as _M
+        from ..ops.complex_emu import lift
+
+        cdtype = np.result_type(*(sub.dtype for sub, _ in parts))
+        res = [
+            (lift(sub, cdtype).parts(), blocks) for sub, blocks in parts
+        ]
+        rr = _merge_groups(
+            [(pr[0], blk) for pr, blk in res], row_block_sizes,
+            col_block_sizes, map_rows=map_rows, name=name,
+        )
+        ii = _merge_groups(
+            [(pr[1], blk) for pr, blk in res], row_block_sizes,
+            col_block_sizes, map_rows=map_rows, name=name,
+        )
+        return _M.combine(rr, ii, cdtype, name=name, sym=rr.sym)
 
     rows_all: List[np.ndarray] = []
     cols_all: List[np.ndarray] = []

@@ -37,10 +37,6 @@ def test_binary_roundtrip(tmp_path):
 
 
 def test_binary_roundtrip_symmetric_complex(tmp_path):
-    from dbcsr_tpu.core.machine import backend_supports_complex
-
-    if not backend_supports_complex():
-        pytest.skip("backend does not support complex arithmetic")
     rng = np.random.default_rng(1)
     m = _rand(rng, sym="S", dtype=np.complex64)
     path = str(tmp_path / "m.dbcsr")

@@ -86,10 +86,7 @@ def test_fold_symmetric_roundtrip(rng):
 
 
 def test_multiply_complex(rng):
-    from dbcsr_tpu.core.machine import backend_supports_complex
-
-    if not backend_supports_complex():
-        pytest.skip("backend does not support complex arithmetic")
+    # runs natively or via split-complex emulation (ops/complex_emu.py)
     rbs = dt.random_block_sizes(20, [2, 4], rng)
     a = make(rng, rbs, rbs, 0.5, np.complex128)
     b = make(rng, rbs, rbs, 0.5, np.complex128)
