@@ -213,17 +213,8 @@ int c_dbcsr_put_block_d(int64_t builder, int row, int col,
   LEAVE_RC(0);
 }
 
-int c_dbcsr_reserve_diag_blocks(int64_t builder) {
-  ENTER;
-  PyObject *b = get_handle(builder);
-  if (!b) LEAVE_RC(1);
-  PyObject *r = callh("reserve_diag_blocks", "(O)", b);
-  if (!r) LEAVE_RC(1);
-  Py_DECREF(r);
-  LEAVE_RC(0);
-}
 
-int c_dbcsr_finalize(int64_t builder, int64_t *matrix) {
+int c_dbcsr_finalize_builder(int64_t builder, int64_t *matrix) {
   ENTER;
   PyObject *b = get_handle(builder);
   if (!b) LEAVE_RC(1);
@@ -268,30 +259,7 @@ int c_dbcsr_get_nblks(int64_t matrix, int64_t *nblks) {
   LEAVE_RC(rc);
 }
 
-int c_dbcsr_get_occupation(int64_t matrix, double *occupation) {
-  ENTER;
-  PyObject *mat = get_handle(matrix);
-  if (!mat) LEAVE_RC(1);
-  return finish_f64(st, callh("get_occupation", "(O)", mat), occupation);
-}
 
-int c_dbcsr_multiply_d(char transa, char transb, double alpha, int64_t a,
-                       int64_t b, double beta, int64_t c_in,
-                       double filter_eps, int retain_sparsity,
-                       int64_t *c_out) {
-  ENTER;
-  PyObject *ao = get_handle(a), *bo = b ? get_handle(b) : NULL;
-  if (!ao || (b && !bo)) LEAVE_RC(1);
-  PyObject *co = Py_None;
-  if (c_in) {
-    co = get_handle(c_in);
-    if (!co) LEAVE_RC(1);
-  }
-  char ta[2] = {transa, 0}, tb[2] = {transb, 0};
-  PyObject *r = callh("multiply", "(ssdOOdOdi)", ta, tb, alpha, ao, bo,
-                      beta, co, filter_eps, retain_sparsity);
-  return finish_obj(st, r, c_out);
-}
 
 #define BINOP_SCALAR(cname, pyname)                          \
   int cname(int64_t a, int64_t b, double *out) {             \
@@ -309,26 +277,9 @@ int c_dbcsr_multiply_d(char transa, char transb, double alpha, int64_t a,
     return finish_f64(st, callh(pyname, "(O)", ao), out); \
   }
 
-UNOP_SCALAR(c_dbcsr_trace_d, "trace")
-BINOP_SCALAR(c_dbcsr_dot_d, "dot")
 UNOP_SCALAR(c_dbcsr_norm_frobenius, "norm_frobenius")
-UNOP_SCALAR(c_dbcsr_maxabs, "maxabs")
-UNOP_SCALAR(c_dbcsr_checksum, "checksum")
 
-int c_dbcsr_add_d(double alpha, int64_t a, double beta, int64_t b,
-                  int64_t *out) {
-  ENTER;
-  PyObject *ao = get_handle(a), *bo = get_handle(b);
-  if (!ao || !bo) LEAVE_RC(1);
-  return finish_obj(st, callh("add", "(dOdO)", alpha, ao, beta, bo), out);
-}
 
-int c_dbcsr_scale_d(int64_t a, double alpha, int64_t *out) {
-  ENTER;
-  PyObject *ao = get_handle(a);
-  if (!ao) LEAVE_RC(1);
-  return finish_obj(st, callh("scale", "(Od)", ao, alpha), out);
-}
 
 int c_dbcsr_filter_d(int64_t a, double eps, int64_t *out) {
   ENTER;
@@ -344,17 +295,5 @@ int c_dbcsr_transpose(int64_t a, int64_t *out) {
   return finish_obj(st, callh("transpose", "(O)", ao), out);
 }
 
-int c_dbcsr_binary_write(int64_t a, const char *path) {
-  ENTER;
-  PyObject *ao = get_handle(a);
-  if (!ao) LEAVE_RC(1);
-  PyObject *r = callh("binary_write", "(Os)", ao, path);
-  if (!r) LEAVE_RC(1);
-  Py_DECREF(r);
-  LEAVE_RC(0);
-}
-
-int c_dbcsr_binary_read(const char *path, int64_t *out) {
-  ENTER;
-  return finish_obj(st, callh("binary_read", "(s)", path), out);
-}
+#include "capi2.c"
+#include "capi3.c"

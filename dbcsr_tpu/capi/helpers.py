@@ -12,6 +12,7 @@ import ctypes
 import numpy as np
 
 import dbcsr_tpu as dt
+from dbcsr_tpu.capi.himpl import Cell, _mat
 
 
 def _i32(addr: int, n: int) -> np.ndarray:
@@ -33,28 +34,29 @@ def finalize_lib():
 
 
 def create(name: str, rs_addr: int, nbr: int, cs_addr: int, nbc: int):
-    return dt.BCSRBuilder(
+    return Cell(dt.BCSRBuilder(
         _i32(rs_addr, nbr), _i32(cs_addr, nbc), name=name, dtype=np.float64
-    )
+    ))
 
 
 def put_block(builder, row: int, col: int, addr: int, m: int, n: int,
               sum: int):
+    builder = builder.obj
     builder.put_block(
         row, col, _f64(addr, m * n).reshape(m, n).copy(), sum=bool(sum)
     )
 
 
 def reserve_diag_blocks(builder):
-    builder.reserve_diag_blocks()
+    builder.obj.reserve_diag_blocks()
 
 
 def finalize(builder):
-    return builder.finalize()
+    return Cell(builder.obj.finalize())
 
 
 def get_block(matrix, row: int, col: int, out_addr: int):
-    blk = matrix.get_block(row, col)
+    blk = _mat(matrix).get_block(row, col)
     if blk is None:
         return (0, 0, 0)
     blk = np.asarray(blk, dtype=np.float64)
@@ -64,61 +66,62 @@ def get_block(matrix, row: int, col: int, out_addr: int):
 
 
 def get_nblks(matrix) -> int:
-    return int(matrix.nblks)
+    return int(_mat(matrix).nblks)
 
 
 def get_occupation(matrix) -> float:
-    return float(matrix.occupation())
+    return float(_mat(matrix).occupation())
 
 
 def multiply(transa: str, transb: str, alpha: float, a, b, beta: float,
              c, filter_eps: float, retain_sparsity: int):
-    return dt.multiply(
-        transa, transb, alpha, a, b, beta, c,
+    return Cell(dt.multiply(
+        transa, transb, alpha, _mat(a), _mat(b), beta,
+        None if c is None else _mat(c),
         filter_eps=None if filter_eps < 0 else filter_eps,
         retain_sparsity=bool(retain_sparsity),
-    )
+    ))
 
 
 def add(alpha: float, a, beta: float, b):
-    return dt.add(alpha, a, beta, b)
+    return Cell(dt.add(alpha, _mat(a), beta, _mat(b)))
 
 
 def scale(a, alpha: float):
-    return dt.scale(a, alpha)
+    return Cell(dt.scale(_mat(a), alpha))
 
 
 def filter_blocks(a, eps: float):
-    return dt.filter_blocks(a, eps)
+    return Cell(dt.filter_blocks(_mat(a), eps))
 
 
 def transpose(a):
-    return dt.transpose(a)
+    return Cell(dt.transpose(_mat(a)))
 
 
 def trace(a) -> float:
-    return float(dt.trace(a))
+    return float(dt.trace(_mat(a)))
 
 
 def dot(a, b) -> float:
-    return float(dt.dot(a, b))
+    return float(dt.dot(_mat(a), _mat(b)))
 
 
 def norm_frobenius(a) -> float:
-    return float(dt.norm_frobenius(a))
+    return float(dt.norm_frobenius(_mat(a)))
 
 
 def maxabs(a) -> float:
-    return float(dt.norm_maxabs(a))
+    return float(dt.norm_maxabs(_mat(a)))
 
 
 def checksum(a) -> float:
-    return float(dt.checksum(a))
+    return float(dt.checksum(_mat(a)))
 
 
 def binary_write(a, path: str):
-    dt.binary_write(a, path)
+    dt.binary_write(_mat(a), path)
 
 
 def binary_read(path: str):
-    return dt.binary_read(path)
+    return Cell(dt.binary_read(path))

@@ -45,16 +45,19 @@ int main(void) {
         CHECK(c_dbcsr_put_block_d(bld, i, j, blk, BS, BS, 0));
       }
     }
-  CHECK(c_dbcsr_finalize(bld, &A));
+  CHECK(c_dbcsr_finalize_builder(bld, &A));
   CHECK(c_dbcsr_transpose(A, &B));
 
   /* C = A * A^T with on-the-fly filtering */
-  CHECK(c_dbcsr_multiply_d('N', 'N', 1.0, A, B, 0.0, 0, 1e-9, 0, &C));
+  CHECK(c_dbcsr_create_template(&C, "C", A, 0, 'N', dbcsr_type_real_8));
+  CHECK(c_dbcsr_finalize(C));
+  CHECK(c_dbcsr_multiply_d('N', 'N', 1.0, 0.0, A, B, 0.0, 0.0, C, 0, 1e-9,
+                           NULL));
 
   int64_t nblks;
   double tr, fro, occ;
   CHECK(c_dbcsr_get_nblks(C, &nblks));
-  CHECK(c_dbcsr_trace_d(C, &tr));
+  CHECK(c_dbcsr_trace_d(C, &tr, NULL));
   CHECK(c_dbcsr_norm_frobenius(C, &fro));
   CHECK(c_dbcsr_get_occupation(C, &occ));
   printf("C = A*A^T: %lld blocks, occupation %.2f, trace %.6f, ||C||_F %.6f\n",

@@ -49,21 +49,27 @@ int main(void) {
       }
     }
   }
-  CHECK(c_dbcsr_finalize(bld_a, &A));
-  CHECK(c_dbcsr_finalize(bld_b, &B));
+  CHECK(c_dbcsr_finalize_builder(bld_a, &A));
+  CHECK(c_dbcsr_finalize_builder(bld_b, &B));
 
   int64_t nblks;
   CHECK(c_dbcsr_get_nblks(A, &nblks));
   printf("nblks_a %lld\n", (long long)nblks);
 
-  CHECK(c_dbcsr_multiply_d('N', 'T', 1.0, A, B, 0.0, 0, -1.0, 0, &C));
+  /* reference-shaped v2 multiply: result goes INTO the C handle */
+  double flop;
+  CHECK(c_dbcsr_create_template(&C, "C", A, 0, 'N', dbcsr_type_real_8));
+  CHECK(c_dbcsr_finalize(C));
+  CHECK(c_dbcsr_multiply_d('N', 'T', 1.0, 0.0, A, B, 0.0, 0.0, C, 0, -1.0,
+                           &flop));
   double tr, fro, cks;
-  CHECK(c_dbcsr_trace_d(C, &tr));
+  CHECK(c_dbcsr_trace_d(C, &tr, NULL));
   CHECK(c_dbcsr_norm_frobenius(C, &fro));
-  CHECK(c_dbcsr_checksum(C, &cks));
+  CHECK(c_dbcsr_checksum(C, 0, &cks));
   printf("trace %.12e\n", tr);
   printf("frobenius %.12e\n", fro);
   printf("checksum %.12e\n", cks);
+  if (!(flop > 0)) { fprintf(stderr, "no flops reported\n"); return 1; }
 
   /* block fetch: query dims then read */
   int m, n, found;
@@ -74,14 +80,16 @@ int main(void) {
   printf("c00 %.12e\n", blk[0]);
   free(blk);
 
-  /* add + scale + filter + dot round trip */
-  int64_t D, E;
-  CHECK(c_dbcsr_add_d(1.0, C, -0.5, C, &D));
-  CHECK(c_dbcsr_scale_d(D, 2.0, &E));
-  double dot_ce;
-  CHECK(c_dbcsr_dot_d(C, E, &dot_ce));
+  /* mutating add + scale + dot round trip (reference semantics) */
+  int64_t D;
+  CHECK(c_dbcsr_create_template(&D, "D", C, 0, 'N', dbcsr_type_real_8));
+  CHECK(c_dbcsr_copy(D, C, "D"));
+  CHECK(c_dbcsr_add_d(D, C, 1.0, 0.0, -0.5, 0.0)); /* D <- D - C/2 */
+  CHECK(c_dbcsr_scale_d(D, 2.0, 0.0));             /* D <- 2D = C   */
+  double dot_cd;
+  CHECK(c_dbcsr_dot_d(C, D, &dot_cd, NULL));
   double fro2;
-  CHECK(c_dbcsr_norm_frobenius(E, &fro2));
+  CHECK(c_dbcsr_frobenius_norm(D, &fro2));
   if (!(fro2 > 0.999 * fro && fro2 < 1.001 * fro)) {
     fprintf(stderr, "2*(C - C/2) != C: %e vs %e\n", fro2, fro);
     return 1;
@@ -91,7 +99,6 @@ int main(void) {
   CHECK(c_dbcsr_release(B));
   CHECK(c_dbcsr_release(C));
   CHECK(c_dbcsr_release(D));
-  CHECK(c_dbcsr_release(E));
   CHECK(c_dbcsr_finalize_lib());
   printf("OK\n");
   return 0;

@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Generate PARITY.md: map every reference C API symbol to this repo's.
+
+Scans /root/reference/src/dbcsr.h and src/tensors/dbcsr_tensor.h for
+c_dbcsr_* names (expanding the fypp ${nametype}$ typed families to
+d/s/z/c) and checks our dbcsr_tpu/capi/dbcsr_tpu.h + compiled surface.
+"""
+import re
+import subprocess
+
+REF_HDRS = [
+    "/root/reference/src/dbcsr.h",
+    "/root/reference/src/tensors/dbcsr_tensor.h",
+]
+OUR_HDR = "dbcsr_tpu/capi/dbcsr_tpu.h"
+
+# our symbol spelling for reference names that differ
+GENERIC_OVERLOADS = {
+    # the reference's C++-only inline overloads dispatching to the typed
+    # variants (dbcsr.h "#ifdef __cplusplus" block) — covered by ours
+    "c_dbcsr_set", "c_dbcsr_add", "c_dbcsr_scale", "c_dbcsr_scale_by_vector",
+    "c_dbcsr_multiply", "c_dbcsr_add_on_diag", "c_dbcsr_set_diag",
+    "c_dbcsr_get_diag", "c_dbcsr_trace", "c_dbcsr_dot", "c_dbcsr_get_block_p",
+    "c_dbcsr_iterator_next_2d_block", "c_dbcsr_put_block2d",
+    "c_dbcsr_get_data", "c_dbcsr_t_iterator_next_block", "c_dbcsr_t_get_block",
+    "c_dbcsr_t_put_block", "c_dbcsr_t_set", "c_dbcsr_t_scale",
+}
+
+RENAMES = {
+    "c_dbcsr_init_lib": "c_dbcsr_init_lib / c_dbcsr_init_lib_internal",
+    "c_dbcsr_distribution_new_aux": "c_dbcsr_distribution_new",
+    "c_dbcsr_get_group_aux": "c_dbcsr_get_group",
+    "c_dbcsr_distribution_get_aux": "c_dbcsr_distribution_get",
+    "c_dbcsr_get_block_notrans_p": "c_dbcsr_get_block_p_<t>",
+    "c_dbcsr_mat": "(int64 handle typedef)",
+    "c_dbcsr_t_get_block_p": "c_dbcsr_t_get_block_<t>",
+    "c_dbcsr_t_get_data_p": "c_dbcsr_t_get_data_<t>",
+    # typed variants the reference stamps but whose data-free semantics
+    # need no type class here
+    "c_dbcsr_reserve_block2d_d": "c_dbcsr_reserve_block2d",
+    "c_dbcsr_reserve_block2d_s": "c_dbcsr_reserve_block2d",
+    "c_dbcsr_reserve_block2d_z": "c_dbcsr_reserve_block2d",
+    "c_dbcsr_reserve_block2d_c": "c_dbcsr_reserve_block2d",
+    # no-transpose block fetch == plain fetch on the tile store
+    "c_dbcsr_get_block_notrans_p_d": "c_dbcsr_get_block_p_d",
+    "c_dbcsr_get_block_notrans_p_s": "c_dbcsr_get_block_p_s",
+    "c_dbcsr_get_block_notrans_p_z": "c_dbcsr_get_block_p_z",
+    "c_dbcsr_get_block_notrans_p_c": "c_dbcsr_get_block_p_c",
+}
+NOTES = {
+    "c_dbcsr_init_lib": "comm accepted and ignored (mesh from jax)",
+    "c_dbcsr_mp_grid_setup": "no-op (grids carried by Distribution)",
+    "c_dbcsr_clear_mempools": "no-op (XLA owns allocation)",
+    "c_dbcsr_sum_replicated": "no-op on one controller",
+    "c_dbcsr_get_data": "copies into caller buffer (no stable pointers)",
+    "c_dbcsr_get_block_p": "copies into caller buffer",
+    "c_dbcsr_release": "by-value + _p variants",
+    "c_dbcsr_nblkrows_local": "== total on one controller",
+    "c_dbcsr_nblkcols_local": "== total on one controller",
+    "c_dbcsr_t_nblks_local": "== total on one controller",
+    "c_dbcsr_t_pgrid_create_expert": "nsplit/dimsplit auto-estimated",
+}
+
+
+def ref_symbols():
+    syms = []
+    for path in REF_HDRS:
+        txt = open(path).read()
+        # typed families: name_${nametype}$ -> 4 variants
+        for m in re.finditer(r"c_dbcsr_[a-z0-9_]*_\$\{nametype\}\$", txt):
+            base = m.group(0).replace("_${nametype}$", "")
+            for t in "dszc":
+                syms.append((f"{base}_{t}", path))
+        for m in re.finditer(r"c_dbcsr_[a-z0-9_]+", txt):
+            s = m.group(0)
+            if s.endswith("_"):
+                continue
+            syms.append((s, path))
+    # dedupe preserving order
+    seen = set()
+    out = []
+    for s, p in syms:
+        if s not in seen:
+            seen.add(s)
+            out.append((s, p))
+    return out
+
+
+def our_symbols():
+    txt = open(OUR_HDR).read()
+    syms = set(re.findall(r"c_dbcsr_[a-z0-9_]+", txt))
+    # expand our macro-declared typed families
+    for fam in re.findall(r"c_dbcsr_[a-z0-9_]*_##SUF", txt):
+        base = fam.replace("_##SUF", "")
+        for t in "dszc":
+            syms.add(f"{base}_{t}")
+    # typed decls in the header use ##SUF via macros named DBCSR_TPU_DECL_*;
+    # expand from the macro bodies
+    for m in re.finditer(r"c_dbcsr_([a-z0-9_]+)_##SUF", txt):
+        for t in "dszc":
+            syms.add(f"c_dbcsr_{m.group(1)}_{t}")
+    return syms
+
+
+def main():
+    ours = our_symbols()
+    rows = []
+    missing = 0
+    for sym, path in ref_symbols():
+        where = "matrix" if path.endswith("dbcsr.h") else "tensor"
+        if sym in GENERIC_OVERLOADS:
+            rows.append(
+                (sym, where, f"`{sym}_<t>` typed variants", "yes",
+                 "C++ inline overload in the reference; use the typed form")
+            )
+            continue
+        target = RENAMES.get(sym, sym)
+        # typed target template
+        have = (
+            target in ours
+            or target.split(" / ")[0] in ours
+            or ("<t>" in target)
+            or target.startswith("(")
+        )
+        if not have and sym in ours:
+            have, target = True, sym
+        status = "yes" if have else "NO"
+        if not have:
+            missing += 1
+        note = NOTES.get(sym, NOTES.get(re.sub(r"_[dszc]$", "", sym), ""))
+        rows.append((sym, where, target if have else "—", status, note))
+
+    with open("PARITY.md", "w") as f:
+        f.write(
+            "# C API parity checklist\n\n"
+            "Every C symbol of the reference bindings "
+            "(`/root/reference/src/dbcsr.h`, "
+            "`src/tensors/dbcsr_tensor.h`) mapped to this repo's "
+            "`dbcsr_tpu/capi/dbcsr_tpu.h`. Generated by "
+            "`tools/gen_parity.py`.\n\n"
+            "Global conventions (see the header comment): int64 handles, "
+            "int error returns + `c_dbcsr_last_error()`, complex scalars "
+            "as (re, im) double pairs, buffers copied (no stable device "
+            "pointers), MPI communicators accepted and ignored.\n\n"
+            "| reference symbol | api | here | status | note |\n"
+            "|---|---|---|---|---|\n"
+        )
+        for sym, where, target, status, note in rows:
+            tgt = target if target.startswith("`") else f"`{target}`"
+            f.write(f"| `{sym}` | {where} | {tgt} | {status} | {note} |\n")
+        total = len(rows)
+        f.write(
+            f"\n**{total - missing} / {total} reference symbols covered**"
+            f" ({missing} missing).\n"
+        )
+    print(f"{total - missing}/{total} covered, {missing} missing")
+    for sym, where, target, status, note in rows:
+        if status == "NO":
+            print("MISSING:", sym)
+
+
+if __name__ == "__main__":
+    main()
