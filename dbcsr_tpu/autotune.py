@@ -111,7 +111,8 @@ WORKLOADS: Dict[str, Callable] = {
 
 
 def workload_class(block_sizes, occupancy: float) -> str:
-    """Classify a matrix into the nearest tuned workload class."""
+    """Coarse rule-based classification (fallback when the parameter table
+    carries no feature vectors — pre-round-2 tables)."""
     mean_bs = float(np.mean(block_sizes))
     if occupancy > 0.6:
         return "block23_dense"
@@ -120,6 +121,77 @@ def workload_class(block_sizes, occupancy: float) -> str:
     if mean_bs <= 8:
         return "block5_sparse10"
     return "mixed_5_13_23_sparse20"
+
+
+# --- feature-based classification (smm_acc_predict analog) -----------------
+#
+# The reference trains a decision tree over derived kernel features to pick
+# launch parameters for UNTUNED (m,n,k) triplets
+# (``src/acc/libsmm_acc/kernels/smm_acc_predict.py:23-60``). Here every
+# tuned workload class stores a FEATURE VECTOR of the swept workload;
+# untuned shapes look up the nearest class in normalized feature space.
+
+#: feature names, scales chosen so one unit ~ one "meaningful" step
+_FEATURES = (
+    "log_mean_bs",      # log2 mean block edge
+    "bs_cv",            # block-size coefficient of variation
+    "log_occupancy",    # log10 block-level occupancy
+    "bandedness",       # 1 - normalized mean |i - j| spread of blocks
+    "log_nblkrows",     # log10 problem scale
+)
+
+
+def index_features(index) -> np.ndarray:
+    """Feature vector of one matrix index (pure metadata, O(nblks))."""
+    sizes = np.concatenate(
+        [index.row_block_sizes, index.col_block_sizes]
+    ).astype(np.float64)
+    mean_bs = max(float(sizes.mean()), 1.0)
+    cv = float(sizes.std() / mean_bs)
+    occ = index.nblks / max(index.nblkrows * index.nblkcols, 1)
+    rows = index.blk_rows.astype(np.float64)
+    cols = index.col_idx.astype(np.float64)
+    n = max(index.nblkrows, index.nblkcols, 1)
+    spread = float(np.abs(rows - cols).mean()) / n if index.nblks else 0.0
+    # random uniform patterns have spread ~ n/3 -> bandedness ~ 0;
+    # perfectly banded patterns have spread ~ 0 -> bandedness ~ 1
+    bandedness = max(0.0, 1.0 - 3.0 * spread)
+    return np.array(
+        [
+            np.log2(mean_bs),
+            cv,
+            np.log10(max(occ, 1e-6)),
+            bandedness,
+            np.log10(max(index.nblkrows, 1)),
+        ]
+    )
+
+
+def workload_features(a_index, b_index) -> np.ndarray:
+    return 0.5 * (index_features(a_index) + index_features(b_index))
+
+
+#: per-feature normalization: one unit of distance per entry
+_FEATURE_SCALE = np.array([1.0, 0.3, 0.7, 0.35, 0.8])
+
+
+def nearest_class(features: np.ndarray, table: dict):
+    """(class name, distance) of the nearest tuned class by normalized
+    feature distance; None if the table has no feature vectors."""
+    best = None
+    best_d = np.inf
+    for cls, res in table.get("results", {}).items():
+        fv = res.get("features")
+        if fv is None:
+            continue
+        d = float(
+            np.linalg.norm((np.asarray(fv) - features) / _FEATURE_SCALE)
+        )
+        if d < best_d:
+            best, best_d = cls, d
+    if best is None:
+        return None
+    return best, best_d
 
 
 _TABLE_CACHE: dict = {}
@@ -145,12 +217,16 @@ def tuned_stack_params(a_index, b_index) -> Optional[dict]:
     table = _cached_table()
     if table is None:
         return None
-    occ_a = a_index.nblks / max(a_index.nblkrows * a_index.nblkcols, 1)
-    occ_b = b_index.nblks / max(b_index.nblkrows * b_index.nblkcols, 1)
-    sizes = np.concatenate(
-        [a_index.row_block_sizes, b_index.col_block_sizes]
-    )
-    cls = workload_class(sizes, 0.5 * (occ_a + occ_b))
+    hit = nearest_class(workload_features(a_index, b_index), table)
+    if hit is not None:
+        cls, _ = hit
+    else:  # legacy table without feature vectors
+        occ_a = a_index.nblks / max(a_index.nblkrows * a_index.nblkcols, 1)
+        occ_b = b_index.nblks / max(b_index.nblkrows * b_index.nblkcols, 1)
+        sizes = np.concatenate(
+            [a_index.row_block_sizes, b_index.col_block_sizes]
+        )
+        cls = workload_class(sizes, 0.5 * (occ_a + occ_b))
     return table["results"].get(cls, {}).get("best")
 
 
@@ -254,7 +330,21 @@ def sweep(
             if verbose:
                 print(f"  {wname} {cfg}: {gflops:9.1f} GFLOP/s")
         rows.sort(key=lambda r: -r["gflops"])
-        results[wname] = {"best": rows[0] if rows else None, "all": rows}
+        # feature vector of the swept workload: the key for nearest-class
+        # lookup at runtime (the smm_acc_predict analog)
+        try:
+            fa, fb = mats(get_config().tile_size)
+            feats = [
+                round(float(x), 4)
+                for x in workload_features(fa.index, fb.index)
+            ]
+        except Exception:
+            feats = None
+        results[wname] = {
+            "best": rows[0] if rows else None,
+            "features": feats,
+            "all": rows,
+        }
     return {"device_kind": device_kind, "results": results}
 
 

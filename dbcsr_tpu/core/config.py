@@ -38,8 +38,14 @@ class Config:
     # --- multiply engine -------------------------------------------------
     #: hardware tile edge for the packed panels (MXU native is 128)
     tile_size: int = 128
-    #: engine selection: "auto" | "dense" | "stack" | "xla"
+    #: engine selection: "auto" | "dense" | "stack" | "xla" | "band"
     mm_driver: str = "auto"
+    #: band driver admission (auto mode): max W_a*W_b diagonal products,
+    #: and how much padded band work (W_a*W_b*Mt tile products) may exceed
+    #: the stack path's tile-triple count — batched dense matmuls run that
+    #: much faster per tile product than DMA-issue-bound stack steps
+    band_max_products: int = 128
+    band_flop_factor: float = 0.75
     #: tile-level occupancy above which the dense-panel path is used
     #: (analog of the reference's dense-path heuristic, src/mm/dbcsr_mm.F:771)
     dense_threshold: float = 0.30
@@ -77,11 +83,13 @@ class Config:
     #: otherwise — the reference's cannon-vs-3D driver choice), "cannon",
     #: "summa"
     mm_dist_algo: str = "auto"
-    #: feed bf16 tiles to the Pallas stack kernel when matmul_precision is
-    #: "default" (the MXU computes in bf16 then anyway); halves HBM traffic
-    #: per stack entry at the cost of one conversion pass — a wash on
-    #: latency-bound stacks, a win on high-reuse ones (autotuned knob)
-    stack_bf16_inputs: bool = False
+    #: feed bf16 tiles to the bandwidth-bound kernels when matmul_precision
+    #: is "default": the MXU rounds f32 inputs to bf16 in that mode anyway
+    #: (block23 measures ~85% of bf16 peak), so the conversion is
+    #: rounding-identical while HALVING HBM traffic — 1.35x on the banded
+    #: class (3.57 -> 2.64 ms measured round 2). Set False to keep f32
+    #: operand traffic; no effect at high/highest precision.
+    stack_bf16_inputs: bool = True
     #: stack entries per Pallas grid step (C runs padded to multiples of
     #: this with zero-tile entries). E concurrent input DMAs pipeline
     #: better on stacks with uncorrelated tile indices (36% on a synthetic

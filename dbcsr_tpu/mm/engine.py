@@ -391,7 +391,7 @@ def _execute_local(
 
     driver = cfg.mm_driver
     tplan = None
-    if driver in ("auto", "stack", "xla"):
+    if driver in ("auto", "stack", "xla", "band"):
         with timed("multiply/tileplan"):
             tplan = plan_tile_stacks_stores(a_coords, (mt, kt), b_coords, (kt, nt))
         tdensity = len(tplan.stack) / max(mt * kt * nt, 1)
@@ -399,6 +399,43 @@ def _execute_local(
             tplan = None
 
     prec = cfg.matmul_precision
+
+    # band driver: banded tile patterns as diagonal batched matmuls
+    if tplan is not None and driver in ("auto", "band"):
+        from .band import band_matmul, plan_band
+
+        bplan = plan_band(
+            a_coords, (mt, kt), b_coords, (kt, nt), tplan.c_tile_keys,
+            tile=tile,
+            n_stack=None if driver == "band" else len(tplan.stack),
+            max_products=cfg.band_max_products,
+            # at non-default precision the MXU runs multi-pass f32
+            # emulation (~8x fewer effective flops/s) while the stack
+            # kernel stays DMA-bound — shrink the admission budget
+            flop_factor=cfg.band_flop_factor
+            * (1.0 if prec == "default" else 0.125),
+        )
+        if bplan is not None:
+            with timed("multiply/band"):
+                prod_tiles = band_matmul(
+                    a_st, b_st, bplan, tile=tile, precision=prec
+                )
+                amap = tile_align_map(c_keys, tplan.c_tile_keys)
+                prod = take_tiles(prod_tiles, amap, tile)
+                get_stats().hardware_flops += bplan.hw_flops
+            if mask_result and len(c_keys):
+                prod = prod * valid_mask(c_index, tile).astype(prod.dtype)
+            old = _align_old_c(c, c_index, tile)
+            alpha_ = jnp.asarray(alpha, dtype=a.dtype)
+            beta_ = jnp.asarray(beta, dtype=a.dtype)
+            if old is None:
+                return (alpha_ * prod).astype(a.dtype)
+            return _combine(prod.astype(a.dtype), old, alpha_, beta_)
+        elif driver == "band":
+            from ..core.errors import DbcsrError
+
+            raise DbcsrError("pattern not band-suitable (see band.py)")
+
     if tplan is None:
         if len(a_coords) == mt * kt and len(b_coords) == kt * nt:
             # tile-complete operands: one einsum straight off the stores
@@ -857,7 +894,7 @@ def build_multiply_executor(
 
     drv = driver or cfg.mm_driver
     tplan = None
-    if drv in ("auto", "stack", "xla"):
+    if drv in ("auto", "stack", "xla", "band"):
         tplan = plan_tile_stacks_stores(a_coords, (mt, kt), b_coords, (kt, nt))
         if drv == "auto" and len(tplan.stack) / max(mt * kt * nt, 1) >= cfg.dense_threshold:
             tplan = None
@@ -874,6 +911,38 @@ def build_multiply_executor(
         if perm is not None:
             st = jnp.swapaxes(jnp.take(st, perm, axis=0), 1, 2)
         return jnp.conj(st) if conj else st
+
+    # band driver: banded tile patterns run as diagonal batched matmuls
+    # (band.py) — the fast path for linear-scaling SCF shapes
+    if tplan is not None and drv in ("auto", "band"):
+        from .band import band_matmul, plan_band
+
+        bplan = plan_band(
+            a_coords, (mt, kt), b_coords, (kt, nt), tplan.c_tile_keys,
+            tile=tile,
+            n_stack=None if drv == "band" else len(tplan.stack),
+            max_products=cfg.band_max_products,
+            flop_factor=cfg.band_flop_factor
+            * (1.0 if prec == "default" else 0.125),
+        )
+        if bplan is not None:
+            amap_b = jnp.asarray(tile_align_map(c_keys, tplan.c_tile_keys))
+
+            def fn(a_data, b_data):
+                a_op = op_store(a_data, a_perm, ca)
+                b_op = op_store(b_data, b_perm, cb)
+                prod = band_matmul(
+                    a_op, b_op, bplan, tile=tile, precision=prec
+                )
+                return jnp.take(
+                    prod, amap_b, axis=0, mode="fill", fill_value=0
+                )
+
+            return fn, c_index, symb.eff_flops
+        elif drv == "band":
+            from ..core.errors import DbcsrError
+
+            raise DbcsrError("pattern not band-suitable (see band.py)")
 
     if tplan is None:
         a_keys = jnp.asarray(a_coords[:, 0].astype(np.int64) * kt + a_coords[:, 1])

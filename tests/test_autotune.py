@@ -97,3 +97,58 @@ def test_steady_state_time_positive():
 
 def test_apply_tuned_missing_table_returns_false():
     assert not autotune.apply_tuned("nope", table={"results": {}})
+
+
+def test_feature_nearest_class_holdout(rng):
+    """Round-2 criterion: UNSEEN workload shapes map to the tuned class
+    whose sweep winners fit them (the smm_acc_predict analog). Holdout
+    shapes deliberately differ from the swept ones in scale/occupancy/
+    bandwidth but share structure."""
+    import dbcsr_tpu as dt
+    from dbcsr_tpu.autotune import (
+        load_params,
+        nearest_class,
+        workload_features,
+    )
+    from dbcsr_tpu.block.index import build_index
+
+    table = load_params("TPU v5 lite")
+    assert table is not None
+    assert all(
+        res.get("features") is not None for res in table["results"].values()
+    )
+
+    # holdout 1: banded, different scale (30k rows) and bandwidth (8)
+    rbs = dt.random_block_sizes(30000, [5, 13, 23], rng)
+    n = len(rbs)
+    w = 8
+    i = np.repeat(np.arange(n, dtype=np.int64), 2 * w + 1)
+    j = i + np.tile(np.arange(-w, w + 1, dtype=np.int64), n)
+    keep = (j >= 0) & (j < n) & (rng.random(len(j)) < 0.6)
+    idx, _ = build_index(i[keep], j[keep], rbs, rbs)
+    cls, d = nearest_class(workload_features(idx, idx), table)
+    assert cls == "banded_fine", (cls, d)
+
+    # holdout 2: dense-blocked, larger blocks (27) at full occupancy
+    rbs2 = dt.random_block_sizes(1000, [27], rng)
+    a2 = dt.random_matrix(rbs2, rbs2, 1.0, rng, dtype=np.float32)
+    cls2, _ = nearest_class(workload_features(a2.index, a2.index), table)
+    assert cls2 == "block23_dense", cls2
+
+    # holdout 3: fine uniform blocks, 5% occupancy
+    rbs3 = dt.random_block_sizes(2500, [4], rng)
+    a3 = dt.random_matrix(rbs3, rbs3, 0.05, rng, dtype=np.float32)
+    cls3, _ = nearest_class(workload_features(a3.index, a3.index), table)
+    assert cls3 == "block5_sparse10", cls3
+
+    # holdout 4: mixed sizes at 30% occupancy
+    rbs4 = dt.random_block_sizes(2000, [5, 13, 23], rng)
+    a4 = dt.random_matrix(rbs4, rbs4, 0.30, rng, dtype=np.float32)
+    cls4, _ = nearest_class(workload_features(a4.index, a4.index), table)
+    assert cls4 == "mixed_5_13_23_sparse20", cls4
+
+    # the matched class's winners ARE the knobs the runtime lookup returns
+    # (tuned_stack_params goes through the same nearest_class; it keys the
+    # table by the CURRENT device kind, so resolve explicitly here)
+    best = table["results"][cls]["best"]
+    assert best is not None and "stack_e_batch" in best
