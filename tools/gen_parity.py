@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Generate PARITY.md: map every reference C API symbol to this repo's.
+"""Generate CAPI_PARITY.md: map every reference C API symbol to ours.
 
 Scans /root/reference/src/dbcsr.h and src/tensors/dbcsr_tensor.h for
 c_dbcsr_* names (expanding the fypp ${nametype}$ typed families to
@@ -130,7 +130,7 @@ def main():
         note = NOTES.get(sym, NOTES.get(re.sub(r"_[dszc]$", "", sym), ""))
         rows.append((sym, where, target if have else "—", status, note))
 
-    with open("PARITY.md", "w") as f:
+    with open("CAPI_PARITY.md", "w") as f:
         f.write(
             "# C API parity checklist\n\n"
             "Every C symbol of the reference bindings "
