@@ -427,13 +427,21 @@ def _grouped_kernel(
     a_cache, b_ring, a_sems, b_sems,
     *, precision, ring: int, cache: int,
 ):
-    g = pl.program_id(0)
+    # all index arithmetic pinned i32: mixed-width scalar math inside
+    # kernels breaks tracing under jax_enable_x64 (see `zero` above)
+    i32 = jnp.int32
+    g = pl.program_id(0).astype(i32)
+    ring_c = np.int32(ring)
+    bmask = np.int32((1 << _B_BITS) - 1)
+    one = np.int32(1)
+
     out_ref[...] = jnp.zeros_like(out_ref)
 
-    a0 = abounds_ref[g]
-    na = abounds_ref[g + 1] - a0
+    a0 = abounds_ref[g].astype(i32)
+    na = abounds_ref[g + one].astype(i32) - a0
 
     def start_a(i, _):
+        i = i.astype(i32)
         pltpu.make_async_copy(
             a_hbm.at[aload_ref[a0 + i]], a_cache.at[i], a_sems.at[i]
         ).start()
@@ -441,23 +449,25 @@ def _grouped_kernel(
 
     jax.lax.fori_loop(0, na, start_a, 0)
 
-    e0 = ebounds_ref[g]
-    ne = ebounds_ref[g + 1] - e0
+    e0 = ebounds_ref[g].astype(i32)
+    ne = ebounds_ref[g + one].astype(i32) - e0
 
     def b_dma(j):
+        j = jnp.asarray(j, i32)
         return pltpu.make_async_copy(
-            b_hbm.at[entries_ref[e0 + j] & ((1 << _B_BITS) - 1)],
-            b_ring.at[j % ring],
-            b_sems.at[j % ring],
+            b_hbm.at[jnp.bitwise_and(entries_ref[e0 + j].astype(i32), bmask)],
+            b_ring.at[jnp.remainder(j, ring_c)],
+            b_sems.at[jnp.remainder(j, ring_c)],
         )
 
     def warm(j, _):
         b_dma(j).start()
         return 0
 
-    jax.lax.fori_loop(0, jnp.minimum(ne, ring), warm, 0)
+    jax.lax.fori_loop(0, jnp.minimum(ne, ring_c), warm, 0)
 
     def wait_a(i, _):
+        i = i.astype(i32)
         pltpu.make_async_copy(
             a_hbm.at[aload_ref[a0 + i]], a_cache.at[i], a_sems.at[i]
         ).wait()
@@ -466,20 +476,24 @@ def _grouped_kernel(
     jax.lax.fori_loop(0, na, wait_a, 0)
 
     def body(j, _):
-        packed = entries_ref[e0 + j]
+        j = j.astype(i32)
+        packed = entries_ref[e0 + j].astype(i32)
         b_dma(j).wait()
-        ac = (packed >> _B_BITS) & 0xFF
-        ol = packed >> (_B_BITS + 8)
+        ac = jnp.bitwise_and(
+            jax.lax.shift_right_logical(packed, np.int32(_B_BITS)),
+            np.int32(0xFF),
+        )
+        ol = jax.lax.shift_right_logical(packed, np.int32(_B_BITS + 8))
         prod = jnp.dot(
             a_cache[ac],
-            b_ring[j % ring],
+            b_ring[jnp.remainder(j, ring_c)],
             preferred_element_type=jnp.float32,
             precision=precision,
         )
 
-        @pl.when(j + ring < ne)
+        @pl.when(j + ring_c < ne)
         def _():
-            b_dma(j + ring).start()
+            b_dma(j + ring_c).start()
 
         out_ref[pl.ds(ol, 1)] = out_ref[pl.ds(ol, 1)] + prod.astype(
             out_ref.dtype
@@ -501,6 +515,9 @@ def _grouped_launch(
     n_groups: int, group: int, cache: int, ring: int, tile: int,
     interpret: bool, precision: str, out_dtype,
 ):
+    # index-map literals pinned i32 (jax_enable_x64 legalization, see the
+    # `zero` note above)
+    zero = np.int32(0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_groups,),
@@ -509,7 +526,7 @@ def _grouped_launch(
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (group, tile, tile), lambda g, *refs: (g, 0, 0)
+            (group, tile, tile), lambda g, *refs: (g, zero, zero)
         ),
         scratch_shapes=[
             pltpu.VMEM((cache, tile, tile), a_tiles.dtype),

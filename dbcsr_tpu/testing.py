@@ -67,7 +67,53 @@ def validate_kernels(*, tile: int = 128, n_tiles: int = 4, seed: int = 0,
     if verbose or not ok:
         print(f"validate_kernels: max err {err:.3e} (scale {scale:.3e}) "
               f"{'OK' if ok else 'FAILED'}")
-    return ok
+
+    # grouped A-caching kernel (same stack)
+    from .mm.kernels import tile_stack_matmul_grouped
+
+    got_g = tile_stack_matmul_grouped(
+        a, b, stack, n_c_tiles=3, group=2, cache=4, ring=2,
+        precision="highest",
+    )
+    err_g = float(jnp.max(jnp.abs(got_g - ref)))
+    ok_g = err_g <= 1e-4 * scale
+    if verbose or not ok_g:
+        print(f"validate_kernels[grouped]: max err {err_g:.3e} "
+              f"{'OK' if ok_g else 'FAILED'}")
+
+    # band kernel: small tridiagonal product, Pallas vs XLA twin
+    from .mm.band import BandPlan, _band_matmul_xla, band_matmul_pallas
+
+    mt = 5
+    coords = np.array(
+        [(r, c) for r in range(mt) for c in range(mt) if abs(r - c) <= 1],
+        dtype=np.int64,
+    )
+    a_pack = np.full(3 * mt, -1, dtype=np.int64)
+    d = coords[:, 1] - coords[:, 0] + 1
+    a_pack[d * mt + coords[:, 0]] = np.arange(len(coords))
+    n_band = len(coords)
+    ab = jnp.asarray(
+        rng.standard_normal((n_band, tile, tile)), jnp.float32
+    )
+    bb = jnp.asarray(
+        rng.standard_normal((n_band, tile, tile)), jnp.float32
+    )
+    ckeys = np.sort(coords[:, 0] * mt + coords[:, 1])
+    plan = BandPlan(
+        a_pack=a_pack, b_pack=a_pack,
+        c_unpack=((ckeys % mt) - (ckeys // mt) + 2) * mt + (ckeys // mt),
+        wa=3, wb=3, off_a=-1, off_b=-1, mt=mt, kt=mt, hw_flops=0.0,
+    )
+    got_b = band_matmul_pallas(ab, bb, plan, tile=tile, precision="highest")
+    ref_b = _band_matmul_xla(ab, bb, plan, tile=tile, precision="highest")
+    err_b = float(jnp.max(jnp.abs(got_b - ref_b)))
+    scale_b = float(jnp.max(jnp.abs(ref_b))) or 1.0
+    ok_b = err_b <= 1e-4 * scale_b
+    if verbose or not ok_b:
+        print(f"validate_kernels[band]: max err {err_b:.3e} "
+              f"{'OK' if ok_b else 'FAILED'}")
+    return ok and ok_g and ok_b
 
 
 def to_dense_local(m: BCSRMatrix) -> np.ndarray:

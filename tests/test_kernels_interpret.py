@@ -69,3 +69,53 @@ def test_interpret_bf16_inputs_f32_accum(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=0.1, atol=0.5
     )
+
+
+@pytest.mark.parametrize("group,cache,ring", [(4, 16, 4), (8, 8, 2), (2, 4, 8)])
+def test_interpret_grouped_matches_xla(rng, group, cache, ring):
+    """Grouped A-caching manual-DMA kernel (incl. cache-overflow splits)."""
+    from dbcsr_tpu.mm.kernels import tile_stack_matmul_grouped
+
+    a, b, stack = _case(rng, n_tiles=20, n_c=11, s=120)
+    ref = tile_stack_matmul_xla(
+        a, b, jnp.asarray(stack), n_c_tiles=11, precision="highest"
+    )
+    got = tile_stack_matmul_grouped(
+        a, b, stack, n_c_tiles=11, group=group, cache=cache, ring=ring,
+        interpret=True, precision="highest",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_interpret_band_pallas_matches_xla(rng):
+    """Pallas band kernel (sliding-window B ring) vs XLA diagonal form."""
+    import numpy as _np
+
+    from dbcsr_tpu.mm.band import (
+        BandPlan,
+        _band_matmul_xla,
+        band_matmul_pallas,
+    )
+
+    mt = 6
+    coords = _np.array(
+        [(r, c) for r in range(mt) for c in range(mt) if abs(r - c) <= 1],
+        dtype=_np.int64,
+    )
+    a_pack = _np.full(3 * mt, -1, dtype=_np.int64)
+    d = coords[:, 1] - coords[:, 0] + 1
+    a_pack[d * mt + coords[:, 0]] = _np.arange(len(coords))
+    n_band = len(coords)
+    ab = jnp.asarray(rng.standard_normal((n_band, T, T)), jnp.float32)
+    bb = jnp.asarray(rng.standard_normal((n_band, T, T)), jnp.float32)
+    ckeys = _np.sort(coords[:, 0] * mt + coords[:, 1])
+    plan = BandPlan(
+        a_pack=a_pack, b_pack=a_pack,
+        c_unpack=((ckeys % mt) - (ckeys // mt) + 2) * mt + (ckeys // mt),
+        wa=3, wb=3, off_a=-1, off_b=-1, mt=mt, kt=mt, hw_flops=0.0,
+    )
+    got = band_matmul_pallas(
+        ab, bb, plan, tile=T, precision="highest", interpret=True
+    )
+    ref = _band_matmul_xla(ab, bb, plan, tile=T, precision="highest")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
