@@ -107,6 +107,10 @@ WORKLOADS: Dict[str, Callable] = {
     "block5_sparse10": _mk_workload([5], 0.10),
     "mixed_5_13_23_sparse20": _mk_workload([5, 13, 23], 0.20),
     "banded_fine": _mk_banded(),
+    # same shape at ~3.3x the scale: the winning driver flips (band at
+    # 12k, stack at 40k — measured round 2); the log_nblkrows feature
+    # separates the two classes at lookup time
+    "banded_fine_large": _mk_banded(40000),
 }
 
 

@@ -134,6 +134,20 @@ def _maybe_bf16(a_st, b_st, prec: str, cfg):
     return a_st, b_st, None
 
 
+def _tuned_driver(cfg, a_index, b_index):
+    """Tuned per-class driver preference (only when the user left
+    mm_driver at its default): the reference's parameter tables likewise
+    select algorithm variants per workload class."""
+    if cfg.provenance("mm_driver") != "D":
+        return None
+    from ..autotune import tuned_stack_params
+
+    best = tuned_stack_params(a_index, b_index)
+    if best:
+        return best.get("mm_driver")
+    return None
+
+
 def _stack_knobs(cfg, a_index, b_index):
     """Resolve the stack kernel's perf knobs: user/env-set config wins;
     defaults defer to the per-workload-class tuned table (the reference
@@ -400,14 +414,19 @@ def _execute_local(
 
     prec = cfg.matmul_precision
 
-    # band driver: banded tile patterns as diagonal batched matmuls
+    # band driver: banded tile patterns as diagonal batched matmuls;
+    # "auto" admits it when the tuned table prefers band for this class
+    # or the conservative flop heuristic passes
     if tplan is not None and driver in ("auto", "band"):
         from .band import band_matmul, plan_band
 
+        force_band = driver == "band" or (
+            driver == "auto" and _tuned_driver(cfg, a.index, b.index) == "band"
+        )
         bplan = plan_band(
             a_coords, (mt, kt), b_coords, (kt, nt), tplan.c_tile_keys,
             tile=tile,
-            n_stack=None if driver == "band" else len(tplan.stack),
+            n_stack=None if force_band else len(tplan.stack),
             max_products=cfg.band_max_products,
             # at non-default precision the MXU runs multi-pass f32
             # emulation (~8x fewer effective flops/s) while the stack
@@ -917,10 +936,13 @@ def build_multiply_executor(
     if tplan is not None and drv in ("auto", "band"):
         from .band import band_matmul, plan_band
 
+        force_band = drv == "band" or (
+            drv == "auto" and _tuned_driver(cfg, a.index, b.index) == "band"
+        )
         bplan = plan_band(
             a_coords, (mt, kt), b_coords, (kt, nt), tplan.c_tile_keys,
             tile=tile,
-            n_stack=None if drv == "band" else len(tplan.stack),
+            n_stack=None if force_band else len(tplan.stack),
             max_products=cfg.band_max_products,
             flop_factor=cfg.band_flop_factor
             * (1.0 if prec == "default" else 0.125),

@@ -127,7 +127,7 @@ def test_feature_nearest_class_holdout(rng):
     keep = (j >= 0) & (j < n) & (rng.random(len(j)) < 0.6)
     idx, _ = build_index(i[keep], j[keep], rbs, rbs)
     cls, d = nearest_class(workload_features(idx, idx), table)
-    assert cls == "banded_fine", (cls, d)
+    assert cls.startswith("banded_fine"), (cls, d)
 
     # holdout 2: dense-blocked, larger blocks (27) at full occupancy
     rbs2 = dt.random_block_sizes(1000, [27], rng)
