@@ -286,7 +286,8 @@ def get_diag(cell: Cell, typ: str, out_addr: int, n: int) -> None:
     from dbcsr_tpu.ops.arithmetic import get_diag
 
     d = np.asarray(get_diag(_mat(cell)), dtype=_DTYPES[typ])
-    _buf(typ, out_addr, n)[: len(d)] = d[:n]
+    k = min(n, len(d))
+    _buf(typ, out_addr, n)[:k] = d[:k]
 
 
 def set_diag(cell: Cell, typ: str, addr: int, n: int) -> None:
@@ -549,13 +550,17 @@ def copy(cell_to: Cell, cell_from: Cell, name: str) -> None:
 
 
 def copy_into_existing(cell_to: Cell, cell_from: Cell) -> None:
-    """Copy values of FROM into TO where TO has blocks (pattern kept)."""
-    from dbcsr_tpu.ops.arithmetic import hadamard_product, set_value
+    """Copy FROM's values into TO, RETAINING TO's sparsity
+    (``dbcsr_copy_into_existing``, ``src/ops/dbcsr_operations.F:1335``):
+    the result keeps exactly TO's block pattern, with values taken from
+    FROM where it has blocks and zero elsewhere."""
+    from dbcsr_tpu.ops.arithmetic import add, hadamard_product, set_value
 
     to = _mat(cell_to)
     frm = _mat(cell_from)
-    ones = set_value(to, 1.0)
-    cell_to.obj = hadamard_product(frm, ones)
+    inter = hadamard_product(frm, set_value(to, 1.0))
+    # union with 0*TO restores TO-only blocks (as zeros) -> TO's pattern
+    cell_to.obj = add(1.0, inter, 0.0, to)
 
 
 def desymmetrize(cell: Cell) -> Cell:
