@@ -91,6 +91,10 @@ class ShardedMatrix:
     shard: ShardLayout
     data: jax.Array
     sym: str = SYM_NONE
+    #: imaginary shard store for SPLIT-COMPLEX emulation (backends that
+    #: reject complex arrays; see block/bcsr.py) — None = real/native
+    data_im: Optional[jax.Array] = None
+    cdtype: Optional[str] = None
 
     @property
     def nblks(self) -> int:
@@ -98,18 +102,58 @@ class ShardedMatrix:
 
     @property
     def dtype(self):
+        if self.data_im is not None:
+            return np.dtype(self.cdtype)
         return self.data.dtype
+
+    @property
+    def is_complex_emulated(self) -> bool:
+        return self.data_im is not None
+
+    def parts(self) -> Tuple["ShardedMatrix", "ShardedMatrix"]:
+        """(re, im) as REAL sharded matrices sharing index/shard layout."""
+        dbcsr_assert(self.is_complex_emulated, "not an emulated matrix")
+        re = replace(
+            self, data=self.data, data_im=None, cdtype=None,
+            name=f"{self.name}.re",
+        )
+        im = replace(
+            self, data=self.data_im, data_im=None, cdtype=None,
+            name=f"{self.name}.im",
+        )
+        return re, im
+
+    @staticmethod
+    def combine(
+        re: "ShardedMatrix", im: "ShardedMatrix", cdtype, *,
+        name: str = "matrix",
+    ) -> "ShardedMatrix":
+        return replace(
+            re, data_im=im.data, cdtype=np.dtype(cdtype).name, name=name
+        )
 
     @property
     def mesh(self):
         return self.dist.grid.mesh
 
     def with_data(self, data: jax.Array) -> "ShardedMatrix":
+        dbcsr_assert(
+            self.data_im is None,
+            "with_data on a split-complex sharded matrix: use combine",
+        )
         return replace(self, data=data)
 
     def to_local(self) -> BCSRMatrix:
         """Gather back to a replicated local store."""
         data = unshard_store_with_layout(self.data, self.shard, self.tile)
+        if self.data_im is not None:
+            im = unshard_store_with_layout(
+                self.data_im, self.shard, self.tile
+            )
+            return BCSRMatrix(
+                name=self.name, index=self.index, data=data, sym=self.sym,
+                dist=self.dist, data_im=im, cdtype=self.cdtype,
+            )
         return BCSRMatrix(
             name=self.name, index=self.index, data=data, sym=self.sym,
             dist=self.dist,
@@ -122,6 +166,12 @@ def shard_matrix(m: BCSRMatrix, dist: Distribution) -> ShardedMatrix:
         dist.grid.nlayer == 1, "sharded ops use a 2-D (pr, pc) grid"
     )
     sl = shard_layout(m.index, m.tile, dist)
+    if m.is_complex_emulated:
+        re, im = m.parts()
+        return ShardedMatrix.combine(
+            shard_matrix(re, dist), shard_matrix(im, dist), m.dtype,
+            name=m.name,
+        )
     data = shard_store_with_layout(m, sl, dist.grid.mesh)
     return ShardedMatrix(
         name=m.name, index=m.index, tile=m.tile, dist=dist, shard=sl,
@@ -299,6 +349,12 @@ def sharded_multiply(
 ) -> ShardedMatrix:
     """``C = alpha * op(A)·op(B) [+ beta * C]`` on sharded matrices
     (``dbcsr_multiply`` with distributed data residency end to end)."""
+    if (
+        a.is_complex_emulated
+        or b.is_complex_emulated
+        or (c is not None and c.is_complex_emulated)
+    ):
+        return _emu_s_multiply(transa, transb, alpha, a, b, beta, c)
     c_index, c_sl, fn = build_sharded_multiply(transa, transb, a, b)
     out = ShardedMatrix(
         name=f"{a.name}*{b.name}", index=c_index, tile=a.tile, dist=a.dist,
@@ -358,6 +414,8 @@ def build_sharded_add(
 
 
 def sharded_add(alpha, a: ShardedMatrix, beta, b: ShardedMatrix) -> ShardedMatrix:
+    if a.is_complex_emulated or b.is_complex_emulated:
+        return _emu_s_add(alpha, a, beta, b)
     c_index, c_sl, fn = build_sharded_add(a, b)
     return ShardedMatrix(
         name=a.name, index=c_index, tile=a.tile, dist=a.dist, shard=c_sl,
@@ -405,6 +463,8 @@ def build_sharded_hadamard(
 
 
 def sharded_hadamard(a: ShardedMatrix, b: ShardedMatrix) -> ShardedMatrix:
+    if a.is_complex_emulated or b.is_complex_emulated:
+        return _emu_s_hadamard(a, b)
     c_index, c_sl, fn = build_sharded_hadamard(a, b)
     return ShardedMatrix(
         name=a.name, index=c_index, tile=a.tile, dist=a.dist, shard=c_sl,
@@ -418,6 +478,12 @@ def sharded_hadamard(a: ShardedMatrix, b: ShardedMatrix) -> ShardedMatrix:
 
 def sharded_scale(sm: ShardedMatrix, alpha) -> ShardedMatrix:
     """alpha * A (``dbcsr_scale``): pure local arithmetic."""
+    if sm.is_complex_emulated:
+        al = complex(alpha)
+        re, im = sm.parts()
+        rr = re.with_data(al.real * re.data - al.imag * im.data)
+        ii = im.with_data(al.imag * re.data + al.real * im.data)
+        return ShardedMatrix.combine(rr, ii, sm.dtype, name=sm.name)
     return sm.with_data(sm.data * jnp.asarray(alpha, sm.dtype))
 
 
@@ -459,6 +525,16 @@ def build_sharded_scale_by_vector(
 def sharded_scale_by_vector(
     sm: ShardedMatrix, vec, side: str = "right"
 ) -> ShardedMatrix:
+    if sm.is_complex_emulated:
+        v = np.asarray(vec)
+        re, im = sm.parts()
+        fn = build_sharded_scale_by_vector(re, side)
+        rr = re.with_data(fn(re.data, v.real))
+        ii = im.with_data(fn(im.data, v.real))
+        if np.iscomplexobj(v) and np.abs(v.imag).max() > 0:
+            rr = rr.with_data(rr.data - fn(im.data, v.imag))
+            ii = ii.with_data(ii.data + fn(re.data, v.imag))
+        return ShardedMatrix.combine(rr, ii, sm.dtype, name=sm.name)
     return sm.with_data(build_sharded_scale_by_vector(sm, side)(sm.data, vec))
 
 
@@ -468,6 +544,10 @@ def sharded_function_of_elements(sm: ShardedMatrix, fn) -> ShardedMatrix:
     keeps padding at zero when fn(0) != 0."""
     from ..ops.arithmetic import ELEMENT_FUNCTIONS
 
+    dbcsr_assert(
+        not sm.is_complex_emulated,
+        "function_of_elements is not defined for split-complex matrices",
+    )
     if isinstance(fn, str):
         dbcsr_assert(
             fn in ELEMENT_FUNCTIONS, f"unknown element function {fn!r}"
@@ -494,6 +574,9 @@ def sharded_trace(sm: ShardedMatrix):
     """Tr(A): per-device partial over its diagonal tiles + psum
     (``dbcsr_trace``; the reference reduces per-rank partials the same
     way)."""
+    if sm.is_complex_emulated:
+        re, im = sm.parts()
+        return complex(sharded_trace(re)) + 1j * complex(sharded_trace(im))
     sl, t, mesh = sm.shard, sm.tile, sm.mesh
     key = ("sharded_trace_tbl", t, sl.token)
 
@@ -527,6 +610,13 @@ def sharded_dot(a: ShardedMatrix, b: ShardedMatrix):
     layout (owner-local), multiply, psum."""
     _check_compatible(a, b)
     _assert_nonsym(a, "dot")
+    if a.is_complex_emulated or b.is_complex_emulated:
+        cdtype = np.promote_types(a.dtype, b.dtype)
+        ar, ai = _emu_s_parts(a, cdtype)
+        br, bi = _emu_s_parts(b, cdtype)
+        re = sharded_dot(ar, br) + sharded_dot(ai, bi)
+        im = sharded_dot(ar, bi) - sharded_dot(ai, br)
+        return complex(re) + 1j * complex(im)
     tbl = _put_dev(
         a.mesh, _remap_table(a.index, a.shard, b.index, b.shard, a.tile)
     )
@@ -545,6 +635,9 @@ def sharded_dot(a: ShardedMatrix, b: ShardedMatrix):
 def sharded_frobenius(sm: ShardedMatrix) -> float:
     """Frobenius norm: local sum of |x|², global psum, sqrt."""
     _assert_nonsym(sm, "frobenius norm")
+    if sm.is_complex_emulated:
+        re, im = sm.parts()
+        return float(np.hypot(sharded_frobenius(re), sharded_frobenius(im)))
 
     def local(x):
         part = jnp.sum((x * jnp.conj(x)).real)
@@ -559,6 +652,10 @@ def sharded_frobenius(sm: ShardedMatrix) -> float:
 def sharded_maxabs(sm: ShardedMatrix) -> float:
     """max |a_ij| (``dbcsr_maxabs``): local max, global pmax."""
     _assert_nonsym(sm, "maxabs norm")
+    if sm.is_complex_emulated:
+        re, im = sm.parts()
+        sq = re.with_data(re.data * re.data + im.data * im.data)
+        return float(np.sqrt(sharded_maxabs(sq)))
 
     def local(x):
         part = jnp.max(jnp.abs(x)) if x.size else jnp.float32(0)
@@ -601,6 +698,7 @@ def sharded_checkpoint_write(sm: ShardedMatrix, directory: str) -> None:
             ndev=np.int64(sm.shard.ndev),
             n_max=np.int64(sm.shard.n_max),
             dtype=np.dtype(sm.dtype).str,
+            emulated=np.int64(1 if sm.is_complex_emulated else 0),
             row_block_sizes=idx.row_block_sizes,
             col_block_sizes=idx.col_block_sizes,
             blk_rows=idx.blk_rows,
@@ -613,6 +711,12 @@ def sharded_checkpoint_write(sm: ShardedMatrix, directory: str) -> None:
             os.path.join(directory, f"shard_{dev_of(s)}.npy"),
             np.asarray(s.data)[0],
         )
+    if sm.is_complex_emulated:
+        for s in sm.data_im.addressable_shards:
+            np.save(
+                os.path.join(directory, f"shard_im_{dev_of(s)}.npy"),
+                np.asarray(s.data)[0],
+            )
 
 
 def sharded_checkpoint_read(directory: str, grid) -> ShardedMatrix:
@@ -641,20 +745,30 @@ def sharded_checkpoint_read(directory: str, grid) -> ShardedMatrix:
     )
     dtype = np.dtype(str(z["dtype"]))
 
-    def load_shard(d: int) -> np.ndarray:
-        return np.load(os.path.join(directory, f"shard_{d}.npy"))
-
     sharding = mesh_sharding(grid.mesh)
-    data = jax.make_array_from_callback(
-        (sl.ndev, sl.n_max, tile, tile),
-        sharding,
-        lambda idx_: load_shard(
-            int(idx_[0].start if isinstance(idx_[0], slice) else idx_[0])
-        )[None].astype(dtype),
-    )
+    emulated = bool(int(z["emulated"])) if "emulated" in z else False
+    real_dtype = np.zeros(0, dtype=dtype).real.dtype if emulated else dtype
+
+    def mk(prefix):
+        return jax.make_array_from_callback(
+            (sl.ndev, sl.n_max, tile, tile),
+            sharding,
+            lambda idx_: np.load(
+                os.path.join(
+                    directory,
+                    f"{prefix}_"
+                    f"{int(idx_[0].start if isinstance(idx_[0], slice) else idx_[0])}.npy",
+                )
+            )[None].astype(real_dtype),
+        )
+
+    data = mk("shard")
+    data_im = mk("shard_im") if emulated else None
     return ShardedMatrix(
         name=str(z["name"]), index=index, tile=tile, dist=dist,
         shard=sl, data=data, sym=str(z["sym"]),
+        data_im=data_im,
+        cdtype=np.dtype(dtype).name if emulated else None,
     )
 
 
@@ -667,6 +781,9 @@ def sharded_block_norms(sm: ShardedMatrix) -> np.ndarray:
     stacks (J, I) are resharded once per layout, each device computes its
     tiles' [amax, bmax] partials (two batched matmuls), and the tiny
     per-block combine runs on host (``block_sums_sq``'s sharded twin)."""
+    if sm.is_complex_emulated:
+        re, im = sm.parts()
+        return sharded_block_norms(re) + sharded_block_norms(im)
     info = tile_block_info(sm.index, sm.tile)
     if sm.index.nblks == 0:
         return np.zeros(0, dtype=np.float32)
@@ -711,6 +828,8 @@ def sharded_filter(sm: ShardedMatrix, eps: Optional[float]) -> ShardedMatrix:
     survivor mask — the data never leaves its owners."""
     if sm.nblks == 0 or eps is None:
         return sm
+    if sm.is_complex_emulated:
+        return _emu_s_filter(sm, eps)
     with timed("sharded_filter"):
         nsq = sharded_block_norms(sm).astype(np.float64)
         keep = nsq >= float(eps) ** 2
@@ -738,3 +857,122 @@ def sharded_filter(sm: ShardedMatrix, eps: Optional[float]) -> ShardedMatrix:
             local, mesh=sm.mesh, in_specs=(_DEV, _DEV, _DEV), out_specs=_DEV
         )(sm.data, tbl, vm)
         return out.with_data(data)
+
+
+# ---------------------------------------------------------------------------
+# split-complex emulation on sharded stores (see ops/complex_emu.py for the
+# local twin; same composition from real ops)
+# ---------------------------------------------------------------------------
+
+def _emu_s_parts(sm: ShardedMatrix, cdtype):
+    """(re, im) real sharded matrices; real operands are lifted with a
+    zero imaginary part."""
+    if sm.is_complex_emulated:
+        return sm.parts()
+    zero = replace(
+        sm, data=jnp.zeros_like(sm.data), data_im=None, cdtype=None,
+        name=f"{sm.name}.im",
+    )
+    return sm, zero
+
+
+def _emu_s_add(alpha, a: ShardedMatrix, beta, b: ShardedMatrix) -> ShardedMatrix:
+    cdtype = np.promote_types(a.dtype, b.dtype)
+    ar, ai = _emu_s_parts(a, cdtype)
+    br, bi = _emu_s_parts(b, cdtype)
+    alpha, beta = complex(alpha), complex(beta)
+    a2r = sharded_add(alpha.real, ar, -alpha.imag, ai)
+    a2i = sharded_add(alpha.imag, ar, alpha.real, ai)
+    b2r = sharded_add(beta.real, br, -beta.imag, bi)
+    b2i = sharded_add(beta.imag, br, beta.real, bi)
+    rr = sharded_add(1.0, a2r, 1.0, b2r)
+    ii = sharded_add(1.0, a2i, 1.0, b2i)
+    return ShardedMatrix.combine(rr, ii, cdtype, name=a.name)
+
+
+def _emu_s_hadamard(a: ShardedMatrix, b: ShardedMatrix) -> ShardedMatrix:
+    cdtype = np.promote_types(a.dtype, b.dtype)
+    ar, ai = _emu_s_parts(a, cdtype)
+    br, bi = _emu_s_parts(b, cdtype)
+    rr = sharded_add(
+        1.0, sharded_hadamard(ar, br), -1.0, sharded_hadamard(ai, bi)
+    )
+    ii = sharded_add(
+        1.0, sharded_hadamard(ar, bi), 1.0, sharded_hadamard(ai, br)
+    )
+    return ShardedMatrix.combine(rr, ii, cdtype, name=a.name)
+
+
+def _emu_s_filter(sm: ShardedMatrix, eps: float) -> ShardedMatrix:
+    """Combined complex block norms decide; both parts keep/drop the same
+    blocks (pattern parity with a native complex run)."""
+    nsq = sharded_block_norms(sm).astype(np.float64)  # emu-aware
+    keep = nsq >= float(eps) ** 2
+    if keep.all():
+        return sm
+    re, im = sm.parts()
+    # regather both parts through the same survivor layout
+    new_index, _ = build_index(
+        sm.index.blk_rows[keep], sm.index.col_idx[keep],
+        sm.index.row_block_sizes, sm.index.col_block_sizes,
+    )
+    new_sl = shard_layout(new_index, sm.tile, sm.dist)
+    tbl = _put_dev(
+        sm.mesh, _remap_table(new_index, new_sl, sm.index, sm.shard, sm.tile)
+    )
+    vm_sh = _shard_valid_mask_for(new_index, new_sl, sm.tile, sm.mesh)
+
+    def local(x, ix, vm):
+        return (_local_take(x[0], ix[0]) * vm[0])[None]
+
+    smapped = jax.shard_map(
+        local, mesh=sm.mesh, in_specs=(_DEV, _DEV, _DEV), out_specs=_DEV
+    )
+    rr = ShardedMatrix(
+        name=sm.name, index=new_index, tile=sm.tile, dist=sm.dist,
+        shard=new_sl, data=smapped(re.data, tbl, vm_sh), sym=sm.sym,
+    )
+    ii = replace(rr, data=smapped(im.data, tbl, vm_sh), name=f"{sm.name}.im")
+    return ShardedMatrix.combine(rr, ii, sm.dtype, name=sm.name)
+
+
+def _shard_valid_mask_for(index, sl, tile, mesh):
+    """Survivor validity mask in sharded position order."""
+    vm = np.asarray(valid_mask(index, tile))
+    out = np.zeros((sl.ndev * sl.n_max,) + vm.shape[1:], dtype=vm.dtype)
+    pos_valid = sl.slot_of_pos >= 0
+    out[pos_valid] = vm[sl.slot_of_pos[pos_valid]]
+    from .sharded import put_global
+
+    return put_global(
+        jnp.asarray(out.reshape((sl.ndev, sl.n_max) + vm.shape[1:])),
+        mesh_sharding(mesh),
+    )
+
+
+def _emu_s_multiply(
+    transa, transb, alpha, a: ShardedMatrix, b: ShardedMatrix, beta, c
+) -> ShardedMatrix:
+    """4 real sharded products + aligned adds (ops/complex_emu twin)."""
+    cdtype = np.promote_types(a.dtype, b.dtype)
+    ta = transa.upper()
+    tb = transb.upper()
+    sa = -1.0 if ta == "C" else 1.0
+    sb = -1.0 if tb == "C" else 1.0
+    ta_r = "T" if ta in ("T", "C") else "N"
+    tb_r = "T" if tb in ("T", "C") else "N"
+    ar, ai = _emu_s_parts(a, cdtype)
+    br, bi = _emu_s_parts(b, cdtype)
+    m_rr = sharded_multiply(ta_r, tb_r, 1.0, ar, br)
+    m_ii = sharded_multiply(ta_r, tb_r, 1.0, ai, bi)
+    m_ir = sharded_multiply(ta_r, tb_r, 1.0, ai, br)
+    m_ri = sharded_multiply(ta_r, tb_r, 1.0, ar, bi)
+    prod_re = sharded_add(1.0, m_rr, -sa * sb, m_ii)
+    prod_im = sharded_add(sa, m_ir, sb, m_ri)
+    alpha = complex(alpha)
+    out_re = sharded_add(alpha.real, prod_re, -alpha.imag, prod_im)
+    out_im = sharded_add(alpha.imag, prod_re, alpha.real, prod_im)
+    out = ShardedMatrix.combine(out_re, out_im, cdtype, name="product")
+    if c is not None:
+        out = _emu_s_add(1.0, out, complex(beta), c)
+    return out

@@ -248,12 +248,10 @@ def test_sharded_checkpoint_roundtrip(rng, tmp_path):
 
 
 def test_sharded_ops_complex(rng):
-    from dbcsr_tpu.core.machine import backend_supports_complex
-
-    if not backend_supports_complex():
-        pytest.skip("backend does not support complex arithmetic")
     """Complex dtype through the sharded elementwise/reduction layer
-    (conjugation in dot, complex block norms in filter)."""
+    (native on complex-capable backends, split-complex emulated on the
+    TPU toolchains that reject complex HLO — both paths green;
+    conjugation in dot, complex block norms in filter)."""
     grid = ProcessGrid.make(2, 2)
     with config_override(tile_size=TILE):
         rbs = dt.random_block_sizes(48, [2, 4], rng)
@@ -313,3 +311,79 @@ def test_sharded_iteration_mixing_mm_and_ops(rng):
     np.testing.assert_allclose(
         _dense(out), expect, rtol=1e-4, atol=1e-4 * np.abs(expect).max()
     )
+
+
+def test_sharded_ops_complex_emulated(rng, tmp_path):
+    """The full complex sharded surface under FORCED split-complex
+    emulation (the axon path): multiply, add/scale/hadamard, reductions,
+    filter, checkpoint roundtrip — round 2, z/c first-class on sharded
+    storage too."""
+    import jax as _jax
+
+    from dbcsr_tpu.core import machine
+    from dbcsr_tpu.dist.sharded_ops import (
+        sharded_checkpoint_read,
+        sharded_checkpoint_write,
+        sharded_filter,
+        sharded_frobenius,
+        sharded_hadamard,
+        sharded_maxabs,
+        sharded_multiply,
+        sharded_scale,
+    )
+    from dbcsr_tpu.ops.norms import norm_frobenius, norm_maxabs
+
+    key = _jax.devices()[0].platform
+    old = dict(machine._COMPLEX_OK)
+    machine._COMPLEX_OK[key] = False
+    try:
+        grid = ProcessGrid.make(2, 2)
+        with config_override(tile_size=TILE):
+            rbs = dt.random_block_sizes(48, [2, 4], rng)
+            a = dt.random_matrix(rbs, rbs, 0.5, rng, dtype=np.complex128)
+            b = dt.random_matrix(rbs, rbs, 0.5, rng, dtype=np.complex128)
+            assert a.is_complex_emulated
+            dist = tile_aligned_dist(grid, rbs, rbs, TILE)
+            sa, sb = shard_matrix(a, dist), shard_matrix(b, dist)
+            assert sa.is_complex_emulated
+
+            sc = sharded_add(1 + 1j, sa, 0.5j, sb)
+            ref = add(1 + 1j, a, 0.5j, b)
+            np.testing.assert_allclose(
+                _dense(sc), np.asarray(ref.to_dense()), atol=1e-10
+            )
+            assert sharded_dot(sa, sb) == pytest.approx(dot(a, b), rel=1e-10)
+            assert sharded_trace(sa) == pytest.approx(trace(a), rel=1e-10)
+            assert sharded_frobenius(sa) == pytest.approx(
+                norm_frobenius(a), rel=1e-6
+            )
+            assert sharded_maxabs(sa) == pytest.approx(
+                norm_maxabs(a), rel=1e-6
+            )
+            sh = sharded_hadamard(sa, sb)
+            np.testing.assert_allclose(
+                _dense(sh),
+                np.asarray(a.to_dense()) * np.asarray(b.to_dense()),
+                atol=1e-10,
+            )
+            ss = sharded_scale(sa, 2.0 - 1.0j)
+            np.testing.assert_allclose(
+                _dense(ss), (2.0 - 1.0j) * np.asarray(a.to_dense()),
+                atol=1e-12,
+            )
+            sm = sharded_multiply("C", "N", 1.0 + 0.5j, sa, sb)
+            refm = (1.0 + 0.5j) * (
+                np.asarray(a.to_dense()).conj().T @ np.asarray(b.to_dense())
+            )
+            np.testing.assert_allclose(_dense(sm), refm, atol=1e-10)
+            sf = sharded_filter(sharded_scale(sa, 1e-3), 1e-2)
+            assert sf.nblks <= sa.nblks
+            # checkpoint roundtrip keeps the emulated complex content
+            d = str(tmp_path / "ck")
+            sharded_checkpoint_write(sa, d)
+            back = sharded_checkpoint_read(d, dist.grid)
+            assert back.is_complex_emulated
+            np.testing.assert_allclose(_dense(back), np.asarray(a.to_dense()))
+    finally:
+        machine._COMPLEX_OK.clear()
+        machine._COMPLEX_OK.update(old)
