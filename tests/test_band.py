@@ -103,3 +103,23 @@ def test_band_auto_admission(rng):
     dense_cube = 2.0 * lay.ntr**3 * TILE**3
     assert 0 < hw < dense_cube  # band work, not the dense cube
     np.testing.assert_allclose(dense(c), dense(a) @ dense(b), atol=1e-10)
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_band_vs_stack_property(rng, trial):
+    """Random band shapes/offsets/rectangular grids: the band driver and
+    the stack driver must agree exactly on the same inputs."""
+    with config_override(tile_size=TILE):
+        n = 300 + 120 * trial
+        w = 1 + trial
+        off = [-4, 0, 3, 7][trial]
+        a = _banded(rng, n, w, fill=0.5 + 0.1 * trial, off=off)
+        b = _banded(rng, n, max(3 - trial, 1), off=-off,
+                    rbs=a.row_block_sizes)
+        with config_override(mm_driver="band"):
+            c_band = dt.multiply("N", "N", 1.0, a, b)
+        with config_override(mm_driver="stack"):
+            c_stack = dt.multiply("N", "N", 1.0, a, b)
+        np.testing.assert_allclose(
+            dense(c_band), dense(c_stack), atol=1e-11
+        )

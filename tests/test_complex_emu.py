@@ -144,3 +144,43 @@ def test_emulated_multiply_filter_eps(rng, force_emulation):
     assert np.abs(dense(c) - ref).max() <= eps * 10
     if c.nblks:
         assert (np.asarray(dt.block_norms(c)) >= eps * 0.999).all()
+
+
+def test_emulated_matches_native_property(rng, force_emulation):
+    """Strong oracle: the SAME random inputs through the emulated path and
+    (by lifting the probe) the native complex path must agree to f64
+    roundoff — ops sweep over random patterns/shapes."""
+    from dbcsr_tpu.core import machine
+
+    import jax as _jax
+
+    key = _jax.devices()[0].platform
+    for trial in range(3):
+        bs = dt.random_block_sizes(10 + 6 * trial, [2, 3, 4], rng)
+        kbs = dt.random_block_sizes(12 + 4 * trial, [2, 5], rng)
+        a = dt.random_matrix(bs, kbs, 0.5, rng, dtype=np.complex128)
+        b = dt.random_matrix(kbs, bs, 0.5, rng, dtype=np.complex128)
+        assert a.is_complex_emulated
+        flat_a, flat_b = a.flat_host(), b.flat_host()
+
+        # emulated results
+        c_e = dt.multiply("N", "N", 1.5 - 0.5j, a, b)
+        t_e = dt.trace(dt.multiply("N", "N", 1.0, a, b))
+        f_e = dt.norm_frobenius(a)
+
+        # native results (probe un-forced)
+        machine._COMPLEX_OK[key] = True
+        an = dt.BCSRMatrix.from_flat(a.index, flat_a, tile=a.tile)
+        bn = dt.BCSRMatrix.from_flat(b.index, flat_b, tile=b.tile)
+        assert not an.is_complex_emulated
+        c_n = dt.multiply("N", "N", 1.5 - 0.5j, an, bn)
+        t_n = dt.trace(dt.multiply("N", "N", 1.0, an, bn))
+        f_n = dt.norm_frobenius(an)
+        machine._COMPLEX_OK[key] = False
+
+        np.testing.assert_allclose(
+            np.asarray(c_e.to_dense()), np.asarray(c_n.to_dense()),
+            atol=1e-12,
+        )
+        assert t_e == pytest.approx(t_n, rel=1e-10)
+        assert f_e == pytest.approx(f_n, rel=1e-10)
