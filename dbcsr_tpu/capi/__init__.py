@@ -36,13 +36,15 @@ def build_capi(cc: str = "gcc") -> Optional[str]:
     )
     if not (libdir and ver):
         return None
-    with open(_SRC, "rb") as f:
-        # cache key covers the source AND the Python ABI it embeds, so a
-        # different interpreter triggers a rebuild instead of loading a
-        # binary linked against the wrong libpython
-        tag = hashlib.sha256(
-            f.read() + f"|{ver}|{libdir}".encode()
-        ).hexdigest()[:12]
+    # cache key covers ALL translation units (capi.c #includes capi2/3.c),
+    # the header, AND the Python ABI it embeds, so any source change or a
+    # different interpreter triggers a rebuild
+    h = hashlib.sha256()
+    for part in ("capi.c", "capi2.c", "capi3.c", "dbcsr_tpu.h"):
+        with open(os.path.join(_HERE, part), "rb") as f:
+            h.update(f.read())
+    h.update(f"|{ver}|{libdir}".encode())
+    tag = h.hexdigest()[:12]
     so = os.path.join(_HERE, f"_capi_{tag}.so")
     if os.path.exists(so):
         return so

@@ -182,7 +182,8 @@ int c_dbcsr_t_reserve_blocks_template(int64_t tensor_from,
       double bi, int64_t tensor_c, const int *contract_1, int ncon1,       \
       const int *notcontract_1, int nncon1, const int *contract_2,         \
       int ncon2, const int *notcontract_2, int nncon2, const int *map_1,   \
-      int nmap1, const int *map_2, int nmap2, double filter_eps,           \
+      int nmap1, const int *map_2, int nmap2, const int *bounds_1,         \
+      const int *bounds_2, const int *bounds_3, double filter_eps,         \
       double *flop) {                                                      \
     ENTER;                                                                 \
     PyObject *a = cell_of(tensor_a), *b = cell_of(tensor_b),               \
@@ -194,15 +195,21 @@ int c_dbcsr_t_reserve_blocks_template(int64_t tensor_from,
     PyObject *n2 = int_list(notcontract_2, nncon2);                        \
     PyObject *m1 = int_list(map_1, nmap1);                                 \
     PyObject *m2 = int_list(map_2, nmap2);                                 \
+    PyObject *b1 = int_list(bounds_1, bounds_1 ? 2 * ncon1 : 0);           \
+    PyObject *b2 = int_list(bounds_2, bounds_2 ? 2 * nncon1 : 0);          \
+    PyObject *b3 = int_list(bounds_3, bounds_3 ? 2 * nncon2 : 0);          \
     PyObject *r =                                                          \
-        callv("t_contract", "(sddOOddOOOOOOOd)", #SUF, ar, ai, a, b, br,   \
-              bi, c, c1, n1, c2, n2, m1, m2, filter_eps);                  \
+        callv("t_contract", "(sddOOddOOOOOOOdOOO)", #SUF, ar, ai, a, b,    \
+              br, bi, c, c1, n1, c2, n2, m1, m2, filter_eps, b1, b2, b3);  \
     Py_DECREF(c1);                                                         \
     Py_DECREF(n1);                                                         \
     Py_DECREF(c2);                                                         \
     Py_DECREF(n2);                                                         \
     Py_DECREF(m1);                                                         \
     Py_DECREF(m2);                                                         \
+    Py_DECREF(b1);                                                         \
+    Py_DECREF(b2);                                                         \
+    Py_DECREF(b3);                                                         \
     if (!r) LEAVE_RC(1);                                                   \
     double fl = PyFloat_AsDouble(r);                                       \
     Py_DECREF(r);                                                          \

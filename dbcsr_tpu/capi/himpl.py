@@ -821,18 +821,47 @@ def t_contract(
     contract_2: List[int], notcontract_2: List[int],
     map_1: List[int], map_2: List[int],
     filter_eps: float,
+    bounds_1: Optional[List[int]] = None,
+    bounds_2: Optional[List[int]] = None,
+    bounds_3: Optional[List[int]] = None,
 ) -> float:
-    """C <- alpha*contract(A,B) + beta*C; returns effective flops."""
+    """C <- alpha*contract(A,B) + beta*C; returns effective flops.
+
+    ``bounds_1/2/3`` follow the reference's batched-contraction ranges
+    (contracted dims / notcontract_1 / notcontract_2), flattened
+    [lo0, hi0, lo1, hi1, ...] with 0-based half-open element ranges."""
     del map_1, map_2  # result layout is derived (optimize_dist analog)
     alpha = _scalar(typ, ar, ai)
     beta = _scalar(typ, br, bi_)
     c_in = cell_c.obj if isinstance(cell_c.obj, Tensor) else None
+
+    def unflatten(dims, flat):
+        if not flat:
+            return None
+        out = {}
+        for i, d in enumerate(dims):
+            lo, hi = int(flat[2 * i]), int(flat[2 * i + 1])
+            if (lo, hi) != (0, -1):
+                out[int(d)] = (lo, hi)
+        return out or None
+
+    bounds = {}
+    b1 = unflatten(contract_1, bounds_1)
+    b2 = unflatten(notcontract_1, bounds_2)
+    b3 = unflatten(notcontract_2, bounds_3)
+    if b1:
+        bounds["contract"] = b1
+    if b2:
+        bounds["nc1"] = b2
+    if b3:
+        bounds["nc2"] = b3
     out = t_contract_py(
         alpha, _tensor(cell_a), _tensor(cell_b),
         contract_1=tuple(contract_1), notcontract_1=tuple(notcontract_1),
         contract_2=tuple(contract_2), notcontract_2=tuple(notcontract_2),
         beta=beta, c=c_in,
         filter_eps=None if filter_eps < 0 else filter_eps,
+        bounds=bounds or None,
         return_flops=True,
     )
     if isinstance(out, tuple):

@@ -197,7 +197,7 @@ int main(void) {
   double flop = 0;
   CHECK(c_dbcsr_t_contract_d(1.0, 0.0, TA, TB, 0.0, 0.0, TC, con1, 1,
                              ncon1, 2, con2, 1, ncon2, 1, NULL, 0, NULL, 0,
-                             -1.0, &flop));
+                             NULL, NULL, NULL, -1.0, &flop));
 
   /* checks: dims, counts, a probed block */
   int nd = 0;
@@ -216,6 +216,21 @@ int main(void) {
   CHECK(c_dbcsr_t_get_block_d(TC, 3, idx0, out, &found, shp));
   if (!found) { fprintf(stderr, "C(0,0,0) missing\n"); return 1; }
   printf("c000 %.12e shape %d %d %d\n", out[0], shp[0], shp[1], shp[2]);
+
+  /* bounded contraction: k restricted to the first two k blocks (the
+   * reference's bounds_1 batching) must equal the slice of the full ref */
+  int64_t TCB = 0;
+  CHECK(c_dbcsr_t_create_template(TC, &TCB, "TCB", dbcsr_type_real_8));
+  int b1[2] = {0, 3}; /* k elements [0, 3) = blocks {2,1} of bs_k */
+  CHECK(c_dbcsr_t_contract_d(1.0, 0.0, TA, TB, 0.0, 0.0, TCB, con1, 1,
+                             ncon1, 2, con2, 1, ncon2, 1, NULL, 0, NULL, 0,
+                             b1, NULL, NULL, -1.0, &flop));
+  double cb0[16];
+  int foundb = 0, shpb[3];
+  CHECK(c_dbcsr_t_get_block_d(TCB, 3, idx0, cb0, &foundb, shpb));
+  if (!foundb) { fprintf(stderr, "bounded C(0,0,0) missing\n"); return 1; }
+  printf("cb000 %.12e\n", cb0[0]);
+  CHECK(c_dbcsr_t_destroy(&TCB));
 
   /* iterator sweep */
   int64_t it = 0;
@@ -354,3 +369,10 @@ def test_capi_tensor_contraction(tmp_path):
         float(lines["c000"][0]), blk.reshape(-1)[0], rtol=1e-10
     )
     assert int(lines["nblks"][0]) == R.nblks
+    # bounded contraction oracle: k elements [0, 3)
+    refb = np.einsum(
+        "ijk,kl->ijl", A.to_dense()[:, :, :3], B.to_dense()[:3, :]
+    )
+    np.testing.assert_allclose(
+        float(lines["cb000"][0]), refb[0, 0, 0], rtol=1e-10
+    )
