@@ -619,6 +619,27 @@ int c_dbcsr_get_info(int64_t matrix, int *nblkrows, int *nblkcols,
   LEAVE_RC(0);
 }
 
+/* the reference's ${var}$-stamped info arrays (dbcsr.h:282-287): block
+ * sizes, 0-based element offsets, distribution maps; local rows/cols ==
+ * all rows/cols on one controller. Copies min(size, len) ints. */
+#define INFOVAR_FN(NAME)                                                   \
+  int c_dbcsr_get_##NAME(int64_t matrix, int *out, int size) {             \
+    ENTER;                                                                 \
+    PyObject *m = cell_of(matrix);                                         \
+    if (!m) LEAVE_RC(1);                                                   \
+    return rc_none(st, callv("get_infovar", "(OsLi)", m, #NAME,            \
+                             (long long)(intptr_t)out, size));             \
+  }
+
+INFOVAR_FN(local_rows)
+INFOVAR_FN(local_cols)
+INFOVAR_FN(proc_row_dist)
+INFOVAR_FN(proc_col_dist)
+INFOVAR_FN(row_blk_size)
+INFOVAR_FN(col_blk_size)
+INFOVAR_FN(row_blk_offset)
+INFOVAR_FN(col_blk_offset)
+
 int c_dbcsr_get_stored_coordinates(int64_t matrix, int row, int col,
                                    int *processor) {
   ENTER;

@@ -246,6 +246,40 @@ int c_dbcsr_t_contract_index(int64_t tensor_a, int64_t tensor_b,
   return rc_int(st, r, nblks_out);
 }
 
+/* typed index-only contraction estimate (reference
+ * src/tensors/dbcsr_tensor.h:82-87): fills result_index with the result
+ * block coordinates (row-major [nblks, ndim_c], 0-based). */
+#define T_CONTRACT_INDEX(SUF)                                              \
+  int c_dbcsr_t_contract_index_##SUF(                                      \
+      double alpha_re, double alpha_im, int64_t tensor_a,                  \
+      int64_t tensor_b, double beta_re, double beta_im, int64_t tensor_c,  \
+      const int *contract_1, int ncon1, const int *notcontract_1,          \
+      int nncon1, const int *contract_2, int ncon2,                        \
+      const int *notcontract_2, int nncon2, double filter_eps,             \
+      int *nblks_out, int *result_index, int64_t result_index_size) {      \
+    ENTER;                                                                 \
+    PyObject *a = cell_of(tensor_a), *b = cell_of(tensor_b),               \
+             *c = cell_of(tensor_c);                                       \
+    if (!a || !b || !c) LEAVE_RC(1);                                       \
+    PyObject *c1 = int_list(contract_1, ncon1);                            \
+    PyObject *n1 = int_list(notcontract_1, nncon1);                        \
+    PyObject *c2 = int_list(contract_2, ncon2);                            \
+    PyObject *n2 = int_list(notcontract_2, nncon2);                        \
+    PyObject *r = callv("t_contract_index_typed", "(sddOOddOOOOOdLL)",     \
+                        #SUF, alpha_re, alpha_im, a, b, beta_re, beta_im,  \
+                        c, c1, n1, c2, n2, filter_eps,                     \
+                        (long long)(intptr_t)result_index,                 \
+                        (long long)result_index_size);                     \
+    Py_DECREF(c1);                                                         \
+    Py_DECREF(n1);                                                         \
+    Py_DECREF(c2);                                                         \
+    Py_DECREF(n2);                                                         \
+    return rc_int(st, r, nblks_out);                                       \
+  }
+
+T_CONTRACT_INDEX(d) T_CONTRACT_INDEX(s) T_CONTRACT_INDEX(z)
+T_CONTRACT_INDEX(c)
+
 int c_dbcsr_t_batched_contract_init(int64_t tensor, int64_t *state) {
   ENTER;
   PyObject *t = cell_of(tensor);
@@ -299,6 +333,21 @@ int c_dbcsr_t_filter(int64_t tensor, double eps) {
   if (!t) LEAVE_RC(1);
   return rc_none(st, callv("t_filter", "(Od)", t, eps));
 }
+
+/* typed filter (reference src/tensors/dbcsr_tensor.h:89-90): method must
+ * be 1 (Frobenius); use_absolute nonzero scales eps by the tensor's
+ * maxabs norm, mirroring the reference's PRESENT(use_absolute) path. */
+#define T_FILTER(SUF)                                                      \
+  int c_dbcsr_t_filter_##SUF(int64_t tensor, double eps, int method,       \
+                             int use_absolute) {                           \
+    ENTER;                                                                 \
+    PyObject *t = cell_of(tensor);                                         \
+    if (!t) LEAVE_RC(1);                                                   \
+    return rc_none(st, callv("t_filter", "(Odii)", t, eps, method,         \
+                             use_absolute));                               \
+  }
+
+T_FILTER(d) T_FILTER(s) T_FILTER(z) T_FILTER(c)
 
 #define T_SCALAR_FN(CNAME, PYNAME)                                         \
   int CNAME(int64_t tensor, const char *typ, double re, double im) {       \

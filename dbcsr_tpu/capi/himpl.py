@@ -73,6 +73,13 @@ def _i32buf(addr: int, n: int) -> np.ndarray:
     ).copy()
 
 
+def _i32out(addr: int, n: int) -> np.ndarray:
+    """WRITABLE int32 view of the caller's buffer (``_i32buf`` copies)."""
+    return np.frombuffer(
+        (ctypes.c_int32 * n).from_address(addr), dtype=np.int32
+    )
+
+
 class Cell:
     """Mutable handle target: matrices/tensors rebind ``obj`` in place."""
 
@@ -415,6 +422,46 @@ def nfullrows_total(cell: Cell) -> int:
 
 def nfullcols_total(cell: Cell) -> int:
     return _mat(cell).shape[1]
+
+
+def get_infovar(cell: Cell, which: str, out_addr: int, size: int) -> None:
+    """One of the reference's ``c_dbcsr_get_${var}$`` info arrays
+    (``/root/reference/src/dbcsr.h:282-287``) copied into the caller's
+    int buffer (first ``min(size, len)`` entries). Conventions: 0-based
+    block element offsets; local rows/cols == all rows/cols on one
+    controller; proc dists are all-zero for undistributed matrices."""
+    m = _mat(cell)
+    ix = m.index
+    if which == "local_rows":
+        arr = np.arange(ix.nblkrows, dtype=np.int32)
+    elif which == "local_cols":
+        arr = np.arange(ix.nblkcols, dtype=np.int32)
+    elif which == "proc_row_dist":
+        arr = (
+            m.dist.row_dist
+            if m.dist is not None
+            else np.zeros(ix.nblkrows, np.int32)
+        )
+    elif which == "proc_col_dist":
+        arr = (
+            m.dist.col_dist
+            if m.dist is not None
+            else np.zeros(ix.nblkcols, np.int32)
+        )
+    elif which == "row_blk_size":
+        arr = ix.row_block_sizes
+    elif which == "col_blk_size":
+        arr = ix.col_block_sizes
+    elif which == "row_blk_offset":
+        arr = ix.row_offsets[:-1]
+    elif which == "col_blk_offset":
+        arr = ix.col_offsets[:-1]
+    else:
+        raise DbcsrError(f"unknown info var {which!r}")
+    arr = np.asarray(arr, dtype=np.int32)
+    n = min(int(size), len(arr))
+    if n > 0:
+        _i32out(out_addr, n)[:] = arr[:n]
 
 
 def get_occupation(cell: Cell) -> float:
@@ -890,6 +937,39 @@ def t_contract_index(
     return int(out.nblks)
 
 
+def t_contract_index_typed(
+    typ: str, ar: float, ai: float, cell_a: Cell, cell_b: Cell,
+    br: float, bi_: float, cell_c: Cell,
+    contract_1: List[int], notcontract_1: List[int],
+    contract_2: List[int], notcontract_2: List[int],
+    filter_eps: float, result_index_addr: int, result_index_size: int,
+) -> int:
+    """Typed index-only contraction estimate (the reference's
+    ``c_dbcsr_t_contract_index_${dsuffix}$``,
+    ``src/tensors/dbcsr_tensor.h:82-87``): returns the result block count
+    and writes the block coordinates (row-major ``[nblks, ndim_c]``,
+    0-based) into the caller's int buffer, truncated to
+    ``result_index_size`` ints."""
+    # the result INDEX is dtype- and scale-independent; the typed alpha /
+    # beta arguments exist only for reference signature parity
+    del typ, ar, ai, br, bi_
+    a = _tensor(cell_a)
+    b = _tensor(cell_b)
+    out = t_contract_py(
+        1.0, a, b,
+        contract_1=tuple(contract_1), notcontract_1=tuple(notcontract_1),
+        contract_2=tuple(contract_2), notcontract_2=tuple(notcontract_2),
+        filter_eps=None if filter_eps < 0 else filter_eps,
+    )
+    del cell_c
+    idx = np.asarray(out.block_indices(), dtype=np.int32)
+    if result_index_addr and result_index_size > 0:
+        flat = idx.ravel()[: int(result_index_size)]
+        if len(flat):
+            _i32out(result_index_addr, len(flat))[:] = flat
+    return int(out.nblks)
+
+
 def t_copy(cell_from: Cell, cell_to: Cell, summation: int) -> None:
     src = _tensor(cell_from)
     dst = _tensor(cell_to)
@@ -911,9 +991,22 @@ def t_copy_tensor_to_matrix(t_cell: Cell, mat_cell: Cell) -> None:
     mat_cell.obj = matrix_from_tensor(_tensor(t_cell))
 
 
-def t_filter(cell: Cell, eps: float) -> None:
+def t_filter(
+    cell: Cell, eps: float, method: int = 1, use_absolute: int = 0
+) -> None:
+    """Frobenius block filter. ``method`` must be 1 (the reference's
+    ``dbcsr_filter_frobenius``, its only supported method); passing
+    ``use_absolute`` nonzero scales ``eps`` by the tensor's maxabs norm —
+    the reference applies that scaling whenever the argument is PRESENT
+    (``src/ops/dbcsr_operations.F:1912``)."""
+    if method != 1:
+        raise DbcsrError("only Frobenius filtering (method=1) is supported")
     t = _tensor(cell)
-    m = matrix_from_tensor(t)
+    # filter the folded 2-D representation: its blocks ARE the tensor
+    # blocks element-for-element, so Frobenius norms agree at any rank
+    m = t.matrix
+    if use_absolute:
+        eps = eps * dt.norm_maxabs(m)
     m = dt.filter_blocks(m, eps)
     # rebuild preserving the nd layout
     cell.obj = Tensor(

@@ -56,6 +56,21 @@ int main(void) {
   CHECK(c_dbcsr_get_nblks(A, &nblks));
   printf("nblks_a %lld\n", (long long)nblks);
 
+  /* round-3 info arrays (the reference's ${var}$ getters) */
+  int rbsz[4], roff[4], prd[4], lrow[4];
+  CHECK(c_dbcsr_get_row_blk_size(A, rbsz, 4));
+  CHECK(c_dbcsr_get_row_blk_offset(A, roff, 4));
+  CHECK(c_dbcsr_get_proc_row_dist(A, prd, 4));
+  CHECK(c_dbcsr_get_local_rows(A, lrow, 4));
+  int expoff[4] = {0, 2, 5, 7};
+  for (int i = 0; i < 4; ++i) {
+    if (rbsz[i] != rbs[i] || roff[i] != expoff[i] || prd[i] != 0 ||
+        lrow[i] != i) {
+      fprintf(stderr, "info arrays wrong at %d\n", i);
+      return 1;
+    }
+  }
+
   /* reference-shaped v2 multiply: result goes INTO the C handle */
   double flop;
   CHECK(c_dbcsr_create_template(&C, "C", A, 0, 'N', dbcsr_type_real_8));

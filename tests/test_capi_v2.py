@@ -259,6 +259,25 @@ int main(void) {
   CHECK(c_dbcsr_t_ndims(T2, &nd2));
   if (nd2 != 2) { fprintf(stderr, "matrix tensor rank\n"); return 1; }
 
+  /* typed index-only estimate (round 3): count + result coordinates */
+  int nblks_idx = 0;
+  int ridx[12];
+  CHECK(c_dbcsr_t_contract_index_d(1.0, 0.0, TA, TB, 0.0, 0.0, TC, con1, 1,
+                                   ncon1, 2, con2, 1, ncon2, 1, -1.0,
+                                   &nblks_idx, ridx, 12));
+  printf("cidx %d %d %d %d\n", nblks_idx, ridx[0], ridx[1], ridx[2]);
+
+  /* typed filter: absolute Frobenius threshold far above all blocks
+   * empties the tensor; method != 1 must fail */
+  CHECK(c_dbcsr_t_filter_d(TC, 1e9, 1, 0));
+  int nblks_f = 0;
+  CHECK(c_dbcsr_t_get_num_blocks(TC, &nblks_f));
+  printf("nblks_filtered %d\n", nblks_f);
+  if (!c_dbcsr_t_filter_d(TC, 1.0, 2, 0)) {
+    fprintf(stderr, "method=2 should fail\n");
+    return 1;
+  }
+
   CHECK(c_dbcsr_t_destroy(&TA));
   CHECK(c_dbcsr_t_destroy(&TB));
   CHECK(c_dbcsr_t_destroy(&TC));
@@ -376,3 +395,7 @@ def test_capi_tensor_contraction(tmp_path):
     np.testing.assert_allclose(
         float(lines["cb000"][0]), refb[0, 0, 0], rtol=1e-10
     )
+    # typed contract_index: full 2x2x1 result pattern, first coord (0,0,0)
+    assert lines["cidx"] == ["4", "0", "0", "0"]
+    # typed filter with a huge absolute eps empties the tensor
+    assert lines["nblks_filtered"][0] == "0"

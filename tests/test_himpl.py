@@ -180,3 +180,108 @@ def test_himpl_tensor_surface():
     np.testing.assert_allclose(out.reshape(2, 2), 3.0 * blk)
     nd, dims, nblks, dtp = H.t_get_info(t_cell)
     assert nd == 2 and dtp == 3
+
+
+def test_himpl_infovar_arrays():
+    """Round-3 info getters: the reference's c_dbcsr_get_${var}$ family
+    (dbcsr.h:282-287)."""
+    cell, rbs = _mk("d")
+    n = len(rbs)
+    out = np.zeros(n, dtype=np.int32)
+    H.get_infovar(cell, "row_blk_size", _addr(out), n)
+    np.testing.assert_array_equal(out, rbs)
+    H.get_infovar(cell, "col_blk_size", _addr(out), n)
+    np.testing.assert_array_equal(out, rbs)
+    offs = np.concatenate(([0], np.cumsum(rbs[:-1]))).astype(np.int32)
+    H.get_infovar(cell, "row_blk_offset", _addr(out), n)
+    np.testing.assert_array_equal(out, offs)
+    H.get_infovar(cell, "col_blk_offset", _addr(out), n)
+    np.testing.assert_array_equal(out, offs)
+    H.get_infovar(cell, "local_rows", _addr(out), n)
+    np.testing.assert_array_equal(out, np.arange(n, dtype=np.int32))
+    H.get_infovar(cell, "local_cols", _addr(out), n)
+    np.testing.assert_array_equal(out, np.arange(n, dtype=np.int32))
+    H.get_infovar(cell, "proc_row_dist", _addr(out), n)
+    np.testing.assert_array_equal(out, np.zeros(n, dtype=np.int32))
+    H.get_infovar(cell, "proc_col_dist", _addr(out), n)
+    np.testing.assert_array_equal(out, np.zeros(n, dtype=np.int32))
+    # short buffer: only min(size, len) entries written
+    short = np.full(n, -1, dtype=np.int32)
+    H.get_infovar(cell, "row_blk_size", _addr(short), 2)
+    np.testing.assert_array_equal(short[:2], rbs[:2])
+    assert (short[2:] == -1).all()
+    with pytest.raises(Exception):
+        H.get_infovar(cell, "bogus", _addr(out), n)
+
+
+def _mk_rank2_tensor(name, bs_a, bs_b, blocks, dtype_const=3):
+    nblk = np.array([len(bs_a), len(bs_b)], dtype=np.int32)
+    cell = H.t_create_new(
+        name, 2, _addr(nblk), [_addr(bs_a), _addr(bs_b)], [0], [1],
+        dtype_const,
+    )
+    for (i, j), blk in blocks.items():
+        idx = np.array([i, j], dtype=np.int32)
+        shp = np.array(blk.shape, dtype=np.int32)
+        blk = np.ascontiguousarray(blk.astype(np.float64))
+        H.t_put_block(cell, "d", 2, _addr(idx), _addr(shp), _addr(blk), 0)
+    H.t_finalize(cell)
+    return cell
+
+
+def test_himpl_typed_contract_index():
+    """c_dbcsr_t_contract_index_<t>: block count + coordinates of the
+    result index (reference dbcsr_tensor.h:82-87)."""
+    rng = np.random.default_rng(3)
+    bs_i = np.array([2, 3], dtype=np.int32)
+    bs_k = np.array([2, 2], dtype=np.int32)
+    bs_j = np.array([3, 2], dtype=np.int32)
+    a_blocks = {
+        (i, k): rng.standard_normal((bs_i[i], bs_k[k]))
+        for i in range(2) for k in range(2)
+    }
+    b_blocks = {
+        (k, j): rng.standard_normal((bs_k[k], bs_j[j]))
+        for k in range(2) for j in range(2)
+    }
+    a_cell = _mk_rank2_tensor("A", bs_i, bs_k, a_blocks)
+    b_cell = _mk_rank2_tensor("B", bs_k, bs_j, b_blocks)
+    c_cell = _mk_rank2_tensor("C", bs_i, bs_j, {})
+    ridx = np.full(16, -7, dtype=np.int32)
+    nblks = H.t_contract_index_typed(
+        "d", 1.0, 0.0, a_cell, b_cell, 0.0, 0.0, c_cell,
+        [1], [0], [0], [1], -1.0, _addr(ridx), 16,
+    )
+    assert nblks == 4  # full 2x2 result pattern
+    got = set(map(tuple, ridx[: 2 * nblks].reshape(nblks, 2).tolist()))
+    assert got == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    # buffer truncation honored
+    short = np.full(3, -7, dtype=np.int32)
+    nblks2 = H.t_contract_index_typed(
+        "d", 1.0, 0.0, a_cell, b_cell, 0.0, 0.0, c_cell,
+        [1], [0], [0], [1], -1.0, _addr(short), 3,
+    )
+    assert nblks2 == 4 and short[-1] != -7 or (short[-1] == -7) is False
+
+
+def test_himpl_typed_filter():
+    """c_dbcsr_t_filter_<t>: Frobenius-only, use_absolute scales eps by
+    the tensor maxabs norm (reference dbcsr_operations.F:1910-1912)."""
+    bs = np.array([2, 2], dtype=np.int32)
+    blocks = {
+        (0, 0): np.full((2, 2), 10.0),
+        (1, 1): np.full((2, 2), 1e-6),
+    }
+    cell = _mk_rank2_tensor("F", bs, bs, blocks)
+    H.t_filter(cell, 1e-3, 1, 0)  # absolute threshold: drops tiny block
+    assert H.t_get_num_blocks(cell) == 1
+    # relative mode: eps * maxabs(=10) -> 1e-4*10 = 1e-3 drops the tiny
+    cell2 = _mk_rank2_tensor("F2", bs, bs, blocks)
+    H.t_filter(cell2, 1e-4, 1, 1)
+    assert H.t_get_num_blocks(cell2) == 1
+    # huge relative eps drops everything except nothing above it
+    cell3 = _mk_rank2_tensor("F3", bs, bs, blocks)
+    H.t_filter(cell3, 1e-9, 1, 0)  # below both norms: keeps both
+    assert H.t_get_num_blocks(cell3) == 2
+    with pytest.raises(Exception):
+        H.t_filter(cell, 1e-3, 2, 0)  # only Frobenius supported

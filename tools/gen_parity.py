@@ -62,20 +62,43 @@ NOTES = {
 }
 
 
+#: fypp template variables the reference headers stamp symbol families
+#: with (dbcsr.h uses ${nametype}$; dbcsr_tensor.h uses ${dsuffix}$ and
+#: ${ndim}$ — the round-2 generator silently skipped the latter two).
+TEMPLATE_VARS = {
+    "nametype": ["d", "s", "z", "c"],
+    "dsuffix": ["r_dp", "r_sp", "c_dp", "c_sp"],
+    "ndim": ["2", "3", "4"],  # maxrank = 4 (dbcsr_tensor.fypp:16)
+    # info-array getters (dbcsr.h:282-287)
+    "var": [
+        "local_rows", "local_cols", "proc_row_dist", "proc_col_dist",
+        "row_blk_size", "col_blk_size", "row_blk_offset", "col_blk_offset",
+    ],
+}
+
+#: reference dtype suffix -> our type letter
+DSUF = {"r_dp": "d", "r_sp": "s", "c_dp": "z", "c_sp": "c"}
+
+
+def _expand(name):
+    names = [name]
+    for var, vals in TEMPLATE_VARS.items():
+        tok = "${%s}$" % var
+        if any(tok in n for n in names):
+            names = [n.replace(tok, v) for n in names for v in vals]
+    return names
+
+
 def ref_symbols():
     syms = []
+    tmpl = r"c_dbcsr_[a-z0-9_]*(?:\$\{[a-z]+\}\$[a-z0-9_]*)*"
     for path in REF_HDRS:
         txt = open(path).read()
-        # typed families: name_${nametype}$ -> 4 variants
-        for m in re.finditer(r"c_dbcsr_[a-z0-9_]*_\$\{nametype\}\$", txt):
-            base = m.group(0).replace("_${nametype}$", "")
-            for t in "dszc":
-                syms.append((f"{base}_{t}", path))
-        for m in re.finditer(r"c_dbcsr_[a-z0-9_]+", txt):
-            s = m.group(0)
-            if s.endswith("_"):
-                continue
-            syms.append((s, path))
+        for m in re.finditer(tmpl, txt):
+            for s in _expand(m.group(0)):
+                if s.endswith("_"):
+                    continue
+                syms.append((s, path))
     # dedupe preserving order
     seen = set()
     out = []
@@ -84,6 +107,25 @@ def ref_symbols():
             seen.add(s)
             out.append((s, p))
     return out
+
+
+def dsuffix_rename(sym):
+    """Our spelling for a reference ${dsuffix}$-stamped symbol (None if
+    ``sym`` is not one): dtype suffix r_dp/r_sp/c_dp/c_sp -> d/s/z/c, and
+    the per-rank <n>d_block variants fold onto our single ndim-argument
+    entry points."""
+    m = re.match(r"^(.*)_(r_dp|r_sp|c_dp|c_sp)$", sym)
+    if not m:
+        return None, ""
+    base, ds = m.groups()
+    t = DSUF[ds]
+    nb = re.match(r"^c_dbcsr_t_(get|put)_([234])d_block(_p)?$", base)
+    if nb:
+        note = "rank passed as the ndim argument"
+        if nb.group(3):
+            note += "; copies into caller buffer (no stable pointers)"
+        return f"c_dbcsr_t_{nb.group(1)}_block_{t}", note
+    return f"{base}_{t}", ""
 
 
 def our_symbols():
@@ -114,7 +156,12 @@ def main():
                  "C++ inline overload in the reference; use the typed form")
             )
             continue
-        target = RENAMES.get(sym, sym)
+        target = RENAMES.get(sym)
+        ds_note = ""
+        if target is None:
+            target, ds_note = dsuffix_rename(sym)
+        if target is None:
+            target = sym
         # typed target template
         have = (
             target in ours
@@ -128,6 +175,7 @@ def main():
         if not have:
             missing += 1
         note = NOTES.get(sym, NOTES.get(re.sub(r"_[dszc]$", "", sym), ""))
+        note = note or ds_note
         rows.append((sym, where, target if have else "—", status, note))
 
     with open("CAPI_PARITY.md", "w") as f:
