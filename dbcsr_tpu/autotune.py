@@ -51,6 +51,35 @@ DEFAULT_GRID = {
     "stack_e_batch": [1, 4, 8],
 }
 
+#: default sweep: per-driver sub-grids (a flat cartesian product would
+#: waste most of its combos on knobs the driver ignores). Keys mirror the
+#: config parameters; every row records its ``mm_driver``.
+DRIVER_GRIDS = {
+    "dense": {
+        "tile_size": [128, 256],
+        "matmul_precision": ["default", "highest"],
+    },
+    "stack": {
+        "max_stack_size": [32768],
+        "matmul_precision": ["default", "highest"],
+        "stack_bf16_inputs": [False, True],
+        "stack_e_batch": [1, 4, 8],
+    },
+    "panel": {
+        "panel_c_win": [8, 16, 32],
+        "panel_cache": [48, 64],
+        "panel_chunk": [8],
+        "matmul_precision": ["default", "highest"],
+    },
+    "grouped": {
+        "matmul_precision": ["default", "highest"],
+        "stack_bf16_inputs": [False, True],
+    },
+    "band": {
+        "matmul_precision": ["default", "highest"],
+    },
+}
+
 
 def _mk_workload(block_sizes, occupancy):
     def build(rng):
@@ -286,6 +315,7 @@ def sweep(
     *,
     grid: Optional[Dict[str, list]] = None,
     workloads: Optional[List[str]] = None,
+    drivers: Optional[List[str]] = None,
     seed: int = 0,
     verbose: bool = True,
 ) -> dict:
@@ -299,8 +329,20 @@ def sweep(
 
     from dbcsr_tpu.core.config import get_config
 
-    grid = grid or DEFAULT_GRID
-    names = list(grid)
+    if grid is not None:
+        names = list(grid)
+        combos = [
+            dict(zip(names, c))
+            for c in itertools.product(*(grid[n] for n in names))
+        ]
+    else:  # default: per-driver sub-grids
+        combos = []
+        for drv, g in DRIVER_GRIDS.items():
+            if drivers is not None and drv not in drivers:
+                continue
+            names = list(g)
+            for c in itertools.product(*(g[n] for n in names)):
+                combos.append({"mm_driver": drv, **dict(zip(names, c))})
     device_kind = jax.devices()[0].device_kind
     results: Dict[str, dict] = {}
     for wname in workloads or list(WORKLOADS):
@@ -316,8 +358,7 @@ def sweep(
             return built[ts]
 
         rows = []
-        for combo in itertools.product(*(grid[n] for n in names)):
-            cfg = dict(zip(names, combo))
+        for cfg in combos:
             try:
                 a, b = mats(cfg.get("tile_size", get_config().tile_size))
                 with config_override(**cfg):
@@ -402,9 +443,22 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="dbcsr_tpu autotuner")
     p.add_argument("--out", default=None, help="output JSON path")
     p.add_argument("--workloads", nargs="*", default=None)
+    p.add_argument("--drivers", nargs="*", default=None)
+    p.add_argument(
+        "--merge", action="store_true",
+        help="merge swept classes into the existing device table",
+    )
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
-    table = sweep(workloads=args.workloads, seed=args.seed)
+    table = sweep(
+        workloads=args.workloads, drivers=args.drivers, seed=args.seed
+    )
+    if args.merge:
+        old = load_params(table["device_kind"])
+        if old is not None:
+            merged = dict(old["results"])
+            merged.update(table["results"])
+            table = {**old, **table, "results": merged}
     path = save_params(table, args.out)
     print(f"wrote {path}")
     for wname, res in table["results"].items():

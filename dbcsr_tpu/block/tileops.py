@@ -64,6 +64,10 @@ def take_tiles(store: jax.Array, slot_map: np.ndarray, tile: int) -> jax.Array:
     if len(slot_map) == 0 or store.shape[0] == 0:
         return jnp.zeros((len(slot_map), tile, tile), dtype=store.dtype)
     slot_map = np.asarray(slot_map)
+    if len(slot_map) == store.shape[0] and np.array_equal(
+        slot_map, np.arange(len(slot_map))
+    ):
+        return store  # identity alignment: no copy
     oob = np.where(slot_map < 0, np.iinfo(np.int32).max, slot_map).astype(
         np.int32
     )

@@ -38,8 +38,22 @@ class Config:
     # --- multiply engine -------------------------------------------------
     #: hardware tile edge for the packed panels (MXU native is 128)
     tile_size: int = 128
-    #: engine selection: "auto" | "dense" | "stack" | "xla" | "band"
+    #: engine selection: "auto" | "dense" | "stack" | "xla" | "band" |
+    #: "panel" (supertile A+B-caching slab-DMA kernel, mm/panel.py) |
+    #: "grouped" (A-caching manual-DMA kernel, kernels.py)
     mm_driver: str = "auto"
+    #: panel kernel launch parameters (autotuned per workload class):
+    #: output tiles per group, VMEM cache slots per operand, tiles per
+    #: slab-DMA chunk; admission in "auto" mode requires the slab traffic
+    #: to undercut the flat kernel's 2-tiles/entry by this ratio
+    panel_c_win: int = 16
+    panel_cache: int = 48
+    panel_chunk: int = 8
+    panel_admit: float = 0.85
+    #: locality tile-reordering pre-pass (mm/reorder.py): "auto" tries an
+    #: RCM tile renumbering when the panel kernel is otherwise
+    #: inadmissible (plan-once executor only); "off" disables it
+    reorder: str = "auto"
     #: band driver admission (auto mode): max W_a*W_b diagonal products,
     #: and how much padded band work (W_a*W_b*Mt tile products) may exceed
     #: the stack path's tile-triple count — batched dense matmuls run that

@@ -148,6 +148,53 @@ def _tuned_driver(cfg, a_index, b_index):
     return None
 
 
+def _panel_knobs(cfg, a_index, b_index):
+    """Panel-kernel launch parameters: user/env-set config wins; defaults
+    defer to the tuned per-class table (like ``_stack_knobs``)."""
+    c_win, cache, chunk = cfg.panel_c_win, cfg.panel_cache, cfg.panel_chunk
+    provs = tuple(
+        cfg.provenance(n)
+        for n in ("panel_c_win", "panel_cache", "panel_chunk")
+    )
+    if "D" in provs:
+        from ..autotune import tuned_stack_params
+
+        best = tuned_stack_params(a_index, b_index)
+        if best:
+            if provs[0] == "D":
+                c_win = int(best.get("panel_c_win", c_win))
+            if provs[1] == "D":
+                cache = int(best.get("panel_cache", cache))
+            if provs[2] == "D":
+                chunk = int(best.get("panel_chunk", chunk))
+    return c_win, cache, chunk
+
+
+def _maybe_panel_plan(cfg, tplan, a_index, b_index, n_a, n_b, driver, tuned):
+    """PanelPlan when the panel kernel should execute this stack, else None.
+
+    Explicit ``mm_driver="panel"`` bypasses the traffic-admission test
+    (hard VMEM/span limits still apply); "auto" admits the panel kernel
+    when the tuned table prefers it for this workload class, or — with no
+    tuned preference — when its slab traffic undercuts the flat kernel's
+    2-tiles/entry by ``panel_admit`` (banded/clustered patterns pass,
+    uniform-random ones don't; see mm/panel.py)."""
+    if driver == "panel":
+        admit = None
+    elif driver == "auto" and tuned in ("panel", None):
+        admit = cfg.panel_admit
+    else:
+        return None
+    from .panel import plan_panel_stack
+
+    c_win, cache, chunk = _panel_knobs(cfg, a_index, b_index)
+    return plan_panel_stack(
+        tplan.stack, tplan.n_c_tiles, n_a, n_b,
+        c_win=c_win, a_cap=cache, b_cap=cache, chunk=chunk,
+        admit_ratio=admit,
+    )
+
+
 def _stack_knobs(cfg, a_index, b_index):
     """Resolve the stack kernel's perf knobs: user/env-set config wins;
     defaults defer to the per-workload-class tuned table (the reference
@@ -405,7 +452,7 @@ def _execute_local(
 
     driver = cfg.mm_driver
     tplan = None
-    if driver in ("auto", "stack", "xla", "band"):
+    if driver in ("auto", "stack", "xla", "band", "panel", "grouped"):
         with timed("multiply/tileplan"):
             tplan = plan_tile_stacks_stores(a_coords, (mt, kt), b_coords, (kt, nt))
         tdensity = len(tplan.stack) / max(mt * kt * nt, 1)
@@ -491,13 +538,50 @@ def _execute_local(
                 and a.dtype in (jnp.float32, jnp.bfloat16)
             )
             if use_pallas:
-                a_in, b_in, out_dt = _maybe_bf16(a_st, b_st, prec, cfg)
-                e_batch, max_chunk = _stack_knobs(cfg, a.index, b.index)
-                prod_tiles = tile_stack_matmul_pallas(
-                    a_in, b_in, tplan.stack, n_c_tiles=tplan.n_c_tiles,
-                    max_chunk=max_chunk, precision=prec,
-                    out_dtype=out_dt, e_batch=e_batch,
+                tuned = (
+                    _tuned_driver(cfg, a.index, b.index)
+                    if driver == "auto"
+                    else None
                 )
+                pplan = _maybe_panel_plan(
+                    cfg, tplan, a.index, b.index,
+                    a_st.shape[0], b_st.shape[0], driver, tuned,
+                )
+                if pplan is not None:
+                    # panel keeps f32 inputs: it is control-bound, not
+                    # bandwidth-bound (bf16 inputs measured SLOWER on v5e)
+                    from .panel import tile_stack_matmul_panel
+
+                    prod_tiles = tile_stack_matmul_panel(
+                        a_st, b_st, tplan.stack,
+                        n_c_tiles=tplan.n_c_tiles, plan=pplan,
+                        precision=prec,
+                    )
+                elif driver == "panel":
+                    from ..core.errors import DbcsrError
+
+                    raise DbcsrError(
+                        "pattern not panel-admissible (see mm/panel.py)"
+                    )
+                elif driver == "grouped" or (
+                    driver == "auto" and tuned == "grouped"
+                ):
+                    from .kernels import tile_stack_matmul_grouped
+
+                    a_in, b_in, out_dt = _maybe_bf16(a_st, b_st, prec, cfg)
+                    prod_tiles = tile_stack_matmul_grouped(
+                        a_in, b_in, tplan.stack,
+                        n_c_tiles=tplan.n_c_tiles, precision=prec,
+                        out_dtype=out_dt,
+                    )
+                else:
+                    a_in, b_in, out_dt = _maybe_bf16(a_st, b_st, prec, cfg)
+                    e_batch, max_chunk = _stack_knobs(cfg, a.index, b.index)
+                    prod_tiles = tile_stack_matmul_pallas(
+                        a_in, b_in, tplan.stack, n_c_tiles=tplan.n_c_tiles,
+                        max_chunk=max_chunk, precision=prec,
+                        out_dtype=out_dt, e_batch=e_batch,
+                    )
             else:
                 prod_tiles = tile_stack_matmul_xla(
                     a_st, b_st, jnp.asarray(tplan.stack),
@@ -913,7 +997,7 @@ def build_multiply_executor(
 
     drv = driver or cfg.mm_driver
     tplan = None
-    if drv in ("auto", "stack", "xla", "band"):
+    if drv in ("auto", "stack", "xla", "band", "panel", "grouped"):
         tplan = plan_tile_stacks_stores(a_coords, (mt, kt), b_coords, (kt, nt))
         if drv == "auto" and len(tplan.stack) / max(mt * kt * nt, 1) >= cfg.dense_threshold:
             tplan = None
@@ -992,16 +1076,91 @@ def build_multiply_executor(
 
     plan = tplan
     amap = tile_align_map(c_keys, plan.c_tile_keys)
+    amap_identity = len(amap) == plan.n_c_tiles and np.array_equal(
+        amap, np.arange(len(amap))
+    )
     amap_j = jnp.asarray(amap)
     stack_np = plan.stack
     n_c = plan.n_c_tiles
 
     e_batch, max_chunk = _stack_knobs(cfg, a.index, b.index)
+    # kernel selection (planned once): panel > grouped > flat, see
+    # _maybe_panel_plan for the admission rules
+    pplan = None
+    use_grouped = False
+    reorder_a = reorder_b = None
+    if use_pallas:
+        n_a_st = len(a_coords)
+        n_b_st = len(b_coords)
+        tuned = _tuned_driver(cfg, a.index, b.index) if drv == "auto" else None
+        pplan = _maybe_panel_plan(
+            cfg, plan, a.index, b.index, n_a_st, n_b_st, drv, tuned
+        )
+        if (
+            pplan is None
+            and drv in ("auto", "panel")
+            and cfg.reorder != "off"
+            and (drv == "panel" or tuned in (None, "panel"))
+        ):
+            # clustered-but-scrambled patterns: an RCM tile renumbering
+            # (mm/reorder.py) can make the panel kernel admissible; the
+            # permutation folds into the plan's gather maps (one extra
+            # slot-gather per operand store at runtime)
+            from .reorder import locality_reorder_plan
+
+            rp = locality_reorder_plan(
+                a_coords, (mt, kt), b_coords, (kt, nt)
+            )
+            if rp is not None:
+                plan_r = plan_tile_stacks_stores(
+                    rp.a_coords, (mt, kt), rp.b_coords, (kt, nt)
+                )
+                pplan_r = _maybe_panel_plan(
+                    cfg, plan_r, a.index, b.index, n_a_st, n_b_st, drv,
+                    tuned,
+                )
+                if pplan_r is not None:
+                    pplan = pplan_r
+                    plan = plan_r
+                    amap = tile_align_map(
+                        rp.c_slot_keys(c_keys, nt), plan.c_tile_keys
+                    )
+                    amap_identity = False
+                    amap_j = jnp.asarray(amap)
+                    stack_np = plan.stack
+                    n_c = plan.n_c_tiles
+                    reorder_a = jnp.asarray(rp.a_gather)
+                    reorder_b = jnp.asarray(rp.b_gather)
+        if pplan is None and drv == "panel":
+            from ..core.errors import DbcsrError
+
+            raise DbcsrError("pattern not panel-admissible (see mm/panel.py)")
+        use_grouped = pplan is None and (
+            drv == "grouped" or (drv == "auto" and tuned == "grouped")
+        )
 
     def fn(a_data, b_data):
         a_st = op_store(a_data, a_perm, ca)
         b_st = op_store(b_data, b_perm, cb)
-        if use_pallas:
+        if reorder_a is not None:
+            a_st = jnp.take(a_st, reorder_a, axis=0)
+            b_st = jnp.take(b_st, reorder_b, axis=0)
+        if pplan is not None:
+            from .panel import tile_stack_matmul_panel
+
+            prod = tile_stack_matmul_panel(
+                a_st, b_st, stack_np, n_c_tiles=n_c, plan=pplan,
+                precision=prec,
+            )
+        elif use_grouped:
+            from .kernels import tile_stack_matmul_grouped
+
+            a_in, b_in, out_dt = _maybe_bf16(a_st, b_st, prec, cfg)
+            prod = tile_stack_matmul_grouped(
+                a_in, b_in, stack_np, n_c_tiles=n_c, precision=prec,
+                out_dtype=out_dt,
+            )
+        elif use_pallas:
             a_in, b_in, out_dt = _maybe_bf16(a_st, b_st, prec, cfg)
             prod = tile_stack_matmul_pallas(
                 a_in, b_in, stack_np, n_c_tiles=n_c,
@@ -1013,6 +1172,8 @@ def build_multiply_executor(
                 a_st, b_st, jnp.asarray(stack_np), n_c_tiles=n_c,
                 precision=prec,
             )
+        if amap_identity:
+            return prod
         return jnp.take(prod, amap_j, axis=0, mode="fill", fill_value=0)
 
     return fn, c_index, symb.eff_flops

@@ -522,8 +522,8 @@ def _grouped_launch(
         num_scalar_prefetch=4,
         grid=(n_groups,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (group, tile, tile), lambda g, *refs: (g, zero, zero)

@@ -1,0 +1,414 @@
+"""Panel (supertile) stack kernel — A+B-caching slab-DMA stack processor.
+
+The flat stack kernel (``kernels.tile_stack_matmul_pallas``) pays full HBM
+traffic for every stack entry (2 input tiles/entry): the Pallas pipeline
+cannot elide DMAs for repeated tile indices under scalar-prefetch index
+maps, and the round-2 grouped kernel recovered only the A-side reuse while
+paying a ~460 ns/entry DMA control path. This kernel is the round-3 answer,
+the TPU-native form of the reference's double-buffered slab kernels
+(``src/acc/libsmm_acc/kernels/smm_acc_dnt_largeDB1.h`` stages P_A/P_B slabs
+in shared memory while accumulating a C tile in registers):
+
+- the host cuts the c-sorted stack into **groups of exactly ``c_win``
+  consecutive C store slots**. The C store is row-major, so a group's C
+  tiles span a contiguous range of tile-rows; its A tiles therefore live in
+  one contiguous slot span of the (row-major) A store, and the k-window's
+  B tiles in one contiguous span of the B store;
+- per group, the A span and B span are DMA'd HBM→VMEM as **chunked slab
+  copies** (``chunk`` tiles per DMA) into double-buffered caches — group
+  g+1's slabs load while group g computes. Each A/B tile moves once per
+  group it participates in: full in-group A AND B reuse, and the per-DMA
+  issue cost amortizes over ``chunk`` tiles instead of one;
+- the inner loop is **pure compute**: per output tile, a register-resident
+  f32 accumulator sums ``dot(a_cache[sa], b_cache[sb])`` over that tile's
+  entries (packed one int32 each) — no DMAs, no output revisiting;
+- each group's finished ``[c_win, T, T]`` window is written back with a
+  single slab DMA into its contiguous C-slot range (the output IS the C
+  store; no post-gather).
+
+Admissibility is a host-side decision (``plan_panel_stack`` returns None):
+the spans must fit the VMEM caches and the slab traffic must beat the flat
+kernel's 2-tiles/entry. Banded / clustered / RCM-reordered patterns pass;
+uniform-random fine-block patterns don't (their spans are the whole store)
+and keep using the flat kernel.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # pragma: no cover - exercised only on pallas-capable builds
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+__all__ = ["PanelPlan", "plan_panel_stack", "tile_stack_matmul_panel"]
+
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+@dataclass
+class PanelPlan:
+    """Host plan for one panel-kernel launch sequence."""
+
+    gstart: np.ndarray      # int32 [n_groups] first C store slot of the group
+    a_lo: np.ndarray        # int32 [n_groups] first A slot of the group slab
+    a_nch: np.ndarray       # int32 [n_groups] A slab length in chunks
+    b_lo: np.ndarray        # int32 [n_groups]
+    b_nch: np.ndarray       # int32 [n_groups]
+    obounds: np.ndarray     # int32 [n_groups*c_win+1] entry offsets per slot
+    entries: np.ndarray     # int32 [S'] packed (a_local<<16 | b_local)
+    n_groups: int
+    c_win: int
+    a_cap: int
+    b_cap: int
+    chunk: int
+    n_c_tiles: int
+    loaded_tiles: int       # slab traffic in tiles (for admission/stats)
+
+    @property
+    def traffic_ratio(self) -> float:
+        """Slab input traffic relative to the flat kernel's 2 tiles/entry."""
+        s = max(len(self.entries), 1)
+        return self.loaded_tiles / (2.0 * s)
+
+
+def plan_panel_stack(
+    stack_np: np.ndarray,  # int32 [S, 3] (c, a, b) sorted by c
+    n_c_tiles: int,
+    n_a_tiles: int,
+    n_b_tiles: int,
+    *,
+    c_win: int = 16,
+    a_cap: int = 64,
+    b_cap: int = 64,
+    chunk: int = 8,
+    admit_ratio: Optional[float] = None,
+) -> Optional[PanelPlan]:
+    """Group the stack into ``c_win``-slot panels; None if inadmissible
+    (a group's A/B span exceeds the cache, the store is too small for the
+    chunk-padded slabs, or slab traffic does not beat the flat kernel)."""
+    S = len(stack_np)
+    if S == 0 or n_c_tiles == 0:
+        return None
+    c_col = stack_np[:, 0].astype(np.int64)
+    c_win = min(c_win, n_c_tiles)
+    n_groups = -(-n_c_tiles // c_win)
+
+    # group windows: group g owns C store slots [gstart[g], gstart[g]+c_win).
+    # The LAST group is clamped to end exactly at n_c_tiles, overlapping its
+    # predecessor — overlapped slots are computed by both groups (identical
+    # values, so the two output DMAs racing is benign) and the kernel output
+    # is exactly the C store, no post-slice.
+    gstart = np.minimum(
+        np.arange(n_groups, dtype=np.int64) * c_win, n_c_tiles - c_win
+    )
+
+    # entry offsets per C slot (c_col is sorted)
+    slot_bounds = np.searchsorted(c_col, np.arange(n_c_tiles + 1)).astype(
+        np.int64
+    )
+    e0 = slot_bounds[gstart]
+    e1 = slot_bounds[gstart + c_win]
+    glens = e1 - e0  # per-group entry counts (overlap duplicates allowed)
+    tot = int(glens.sum())
+    base = np.concatenate(([0], np.cumsum(glens)))  # [n_groups+1]
+    # ragged gather: global stack row index of every per-group entry
+    offs = np.arange(tot, dtype=np.int64) - np.repeat(base[:-1], glens)
+    idx = np.repeat(e0, glens) + offs
+    g_of_entry = np.repeat(np.arange(n_groups, dtype=np.int64), glens)
+
+    def spans(col):
+        lo = np.zeros(n_groups, dtype=np.int64)
+        hi = np.zeros(n_groups, dtype=np.int64)
+        nz = glens > 0
+        if nz.any():
+            starts = base[:-1][nz]
+            lo[nz] = np.minimum.reduceat(col, starts)
+            hi[nz] = np.maximum.reduceat(col, starts) + 1
+        return lo, hi
+
+    a_col = stack_np[idx, 1].astype(np.int64)
+    b_col = stack_np[idx, 2].astype(np.int64)
+    a_min, a_hi = spans(a_col)
+    b_min, b_hi = spans(b_col)
+
+    def pad_spans(mn, hi, cap, n_store):
+        span = hi - mn
+        spn = -(-span // chunk) * chunk  # chunk-padded slab length
+        spn = np.maximum(spn, chunk)
+        if spn.max(initial=0) > cap or n_store < int(spn.max(initial=0)):
+            return None, None
+        # shift starts down so the padded slab stays inside the store
+        lo = np.maximum(0, np.minimum(mn, n_store - spn))
+        return lo.astype(np.int64), (spn // chunk).astype(np.int32)
+
+    a_lo, a_nch = pad_spans(a_min, a_hi, a_cap, n_a_tiles)
+    if a_lo is None:
+        return None
+    b_lo, b_nch = pad_spans(b_min, b_hi, b_cap, n_b_tiles)
+    if b_lo is None:
+        return None
+
+    loaded = int((a_nch.astype(np.int64) + b_nch).sum()) * chunk
+    if admit_ratio is not None and loaded > admit_ratio * 2.0 * S:
+        return None
+
+    a_local = a_col - a_lo[g_of_entry]
+    b_local = b_col - b_lo[g_of_entry]
+    assert a_local.min(initial=0) >= 0 and b_local.min(initial=0) >= 0
+    entries = ((a_local << 16) | b_local).astype(np.int32)
+
+    # per (group, local slot) entry offsets into the regrouped entry array
+    l_idx = gstart[:, None] + np.arange(c_win, dtype=np.int64)[None, :]
+    ob = base[:-1, None] + slot_bounds[l_idx] - e0[:, None]
+    obounds = np.append(ob.ravel(), tot).astype(np.int32)
+
+    return PanelPlan(
+        gstart=gstart.astype(np.int32),
+        a_lo=a_lo.astype(np.int32),
+        a_nch=a_nch,
+        b_lo=b_lo.astype(np.int32),
+        b_nch=b_nch,
+        obounds=obounds,
+        entries=entries,
+        n_groups=n_groups,
+        c_win=c_win,
+        a_cap=a_cap,
+        b_cap=b_cap,
+        chunk=chunk,
+        n_c_tiles=n_c_tiles,
+        loaded_tiles=loaded,
+    )
+
+
+def _panel_kernel(
+    # scalar prefetch
+    gstart_ref, a_lo_ref, a_nch_ref, b_lo_ref, b_nch_ref, ob_ref, ent_ref,
+    # tensor inputs (HBM-resident)
+    a_hbm, b_hbm,
+    # output (HBM-resident)
+    out_hbm,
+    # scratch
+    a_cache, b_cache, c_buf, a_sems, b_sems, c_sems,
+    *, c_win: int, chunk: int, n_groups: int, precision,
+):
+    # all scalar index math pinned i32 (x64 mixed-width traps, see
+    # kernels.py `zero` note)
+    i32 = jnp.int32
+    one = np.int32(1)
+    two = np.int32(2)
+    chunk_c = np.int32(chunk)
+    cwin_c = np.int32(c_win)
+    bmask = np.int32(0xFFFF)
+    g = pl.program_id(0).astype(i32)
+    buf = jnp.remainder(g, two)
+
+    def a_dma(grp, slot, i):
+        return pltpu.make_async_copy(
+            a_hbm.at[pl.ds(a_lo_ref[grp].astype(i32) + i * chunk_c, chunk)],
+            a_cache.at[slot, pl.ds(i * chunk_c, chunk)],
+            a_sems.at[slot, i],
+        )
+
+    def b_dma(grp, slot, i):
+        return pltpu.make_async_copy(
+            b_hbm.at[pl.ds(b_lo_ref[grp].astype(i32) + i * chunk_c, chunk)],
+            b_cache.at[slot, pl.ds(i * chunk_c, chunk)],
+            b_sems.at[slot, i],
+        )
+
+    def issue(grp, slot):
+        def a_body(i, _):
+            a_dma(grp, slot, i.astype(i32)).start()
+            return 0
+
+        jax.lax.fori_loop(0, a_nch_ref[grp].astype(i32), a_body, 0)
+
+        def b_body(i, _):
+            b_dma(grp, slot, i.astype(i32)).start()
+            return 0
+
+        jax.lax.fori_loop(0, b_nch_ref[grp].astype(i32), b_body, 0)
+
+    @pl.when(g == 0)
+    def _():
+        issue(g, buf)
+
+    @pl.when(g + one < np.int32(n_groups))
+    def _():
+        issue(g + one, jnp.remainder(g + one, two))
+
+    # wait for this group's slabs
+    def a_wait(i, _):
+        a_dma(g, buf, i.astype(i32)).wait()
+        return 0
+
+    jax.lax.fori_loop(0, a_nch_ref[g].astype(i32), a_wait, 0)
+
+    def b_wait(i, _):
+        b_dma(g, buf, i.astype(i32)).wait()
+        return 0
+
+    jax.lax.fori_loop(0, b_nch_ref[g].astype(i32), b_wait, 0)
+
+    def out_dma(grp, slot):
+        return pltpu.make_async_copy(
+            c_buf.at[slot],
+            out_hbm.at[pl.ds(gstart_ref[grp].astype(i32), c_win)],
+            c_sems.at[slot],
+        )
+
+    # the out DMA issued two steps ago used this c_buf slot: wait before
+    # overwriting
+    @pl.when(g >= two)
+    def _():
+        out_dma(g - two, buf).wait()
+
+    tile = c_buf.shape[-1]
+
+    def l_body(l, _):
+        l = l.astype(i32)
+        e0 = ob_ref[g * cwin_c + l].astype(i32)
+        e1 = ob_ref[g * cwin_c + l + one].astype(i32)
+
+        def e_body(e, acc):
+            packed = ent_ref[e.astype(i32)].astype(i32)
+            sa = jax.lax.shift_right_logical(packed, np.int32(16))
+            sb = jnp.bitwise_and(packed, bmask)
+            return acc + jnp.dot(
+                a_cache[buf, sa],
+                b_cache[buf, sb],
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+
+        acc = jax.lax.fori_loop(
+            e0, e1, e_body, jnp.zeros((tile, tile), jnp.float32)
+        )
+        c_buf[buf, pl.ds(l, 1)] = acc.astype(c_buf.dtype)[None]
+        return 0
+
+    jax.lax.fori_loop(0, cwin_c, l_body, 0)
+
+    dma = out_dma(g, buf)
+    dma.start()
+
+    # drain outstanding output DMAs at the last step
+    @pl.when(g == np.int32(n_groups) - one)
+    def _():
+        @pl.when(g >= one)
+        def _():
+            out_dma(g - one, jnp.remainder(g + one, two)).wait()
+
+        dma.wait()
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_groups", "c_win", "a_cap", "b_cap", "chunk", "tile",
+        "n_c_tiles", "interpret", "precision", "out_dtype", "loaded_tiles",
+    ),
+)
+def _panel_launch(
+    a_tiles, b_tiles, gstart, a_lo, a_nch, b_lo, b_nch, obounds, entries, *,
+    n_groups: int, c_win: int, a_cap: int, b_cap: int, chunk: int,
+    tile: int, n_c_tiles: int, interpret: bool, precision: str, out_dtype,
+    loaded_tiles: int,
+):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, a_cap, tile, tile), a_tiles.dtype),
+            pltpu.VMEM((2, b_cap, tile, tile), b_tiles.dtype),
+            pltpu.VMEM((2, c_win, tile, tile), out_dtype),
+            pltpu.SemaphoreType.DMA((2, a_cap // chunk)),
+            pltpu.SemaphoreType.DMA((2, b_cap // chunk)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    s = int(entries.shape[0])
+    return pl.pallas_call(
+        partial(
+            _panel_kernel,
+            c_win=c_win,
+            chunk=chunk,
+            n_groups=n_groups,
+            precision=_PRECISIONS[precision],
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_c_tiles, tile, tile), out_dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * s * tile * tile * tile,
+            bytes_accessed=(
+                loaded_tiles
+                * tile * tile * a_tiles.dtype.itemsize
+                + n_groups * c_win * tile * tile
+                * jnp.dtype(out_dtype).itemsize
+            ),
+            transcendentals=0,
+        ),
+    )(gstart, a_lo, a_nch, b_lo, b_nch, obounds, entries, a_tiles, b_tiles)
+
+
+def tile_stack_matmul_panel(
+    a_tiles: jax.Array,
+    b_tiles: jax.Array,
+    stack_np: np.ndarray,
+    *,
+    n_c_tiles: int,
+    plan: Optional[PanelPlan] = None,
+    c_win: int = 16,
+    a_cap: int = 64,
+    b_cap: int = 64,
+    chunk: int = 8,
+    interpret: bool = False,
+    precision: str = "highest",
+    out_dtype=None,
+) -> jax.Array:
+    """Panel-kernel stack processor. Raises ValueError if the pattern is
+    inadmissible (callers that want a fallback should plan first with
+    ``plan_panel_stack`` and check for None)."""
+    tile = a_tiles.shape[1]
+    out_dtype = out_dtype or a_tiles.dtype
+    if len(stack_np) == 0:
+        return jnp.zeros((n_c_tiles, tile, tile), dtype=out_dtype)
+    if plan is None:
+        plan = plan_panel_stack(
+            stack_np, n_c_tiles, a_tiles.shape[0], b_tiles.shape[0],
+            c_win=c_win, a_cap=a_cap, b_cap=b_cap, chunk=chunk,
+        )
+    if plan is None:
+        raise ValueError("pattern not panel-admissible")
+    return _panel_launch(
+        a_tiles, b_tiles, jnp.asarray(plan.gstart),
+        jnp.asarray(plan.a_lo), jnp.asarray(plan.a_nch),
+        jnp.asarray(plan.b_lo), jnp.asarray(plan.b_nch),
+        jnp.asarray(plan.obounds), jnp.asarray(plan.entries),
+        n_groups=plan.n_groups, c_win=plan.c_win, a_cap=plan.a_cap,
+        b_cap=plan.b_cap, chunk=plan.chunk, tile=tile,
+        n_c_tiles=plan.n_c_tiles, interpret=interpret,
+        precision=precision, out_dtype=out_dtype,
+        loaded_tiles=plan.loaded_tiles,
+    )

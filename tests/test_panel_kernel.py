@@ -1,0 +1,160 @@
+"""Panel (supertile) stack kernel: planner admission rules and
+interpret-mode numerics vs the XLA twin (see mm/panel.py)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dbcsr_tpu.mm.kernels import _HAVE_PALLAS, tile_stack_matmul_xla
+from dbcsr_tpu.mm.panel import plan_panel_stack, tile_stack_matmul_panel
+
+pytestmark = pytest.mark.skipif(not _HAVE_PALLAS, reason="no pallas")
+
+T = 8
+
+
+def _random_case(rng, n_tiles=40, n_c=30, s=200):
+    a = jnp.asarray(rng.standard_normal((n_tiles, T, T)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((n_tiles, T, T)), jnp.float32)
+    c_col = np.sort(rng.integers(0, n_c, s)).astype(np.int32)
+    stack = np.stack(
+        [c_col, rng.integers(0, n_tiles, s).astype(np.int32),
+         rng.integers(0, n_tiles, s).astype(np.int32)], axis=1
+    )
+    stack[:n_c, 0] = np.arange(n_c, dtype=np.int32)
+    stack = stack[np.argsort(stack[:, 0], kind="stable")]
+    return a, b, stack
+
+
+def _banded_case(rng, mt=24, w=2):
+    """Banded tile pattern: A/B/C tile stores in row-major order, stack =
+    the band product — the panel kernel's home turf."""
+    coords = np.array(
+        [(r, c) for r in range(mt) for c in range(mt) if abs(r - c) <= w],
+        dtype=np.int64,
+    )
+    n = len(coords)
+    slot = {(r, c): i for i, (r, c) in enumerate(coords)}
+    trip = []
+    for (r, k), sa in slot.items():
+        for c in range(max(0, k - w, r - w), min(mt, k + w + 1, r + w + 1)):
+            trip.append((slot[(r, c)], sa, slot[(k, c)]))
+    trip.sort()
+    stack = np.asarray(trip, dtype=np.int32)
+    a = jnp.asarray(rng.standard_normal((n, T, T)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((n, T, T)), jnp.float32)
+    return a, b, stack, n
+
+
+@pytest.mark.parametrize(
+    "c_win,cap,chunk", [(4, 48, 4), (8, 64, 8), (16, 64, 4)]
+)
+def test_interpret_panel_matches_xla(rng, c_win, cap, chunk):
+    a, b, stack = _random_case(rng)
+    n_c = 30
+    plan = plan_panel_stack(
+        stack, n_c, a.shape[0], b.shape[0], c_win=c_win, a_cap=cap,
+        b_cap=cap, chunk=chunk,
+    )
+    assert plan is not None
+    ref = tile_stack_matmul_xla(
+        a, b, jnp.asarray(stack), n_c_tiles=n_c, precision="highest"
+    )
+    got = tile_stack_matmul_panel(
+        a, b, stack, n_c_tiles=n_c, plan=plan, interpret=True,
+        precision="highest",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_interpret_panel_banded(rng):
+    a, b, stack, n = _banded_case(rng)
+    plan = plan_panel_stack(
+        stack, n, n, n, c_win=8, a_cap=32, b_cap=32, chunk=4,
+        admit_ratio=0.9,
+    )
+    # banded patterns must pass the traffic admission with real savings
+    assert plan is not None and plan.traffic_ratio < 0.9
+    ref = tile_stack_matmul_xla(
+        a, b, jnp.asarray(stack), n_c_tiles=n, precision="highest"
+    )
+    got = tile_stack_matmul_panel(
+        a, b, stack, n_c_tiles=n, plan=plan, interpret=True,
+        precision="highest",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_interpret_panel_bf16_inputs_f32_out(rng):
+    a, b, stack = _random_case(rng, s=120)
+    n_c = 30
+    got = tile_stack_matmul_panel(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), stack,
+        n_c_tiles=n_c, c_win=8, a_cap=48, b_cap=48, chunk=4,
+        interpret=True, out_dtype=jnp.float32,
+    )
+    assert got.dtype == jnp.float32
+    ref = tile_stack_matmul_xla(
+        a, b, jnp.asarray(stack), n_c_tiles=n_c, precision="highest"
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=0.1, atol=0.5
+    )
+
+
+def test_panel_admission_rejects_wide_spans(rng):
+    """A group whose A/B span exceeds the cache is inadmissible, as is a
+    pattern whose slab traffic loses to the flat kernel."""
+    a, b, stack = _random_case(rng, n_tiles=400, n_c=12, s=60)
+    # spans ~400 >> cap
+    assert (
+        plan_panel_stack(stack, 12, 400, 400, c_win=4, a_cap=64, b_cap=64)
+        is None
+    )
+    # fits the cache of a bigger cap, but traffic loses to flat 2S
+    plan = plan_panel_stack(
+        stack, 12, 400, 400, c_win=4, a_cap=512, b_cap=512,
+        admit_ratio=0.85,
+    )
+    assert plan is None
+
+
+def test_panel_empty_slots_and_tail(rng):
+    """C slots with no entries and a padded final group produce zeros."""
+    a, b, stack = _random_case(rng, n_tiles=20, n_c=9, s=40)
+    # drop all entries for slot 4 (slot stays in [0, n_c) but empty)
+    stack = stack[stack[:, 0] != 4]
+    ref = tile_stack_matmul_xla(
+        a, b, jnp.asarray(stack), n_c_tiles=9, precision="highest"
+    )
+    got = tile_stack_matmul_panel(
+        a, b, stack, n_c_tiles=9, c_win=4, a_cap=32, b_cap=32, chunk=4,
+        interpret=True, precision="highest",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    assert np.allclose(np.asarray(got[4]), 0.0)
+
+
+def test_engine_panel_driver_cpu_fallback(rng):
+    """mm_driver='panel' without a TPU runs the XLA twin (same semantics as
+    the 'stack' driver's CPU path); results match the dense oracle."""
+    import dbcsr_tpu as dt
+    from dbcsr_tpu.core.config import config_override
+
+    rbs = dt.random_block_sizes(60, [5, 13], rng)
+    a = dt.random_matrix(rbs, rbs, 0.3, rng, dtype=np.float32, name="A")
+    b = dt.random_matrix(rbs, rbs, 0.3, rng, dtype=np.float32, name="B")
+    ref = np.asarray(a.to_dense()) @ np.asarray(b.to_dense())
+    with config_override(mm_driver="panel"):
+        c = dt.multiply("N", "N", 1.0, a, b)
+    np.testing.assert_allclose(np.asarray(c.to_dense()), ref, atol=1e-4)
+
+    from dbcsr_tpu.mm.engine import build_multiply_executor
+
+    with config_override(mm_driver="panel"):
+        fn, c_index, _ = build_multiply_executor("N", "N", a, b)
+        out = fn(a.data, b.data)
+    from dbcsr_tpu.block.bcsr import BCSRMatrix
+
+    c2 = BCSRMatrix(name="C", index=c_index, data=out)
+    np.testing.assert_allclose(np.asarray(c2.to_dense()), ref, atol=1e-4)
