@@ -161,10 +161,15 @@ class ShardedMatrix:
 
 
 def shard_matrix(m: BCSRMatrix, dist: Distribution) -> ShardedMatrix:
-    """Owner-shard a local matrix over ``dist``'s grid."""
-    dbcsr_assert(
-        dist.grid.nlayer == 1, "sharded ops use a 2-D (pr, pc) grid"
-    )
+    """Owner-shard a local matrix over ``dist``'s grid.
+
+    On a 2.5D grid (``nlayer > 1``) the owner partition lives on the
+    (pr, pc) plane and the tile data is REPLICATED across the layer axis
+    (the layer dimension is unmentioned in the ``P(('pr','pc'),)``
+    sharding): at-rest matrices compose with the layered executors
+    (``sharded_multiply`` k-splits across layers inside jit) exactly like
+    the reference's 3D driver composes with its 2-D-distributed storage
+    (``/root/reference/src/mm/dbcsr_mm_3d.F:1038-1136``)."""
     sl = shard_layout(m.index, m.tile, dist)
     if m.is_complex_emulated:
         re, im = m.parts()
@@ -228,6 +233,11 @@ def _shard_constant(
 ) -> jax.Array:
     """A local-store-ordered constant ([n_tiles, ...]) re-laid-out into the
     sharded position order (zero padding)."""
+    if store.shape[0] == 0:  # empty matrix: every position is padding
+        arr = jnp.zeros(
+            (sl.ndev, sl.n_max) + store.shape[1:], dtype=store.dtype
+        )
+        return jax.device_put(arr, mesh_sharding(mesh))
     take = np.where(sl.slot_of_pos >= 0, sl.slot_of_pos, _OOB).astype(
         np.int32
     )
@@ -706,17 +716,23 @@ def sharded_checkpoint_write(sm: ShardedMatrix, directory: str) -> None:
             row_dist=sm.dist.row_dist,
             col_dist=sm.dist.col_dist,
         )
-    for s in shards:
-        np.save(
-            os.path.join(directory, f"shard_{dev_of(s)}.npy"),
-            np.asarray(s.data)[0],
-        )
-    if sm.is_complex_emulated:
-        for s in sm.data_im.addressable_shards:
+    def write_unique(shard_list, prefix):
+        # on a 2.5D mesh each (pr, pc) owner shard is replicated across
+        # the layer axis -> appears once per layer; write each row once
+        seen = set()
+        for s in shard_list:
+            d = dev_of(s)
+            if d in seen:
+                continue
+            seen.add(d)
             np.save(
-                os.path.join(directory, f"shard_im_{dev_of(s)}.npy"),
+                os.path.join(directory, f"{prefix}_{d}.npy"),
                 np.asarray(s.data)[0],
             )
+
+    write_unique(shards, "shard")
+    if sm.is_complex_emulated:
+        write_unique(sm.data_im.addressable_shards, "shard_im")
 
 
 def sharded_checkpoint_read(directory: str, grid) -> ShardedMatrix:
@@ -816,6 +832,16 @@ def sharded_block_norms(sm: ShardedMatrix) -> np.ndarray:
     z = jax.shard_map(
         local, mesh=mesh, in_specs=(_DEV, _DEV, _DEV), out_specs=_DEV
     )(sm.data, J_sh, I_sh)
+    if not z.is_fully_addressable:
+        # multi-process mesh: the host combine needs every device's
+        # partials — reshard to fully-replicated, read the local copy
+        z = jax.jit(
+            lambda v: v,
+            out_shardings=jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()
+            ),
+        )(z)
+        z = z.addressable_shards[0].data
     zh = np.asarray(z).reshape(-1)
     out = np.zeros(sm.index.nblks + 1, dtype=np.float64)
     np.add.at(out, bid.reshape(-1) + 1, zh)

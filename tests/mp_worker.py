@@ -1,13 +1,17 @@
-"""Worker for the two-process ``jax.distributed`` CPU test.
+"""Worker for the two-process ``jax.distributed`` CPU battery.
 
-Each of the 2 processes owns 4 local CPU devices (8 global). Exercises,
-across REAL process boundaries, what the virtual single-process mesh
-cannot: per-process addressable shards of the sharded executor, the
-per-process sharded checkpoint, and cross-process plan determinism.
-Reference analog: every test runs at 1..N MPI ranks
-(``/root/reference/tests/CMakeLists.txt:9-25``).
+Each of the 2 processes owns 4 local CPU devices (8 global). Runs ONE
+named scenario across REAL process boundaries — covering what the
+single-process virtual mesh cannot: per-process addressable shards,
+cross-process collectives, per-process sharded checkpoint, and
+cross-process plan determinism. The reference runs its whole suite at
+1..N MPI ranks (``/root/reference/tests/CMakeLists.txt:9-25``); this
+battery is the jax.distributed analog over the representative
+distributed slice (tiled Cannon, SUMMA, 2.5D, sharded storage + ops +
+checkpoint, TAS mesh-parallel).
 
 Usage: python mp_worker.py <coordinator_port> <process_id> <tmpdir>
+       [scenario]
 """
 import hashlib
 import os
@@ -25,46 +29,134 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 
+TILE = 8
 
-def main() -> None:
-    port, pid, tmpdir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 
-    import dbcsr_tpu as dt
-    from dbcsr_tpu.dist import (
-        ProcessGrid,
-        sharded_checkpoint_read,
-        sharded_checkpoint_write,
-        tile_aligned_dist,
+def _host_view(x) -> np.ndarray:
+    """Global host copy of a jax.Array: reshard device-sharded results to
+    fully-replicated (a real cross-process collective), then read the
+    local replica."""
+    if x.is_fully_addressable:
+        return np.asarray(x)
+    if not x.is_fully_replicated:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        x = jax.jit(
+            lambda v: v,
+            out_shardings=NamedSharding(
+                x.sharding.mesh, PartitionSpec()
+            ),
+        )(x)
+    return np.asarray(x.addressable_shards[0].data)
+
+
+def _balanced_devices(k: int):
+    """k devices, k/2 from each process — every mesh must span both
+    processes so the two workers stay in collective lockstep."""
+    per = {}
+    for d in jax.devices():
+        per.setdefault(d.process_index, []).append(d)
+    half = k // 2
+    return per[0][:half] + per[1][: k - half]
+
+
+def _mats(dt, rng, square=False):
+    rbs = dt.random_block_sizes(48, [3, 5], rng)
+    if square:
+        a = dt.random_matrix(rbs, rbs, 0.5, rng, dtype=np.float32)
+        b = dt.random_matrix(rbs, rbs, 0.5, rng, dtype=np.float32)
+        return rbs, rbs, a, b
+    cbs = dt.random_block_sizes(40, [4], rng)
+    a = dt.random_matrix(rbs, cbs, 0.4, rng, dtype=np.float32)
+    b = dt.random_matrix(cbs, rbs, 0.4, rng, dtype=np.float32)
+    return rbs, cbs, a, b
+
+
+def _check_multiply(dt, grid, algo, rng):
+    """dt.multiply over a cross-process mesh vs the dense oracle."""
+    from dbcsr_tpu.core.config import config_override
+    from dbcsr_tpu.dist.distribution import tile_aligned_dist
+
+    rbs, cbs, a, b = _mats(dt, rng)
+    dist = tile_aligned_dist(grid, rbs, rbs, TILE)
+    with config_override(mm_dist_algo=algo):
+        c = dt.multiply("N", "N", 1.0, a, b, dist=dist)
+    ref = np.asarray(a.to_dense()) @ np.asarray(b.to_dense())
+    cd = np.asarray(
+        dt.BCSRMatrix(
+            name="c", index=c.index, data=_host_view(c.data)
+        ).to_dense()
     )
+    err = np.abs(cd - ref).max()
+    assert err < 1e-3 * max(1.0, float(np.abs(ref).max())), err
+
+
+def scenario_cannon(dt, pid, tmpdir):
+    from dbcsr_tpu.dist import ProcessGrid
+
+    _check_multiply(
+        dt, ProcessGrid.make(2, 2, devices=_balanced_devices(4)),
+        "cannon", np.random.default_rng(0),
+    )
+
+
+def scenario_summa(dt, pid, tmpdir):
+    from dbcsr_tpu.dist import ProcessGrid
+
+    _check_multiply(
+        dt, ProcessGrid.make(4, 2), "summa", np.random.default_rng(1)
+    )
+
+
+def scenario_cannon25d(dt, pid, tmpdir):
+    from dbcsr_tpu.dist import ProcessGrid
+
+    _check_multiply(
+        dt, ProcessGrid.make(2, 2, nlayer=2), "cannon",
+        np.random.default_rng(2),
+    )
+
+
+def scenario_summa25d(dt, pid, tmpdir):
+    from dbcsr_tpu.dist import ProcessGrid
+
+    _check_multiply(
+        dt, ProcessGrid.make(2, 2, nlayer=2), "summa",
+        np.random.default_rng(3),
+    )
+
+
+def scenario_tas(dt, pid, tmpdir):
+    """TAS mesh-parallel split groups across the 8 global devices."""
+    from dbcsr_tpu.tas import tas_multiply_parallel
+
+    rng = np.random.default_rng(4)
+    rbs, cbs, a, b = _mats(dt, rng)
+    c = tas_multiply_parallel(a, b, long_dim="auto", nsplit=8)
+    ref = np.asarray(a.to_dense()) @ np.asarray(b.to_dense())
+    got = np.asarray(
+        dt.BCSRMatrix(
+            name="c", index=c.index, data=_host_view(c.data)
+        ).to_dense()
+    )
+    err = np.abs(got - ref).max()
+    assert err < 1e-3 * max(1.0, float(np.abs(ref).max())), err
+
+
+def scenario_sharded(dt, pid, tmpdir):
+    """Sharded executor: per-process ADDRESSABLE shards checked against
+    the locally-computed expected store; plus cross-process plan hash."""
+    from dbcsr_tpu.dist import ProcessGrid, tile_aligned_dist
     from dbcsr_tpu.dist.sharded import shard_store_with_layout
-    from dbcsr_tpu.dist.sharded_ops import (
-        shard_matrix,
-        sharded_add,
-        sharded_frobenius,
-    )
     from dbcsr_tpu.mm.engine import build_distributed_executor
 
-    dt.init_lib(
-        distributed=True,
-        coordinator_address=f"127.0.0.1:{port}",
-        num_processes=2,
-        process_id=pid,
-    )
-    assert jax.process_count() == 2, jax.process_count()
-    assert len(jax.devices()) == 8, len(jax.devices())
-    assert len(jax.local_devices()) == 4
-
-    TILE = 8
-    dt.set_config(tile_size=TILE)
-    rng = np.random.default_rng(0)  # identical inputs in both processes
+    rng = np.random.default_rng(0)
     rbs = dt.random_block_sizes(48, [3, 5], rng)
     a = dt.random_matrix(rbs, rbs, 0.5, rng, dtype=np.float32)
     b = dt.random_matrix(rbs, rbs, 0.5, rng, dtype=np.float32)
-
     grid = ProcessGrid.make(2, 4)
     dist = tile_aligned_dist(grid, rbs, rbs, TILE)
 
-    # --- sharded executor across processes -------------------------------
     fn, c_index, _ = build_distributed_executor(
         "N", "N", a, b, dist, algo="summa", sharded=True
     )
@@ -72,8 +164,6 @@ def main() -> None:
     b_sh = shard_store_with_layout(b, fn.shard_b, grid.mesh)
     out_sh = jax.jit(fn)(a_sh, b_sh)
 
-    # expected values from a process-local multiply; check only THIS
-    # process's addressable shards
     c_exp = dt.multiply("N", "N", 1.0, a, b)
     assert c_exp.index.nblks == c_index.nblks
     exp_store = np.asarray(c_exp.data)
@@ -95,7 +185,8 @@ def main() -> None:
             err_msg=f"process {pid} device shard {d}",
         )
 
-    # --- cross-process plan determinism ----------------------------------
+    # cross-process plan determinism: identical plan hashes, compared by
+    # the parent test
     from dbcsr_tpu.block.store import store_layout
     from dbcsr_tpu.dist.distribution import dist_tile_bins
     from dbcsr_tpu.mm.summa import plan_summa
@@ -113,17 +204,109 @@ def main() -> None:
     with open(os.path.join(tmpdir, f"planhash_{pid}.txt"), "w") as f:
         f.write(h.hexdigest())
 
-    # --- per-process sharded checkpoint ----------------------------------
+
+def scenario_sharded_elementwise(dt, pid, tmpdir):
+    """Sharded at-rest elementwise/reduction ops across processes."""
+    from dbcsr_tpu.dist import ProcessGrid, tile_aligned_dist
+    from dbcsr_tpu.dist.sharded_ops import (
+        shard_matrix,
+        sharded_add,
+        sharded_filter,
+        sharded_frobenius,
+        sharded_hadamard,
+        sharded_trace,
+    )
+
+    rng = np.random.default_rng(6)
+    rbs, _, a, b = _mats(dt, rng, square=True)
+    grid = ProcessGrid.make(2, 2, devices=_balanced_devices(4))
+    dist = tile_aligned_dist(grid, rbs, rbs, TILE)
+    sa = shard_matrix(a, dist)
+    sb = shard_matrix(b, dist)
+    ad = np.asarray(a.to_dense())
+    bd = np.asarray(b.to_dense())
+
+    sc = sharded_filter(sharded_add(1.0, sa, -0.5, sa), 1e-8)
+    got = np.asarray(sc.to_local().to_dense())
+    assert np.abs(got - 0.5 * ad).max() < 1e-4
+
+    sh = sharded_hadamard(sa, sb)
+    goth = np.asarray(sh.to_local().to_dense())
+    assert np.abs(goth - ad * bd).max() < 1e-4
+
+    fro = float(sharded_frobenius(sa))
+    assert abs(fro - float(np.linalg.norm(ad))) < 1e-3 * max(1.0, fro)
+    tr = float(sharded_trace(sa))
+    assert abs(tr - float(np.trace(ad))) < 1e-2
+
+
+def scenario_checkpoint(dt, pid, tmpdir):
+    """Per-process sharded checkpoint write + read-back residual."""
+    from jax.experimental import multihost_utils
+
+    from dbcsr_tpu.dist import (
+        ProcessGrid,
+        sharded_checkpoint_read,
+        sharded_checkpoint_write,
+        tile_aligned_dist,
+    )
+    from dbcsr_tpu.dist.sharded_ops import (
+        shard_matrix,
+        sharded_add,
+        sharded_frobenius,
+    )
+
+    rng = np.random.default_rng(7)
+    rbs, _, a, _ = _mats(dt, rng, square=True)
+    grid = ProcessGrid.make(2, 4)
+    dist = tile_aligned_dist(grid, rbs, rbs, TILE)
     sm = shard_matrix(a, dist)
     ckdir = os.path.join(tmpdir, "ckpt")
     sharded_checkpoint_write(sm, ckdir)  # each process: its own shards
-    from jax.experimental import multihost_utils
-
     multihost_utils.sync_global_devices("dbcsr-ckpt-written")
     back = sharded_checkpoint_read(ckdir, grid)
     diff = sharded_add(1.0, back, -1.0, sm)
     resid = float(sharded_frobenius(diff))
     assert resid < 1e-6, resid
+
+
+SCENARIOS = {
+    "cannon": scenario_cannon,
+    "summa": scenario_summa,
+    "cannon25d": scenario_cannon25d,
+    "summa25d": scenario_summa25d,
+    "tas": scenario_tas,
+    "sharded": scenario_sharded,
+    "sharded_elementwise": scenario_sharded_elementwise,
+    "checkpoint": scenario_checkpoint,
+}
+
+
+def main() -> None:
+    port, pid, tmpdir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    names = sys.argv[4].split(",") if len(sys.argv) > 4 else ["sharded"]
+
+    import dbcsr_tpu as dt
+
+    dt.init_lib(
+        distributed=True,
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=2,
+        process_id=pid,
+    )
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 8, len(jax.devices())
+    assert len(jax.local_devices()) == 4
+    dt.set_config(tile_size=TILE)
+
+    from jax.experimental import multihost_utils
+
+    for name in names:
+        # lockstep barrier: one worker must not race ahead into the next
+        # scenario's collective setup while the other is still compiling
+        multihost_utils.sync_global_devices(f"dbcsr-mp-{name}")
+        SCENARIOS[name](dt, pid, tmpdir)
+        print(f"scenario {name} ok", flush=True)
 
     print(f"worker {pid} ok", flush=True)
 

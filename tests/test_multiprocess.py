@@ -1,9 +1,9 @@
-"""True multi-process validation: two jax.distributed CPU processes
-(round-2 item 5). The reference runs every test at 1..N MPI ranks
-(``/root/reference/tests/CMakeLists.txt:9-25``); here two coordinated
-processes exercise per-process addressable shards of the sharded executor,
-the per-process sharded checkpoint, and cross-process plan determinism —
-things the single-process virtual mesh cannot."""
+"""True multi-process battery: two jax.distributed CPU processes run a
+representative distributed slice — tiled Cannon, SUMMA (non-square),
+2.5D Cannon/SUMMA, TAS mesh-parallel, sharded executor + elementwise +
+per-process checkpoint — across REAL process boundaries (round-2 VERDICT
+item 3). The reference runs every test at 1..N MPI ranks
+(``/root/reference/tests/CMakeLists.txt:9-25``)."""
 import os
 import socket
 import subprocess
@@ -20,7 +20,7 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_distributed(tmp_path):
+def _run_battery(tmp_path, names):
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
     env = dict(os.environ)
@@ -29,7 +29,10 @@ def test_two_process_distributed(tmp_path):
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(port), str(pid), str(tmp_path)],
+            [
+                sys.executable, worker, str(port), str(pid), str(tmp_path),
+                ",".join(names),
+            ],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
@@ -46,8 +49,26 @@ def test_two_process_distributed(tmp_path):
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        for name in names:
+            assert f"scenario {name} ok" in out, f"worker {pid}: {name}"
         assert f"worker {pid} ok" in out
-    # cross-process plan determinism: identical plan hashes
-    h0 = (tmp_path / "planhash_0.txt").read_text()
-    h1 = (tmp_path / "planhash_1.txt").read_text()
-    assert h0 == h1
+
+
+# grouped into two launches to amortize the jax.distributed startup;
+# every scenario asserts independently inside the workers
+@pytest.mark.parametrize(
+    "names",
+    [
+        pytest.param(("cannon", "summa", "cannon25d", "summa25d"),
+                     id="mesh-multiply"),
+        pytest.param(("tas", "sharded", "sharded_elementwise",
+                      "checkpoint"), id="storage-tas"),
+    ],
+)
+def test_two_process_battery(tmp_path, names):
+    _run_battery(tmp_path, names)
+    if "sharded" in names:
+        # cross-process plan determinism: identical plan hashes
+        h0 = (tmp_path / "planhash_0.txt").read_text()
+        h1 = (tmp_path / "planhash_1.txt").read_text()
+        assert h0 == h1

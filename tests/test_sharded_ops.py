@@ -387,3 +387,66 @@ def test_sharded_ops_complex_emulated(rng, tmp_path):
     finally:
         machine._COMPLEX_OK.clear()
         machine._COMPLEX_OK.update(old)
+
+
+def test_sharded_ops_25d_grid(rng, tmp_path):
+    """At-rest sharded storage on the 2.5D (2x2x2) mesh (round-2 VERDICT
+    item 7): the owner partition lives on the (pr, pc) plane with the tile
+    data replicated across the layer axis, and everything composes — the
+    layered multiply executor, the owner-local elementwise ops, the scalar
+    reductions, filter, and the per-shard checkpoint. Reference analog:
+    the 3D driver over 2-D-distributed storage
+    (``/root/reference/src/mm/dbcsr_mm_3d.F:1038-1136``)."""
+    from dbcsr_tpu.dist.sharded_ops import (
+        sharded_checkpoint_read,
+        sharded_checkpoint_write,
+        sharded_multiply,
+    )
+
+    grid = ProcessGrid.make(2, 2, nlayer=2)
+    with config_override(tile_size=TILE):
+        rbs = dt.random_block_sizes(64, [4], rng)
+        a = dt.random_matrix(rbs, rbs, 0.5, rng, dtype=np.float32, name="A")
+        b = dt.random_matrix(rbs, rbs, 0.5, rng, dtype=np.float32, name="B")
+        dist = tile_aligned_dist(grid, rbs, rbs, TILE)
+        sa = shard_matrix(a, dist)
+        sb = shard_matrix(b, dist)
+        ad, bd = np.asarray(a.to_dense()), np.asarray(b.to_dense())
+
+        # roundtrip + owner partition on the plane (4 owners, 8 devices)
+        np.testing.assert_array_equal(_dense(sa), ad)
+        assert len({s.device for s in sa.data.addressable_shards}) == 8
+        assert sa.shard.ndev == 4
+
+        # layered multiply executor straight off the at-rest stores
+        sc = sharded_multiply("N", "N", 1.0, sa, sb)
+        ref = ad @ bd
+        np.testing.assert_allclose(
+            _dense(sc), ref, rtol=1e-4, atol=1e-4 * np.abs(ref).max()
+        )
+
+        # owner-local elementwise + pattern-changing ops
+        ssum = sharded_add(1.0, sa, -0.5, sa)
+        np.testing.assert_allclose(_dense(ssum), 0.5 * ad, atol=1e-6)
+        sh = sharded_hadamard(sa, sb)
+        np.testing.assert_allclose(_dense(sh), ad * bd, atol=1e-5)
+        sf = sharded_filter(sharded_scale(sa, 1e-3), 1e-2)
+        assert sf.nblks <= sa.nblks
+
+        # scalar reductions
+        assert sharded_frobenius(sa) == pytest.approx(
+            float(np.linalg.norm(ad)), rel=1e-5
+        )
+        assert sharded_trace(sa) == pytest.approx(
+            float(np.trace(ad)), rel=1e-4, abs=1e-3
+        )
+
+        # per-shard checkpoint: one file per PLANE owner (no layer dupes)
+        d = str(tmp_path / "ckpt25d")
+        sharded_checkpoint_write(sa, d)
+        import glob
+        import os
+
+        assert len(glob.glob(os.path.join(d, "shard_*.npy"))) == 4
+        back = sharded_checkpoint_read(d, grid)
+        np.testing.assert_array_equal(_dense(back), ad)
