@@ -83,6 +83,55 @@ def main():
         rbs = dt.random_block_sizes(6000, [5, 13, 23], rng)
         a = dt.random_matrix(rbs, rbs, 0.2, rng, dtype=np.float32, name="A")
         b = dt.random_matrix(rbs, rbs, 0.2, rng, dtype=np.float32, name="B")
+    elif config == "clustered":
+        # linear-scaling SCF shape #2: near-sighted exponential-decay
+        # coupling along a hidden 1-D chain, block numbering SCRAMBLED by
+        # a random permutation (the atom numbering does not expose the
+        # locality). The engine's RCM reorder pre-pass (mm/reorder.py)
+        # must recover the hidden axis to make the panel kernel
+        # admissible; vs_baseline here is the measured speedup over the
+        # same workload with reorder disabled (flat stack kernel) —
+        # VERDICT r2 target: >= 2.
+        metric = "clustered_mm_throughput"
+        from dbcsr_tpu.block.bcsr import BCSRMatrix
+        from dbcsr_tpu.block.index import build_index
+        from dbcsr_tpu.block.store import store_layout
+        from dbcsr_tpu.block.tileops import valid_mask
+        from dbcsr_tpu.mm.reorder import locality_block_permutation
+
+        rbs = dt.random_block_sizes(40000, [5, 13, 23], rng)
+        n = len(rbs)
+        dmax = 15
+        i = np.repeat(np.arange(n, dtype=np.int64), 2 * dmax + 1)
+        off = np.tile(np.arange(-dmax, dmax + 1, dtype=np.int64), n)
+        j = i + off
+        # P(coupling at chain distance d) = exp(-d/4), diagonal always
+        keep = (
+            (j >= 0)
+            & (j < n)
+            & (rng.random(len(j)) < np.exp(-np.abs(off) / 4.0))
+        )
+        sig = rng.permutation(n).astype(np.int64)
+        rbs_s = np.empty(n, np.int32)
+        rbs_s[sig] = rbs  # sizes follow their blocks through the scramble
+
+        def store_mat(rows, cols, sizes, name, scale=1.0):
+            idx, _ = build_index(rows, cols, sizes, sizes)
+            lay = store_layout(idx, 128)
+            data = jax.random.normal(
+                jax.random.PRNGKey(0), (lay.n_tiles, 128, 128), jnp.float32
+            )
+            data = data * scale * valid_mask(idx, 128)
+            return BCSRMatrix(name=name, index=idx, data=data)
+
+        sr, sc = sig[i[keep]], sig[j[keep]]
+        a0 = store_mat(sr, sc, rbs_s, "A0")  # scrambled numbering
+        b0 = store_mat(sr, sc, rbs_s, "B0", 0.5)
+        pm, _, _ = locality_block_permutation(a0.index)
+        rbs_r = np.empty(n, np.int32)
+        rbs_r[pm[sig]] = rbs
+        a = store_mat(pm[sr], pm[sc], rbs_r, "A")  # RCM-recovered numbering
+        b = store_mat(pm[sr], pm[sc], rbs_r, "B", 0.5)
     elif config == "banded":
         # linear-scaling SCF shape: banded 40k block rows (stack path);
         # data built directly in store form (construction shortcut)
@@ -108,53 +157,66 @@ def main():
     else:
         raise SystemExit(f"unknown bench config {config!r}")
 
+    def measure(fn, c_index, ma, mb, n_lo=10, n_hi=210):
+        from dbcsr_tpu.block.store import store_layout
+
+        chain = np.array_equal(
+            store_layout(c_index, ma.tile).tile_keys(),
+            ma.layout.tile_keys(),
+        )
+
+        @partial(jax.jit, static_argnames="n")
+        def loop(a_data, b_data, n):
+            if chain:
+                # C := A·B, A ← C each iteration (C's store layout equals
+                # A's): the real iterative-caller shape (SCF / matrix
+                # powers) with a true loop-carried dependency.
+                def body(i, a_data):
+                    return fn(a_data, b_data)
+
+                return jax.lax.fori_loop(0, n, body, a_data)
+
+            out0 = fn(a_data, b_data)
+
+            def body(i, carry):
+                a_data, out = carry
+                out = fn(a_data, b_data)
+                return (a_data + out.reshape(-1)[0] * 1e-30, out)
+
+            return jax.lax.fori_loop(0, n, body, (a_data, out0))[1]
+
+        def run(n):
+            t0 = time.perf_counter()
+            out = loop(ma.data, mb.data, n)
+            _ = float(jnp.asarray(out).ravel()[0])  # force full execution
+            return time.perf_counter() - t0
+
+        # warm both trip counts (compile), then take medians; trip counts
+        # high enough that the marginal time dwarfs tunnel dispatch jitter
+        run(n_lo)
+        run(n_hi)
+        lo = float(np.median([run(n_lo) for _ in range(5)]))
+        hi = float(np.median([run(n_hi) for _ in range(5)]))
+        return (hi - lo) / (n_hi - n_lo)
+
     fn, c_index, eff_flops = build_multiply_executor("N", "N", a, b)
-
-    from dbcsr_tpu.block.store import store_layout
-
-    chain = np.array_equal(
-        store_layout(c_index, a.tile).tile_keys(), a.layout.tile_keys()
-    )
-
-    @partial(jax.jit, static_argnames="n")
-    def loop(a_data, b_data, n):
-        if chain:
-            # C := A·B, A ← C each iteration (C's store layout equals A's):
-            # the real iterative-caller shape (SCF / matrix powers) with a
-            # true loop-carried dependency.
-            def body(i, a_data):
-                return fn(a_data, b_data)
-
-            return jax.lax.fori_loop(0, n, body, a_data)
-
-        out0 = fn(a_data, b_data)
-
-        def body(i, carry):
-            a_data, out = carry
-            out = fn(a_data, b_data)
-            return (a_data + out.reshape(-1)[0] * 1e-30, out)
-
-        return jax.lax.fori_loop(0, n, body, (a_data, out0))[1]
-
-    def run(n):
-        t0 = time.perf_counter()
-        out = loop(a.data, b.data, n)
-        _ = float(jnp.asarray(out).ravel()[0])  # force full execution
-        return time.perf_counter() - t0
-
-    # warm both trip counts (compile), then take medians; trip counts high
-    # enough that the marginal time dwarfs tunnel dispatch jitter
-    n_lo, n_hi = 10, 210
-    run(n_lo)
-    run(n_hi)
-    lo = float(np.median([run(n_lo) for _ in range(5)]))
-    hi = float(np.median([run(n_hi) for _ in range(5)]))
-    per_iter = (hi - lo) / (n_hi - n_lo)
-
+    per_iter = measure(fn, c_index, a, b)
     gflops = eff_flops / per_iter / 1e9
+
     if config == "block23":
         # headline BASELINE target: fraction of 70% MXU peak
         vs = gflops / (0.70 * _chip_peak_flops() / 1e9)
+    elif config == "clustered":
+        # vs_baseline = speedup of the RCM-recovered numbering (compact
+        # tiles + panel kernel) over the scrambled numbering with
+        # reordering disabled, same blocks/flops (target >= 2). The a0
+        # leg uses fewer iterations: its plan is ~100x more device work.
+        from dbcsr_tpu.core.config import config_override
+
+        with config_override(reorder="off"):
+            fn0, c_index0, _ = build_multiply_executor("N", "N", a0, b0)
+            per0 = measure(fn0, c_index0, a0, b0, n_lo=2, n_hi=12)
+        vs = per0 / per_iter
     else:
         # secondary configs: regression ratio vs recorded v5e reference
         refs = {"sparse5": 1478.5, "mixed": 6039.5, "banded": 665.1}

@@ -34,6 +34,7 @@ from .core import (
     timer_report,
 )
 from .mm.engine import multiply
+from .mm.reorder import locality_block_permutation, permute_blocks
 from .ops.arithmetic import (
     ELEMENT_FUNCTIONS,
     add,

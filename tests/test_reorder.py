@@ -133,3 +133,86 @@ def test_executor_reorder_end_to_end():
         out = fn(a.data, b.data)
     c = BCSRMatrix(name="C", index=c_index, data=out)
     np.testing.assert_allclose(np.asarray(c.to_dense()), ref, atol=1e-3)
+
+
+def test_block_permutation_roundtrip_and_recovery():
+    """permute_blocks moves blocks+sizes correctly (dense equality), and
+    locality_block_permutation recovers tile-packing density on a
+    clustered-but-scrambled block numbering."""
+    import dbcsr_tpu as dt
+
+    rng = np.random.default_rng(11)
+    n = 400
+    sizes = rng.choice([3, 5, 8], size=n).astype(np.int32)
+    # hidden 1-D chain with exponential-decay coupling, then scramble
+    dmax = 9
+    i = np.repeat(np.arange(n, dtype=np.int64), 2 * dmax + 1)
+    off = np.tile(np.arange(-dmax, dmax + 1, dtype=np.int64), n)
+    j = i + off
+    keep = (
+        (j >= 0) & (j < n)
+        & (rng.random(len(j)) < np.exp(-np.abs(off) / 3.0))
+    )
+    sig = rng.permutation(n).astype(np.int64)
+    rows, cols = sig[i[keep]], sig[j[keep]]
+    rbs = np.empty(n, np.int32)
+    rbs[sig] = sizes  # sizes follow the hidden chain ordering
+    blocks = [
+        rng.standard_normal((rbs[r], rbs[c])).astype(np.float32)
+        for r, c in zip(rows, cols)
+    ]
+    from dbcsr_tpu.block.bcsr import BCSRMatrix
+
+    a = BCSRMatrix.from_blocks(rows, cols, blocks, rbs, rbs, name="A")
+
+    perms = dt.locality_block_permutation(a.index)
+    assert perms is not None
+    pm, pk, pn = perms
+    assert np.array_equal(pm, pk) and np.array_equal(pk, pn)
+    ap = dt.permute_blocks(a, pm, pn)
+
+    # dense equality under the row/col element permutation
+    d = np.asarray(a.to_dense())
+    dp = np.asarray(ap.to_dense())
+    eoff = a.index.row_offsets
+    noff = ap.index.row_offsets
+    for old in range(n):
+        new = int(pm[old])
+        np.testing.assert_allclose(
+            d[eoff[old]:eoff[old] + rbs[old]].sum(axis=1),
+            dp[noff[new]:noff[new] + rbs[old]].sum(axis=1),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    # locality recovered: tile count shrinks substantially
+    assert ap.layout.n_tiles < 0.5 * a.layout.n_tiles
+
+    # round trip via inverse permutation restores the original matrix
+    back = dt.permute_blocks(ap, np.argsort(pm), np.argsort(pn))
+    np.testing.assert_allclose(
+        np.asarray(back.to_dense()), d, rtol=0, atol=0
+    )
+
+
+def test_block_permutation_multiply_equivalence():
+    """C(perm) == perm(C): multiplying permuted operands equals
+    permuting the reference product."""
+    import dbcsr_tpu as dt
+
+    rng = np.random.default_rng(13)
+    rbs = dt.random_block_sizes(300, [4, 7], rng)
+    n = len(rbs)
+    a = dt.random_matrix(rbs, rbs, 0.2, rng, dtype=np.float32, name="A")
+    b = dt.random_matrix(rbs, rbs, 0.2, rng, dtype=np.float32, name="B")
+    pm = np.random.default_rng(1).permutation(n).astype(np.int64)
+    pk = np.random.default_rng(2).permutation(n).astype(np.int64)
+    pn = np.random.default_rng(3).permutation(n).astype(np.int64)
+    c_ref = dt.multiply("N", "N", 1.0, a, b)
+    cp = dt.multiply(
+        "N", "N", 1.0,
+        dt.permute_blocks(a, pm, pk), dt.permute_blocks(b, pk, pn),
+    )
+    want = np.asarray(dt.permute_blocks(c_ref, pm, pn).to_dense())
+    np.testing.assert_allclose(
+        np.asarray(cp.to_dense()), want, atol=1e-4
+    )
