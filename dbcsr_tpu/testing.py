@@ -113,7 +113,35 @@ def validate_kernels(*, tile: int = 128, n_tiles: int = 4, seed: int = 0,
     if verbose or not ok_b:
         print(f"validate_kernels[band]: max err {err_b:.3e} "
               f"{'OK' if ok_b else 'FAILED'}")
-    return ok and ok_g and ok_b
+
+    # panel (supertile slab-DMA) kernel: banded stack, Pallas vs XLA twin
+    from .mm.panel import plan_panel_stack, tile_stack_matmul_panel
+
+    s, n_c = 24, 8
+    c_col = np.sort(rng.integers(0, n_c, s)).astype(np.int32)
+    c_col[:n_c] = np.arange(n_c, dtype=np.int32)  # every slot non-empty
+    pstack = np.stack(
+        [c_col, rng.integers(0, n_band, s).astype(np.int32),
+         rng.integers(0, n_band, s).astype(np.int32)], axis=1
+    )
+    pstack = pstack[np.argsort(pstack[:, 0], kind="stable")]
+    pplan = plan_panel_stack(
+        pstack, n_c, n_band, n_band, c_win=4, a_cap=16, b_cap=16, chunk=4
+    )
+    assert pplan is not None
+    got_p = tile_stack_matmul_panel(
+        ab, bb, pstack, n_c_tiles=n_c, plan=pplan, precision="highest"
+    )
+    ref_p = tile_stack_matmul_xla(
+        ab, bb, jnp.asarray(pstack), n_c_tiles=n_c, precision="highest"
+    )
+    err_p = float(jnp.max(jnp.abs(got_p - ref_p)))
+    scale_p = float(jnp.max(jnp.abs(ref_p))) or 1.0
+    ok_p = err_p <= 1e-4 * scale_p
+    if verbose or not ok_p:
+        print(f"validate_kernels[panel]: max err {err_p:.3e} "
+              f"{'OK' if ok_p else 'FAILED'}")
+    return ok and ok_g and ok_b and ok_p
 
 
 def to_dense_local(m: BCSRMatrix) -> np.ndarray:

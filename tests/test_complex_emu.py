@@ -9,7 +9,11 @@ import numpy as np
 import pytest
 
 import dbcsr_tpu as dt
+
 from dbcsr_tpu.core import machine
+
+# curated real-chip battery (make tpu-check)
+pytestmark = pytest.mark.tpu_battery
 
 
 @pytest.fixture

@@ -8,7 +8,11 @@ import jax.numpy as jnp
 from dbcsr_tpu.mm.kernels import _HAVE_PALLAS, tile_stack_matmul_xla
 from dbcsr_tpu.mm.panel import plan_panel_stack, tile_stack_matmul_panel
 
-pytestmark = pytest.mark.skipif(not _HAVE_PALLAS, reason="no pallas")
+# curated real-chip battery (make tpu-check)
+pytestmark = [
+    pytest.mark.skipif(not _HAVE_PALLAS, reason="no pallas"),
+    pytest.mark.tpu_battery,
+]
 
 T = 8
 
@@ -139,6 +143,7 @@ def test_engine_panel_driver_cpu_fallback(rng):
     """mm_driver='panel' without a TPU runs the XLA twin (same semantics as
     the 'stack' driver's CPU path); results match the dense oracle."""
     import dbcsr_tpu as dt
+
     from dbcsr_tpu.core.config import config_override
 
     rbs = dt.random_block_sizes(60, [5, 13], rng)
