@@ -365,7 +365,28 @@ def sharded_multiply(
         or (c is not None and c.is_complex_emulated)
     ):
         return _emu_s_multiply(transa, transb, alpha, a, b, beta, c)
-    c_index, c_sl, fn = build_sharded_multiply(transa, transb, a, b)
+    # content-keyed plan cache (the one-shot-multiply analog of the local
+    # engine's, mm/engine.py; iterative sharded loops then pay zero host
+    # planning per step without managing build_sharded_multiply handles)
+    from ..core.config import get_config
+    from ..mm.plancache import dist_fingerprint, get_plan_cache
+
+    pcache = get_plan_cache()
+    key = pcache.key(
+        a.index, transa.upper() != "N", b.index, transb.upper() != "N",
+        extra=(
+            "sharded_multiply", dist_fingerprint(a.dist),
+            a.shard.token, b.shard.token, a.tile,
+            np.dtype(a.dtype).name, np.dtype(b.dtype).name,
+            get_config().mm_dist_algo,
+        ),
+    )
+    cached = pcache.get(key)
+    if cached is not None:
+        c_index, c_sl, fn = cached
+    else:
+        c_index, c_sl, fn = build_sharded_multiply(transa, transb, a, b)
+        pcache.put(key, (c_index, c_sl, fn))
     out = ShardedMatrix(
         name=f"{a.name}*{b.name}", index=c_index, tile=a.tile, dist=a.dist,
         shard=c_sl, data=fn(a.data, b.data), sym=SYM_NONE,

@@ -450,3 +450,30 @@ def test_sharded_ops_25d_grid(rng, tmp_path):
         assert len(glob.glob(os.path.join(d, "shard_*.npy"))) == 4
         back = sharded_checkpoint_read(d, grid)
         np.testing.assert_array_equal(_dense(back), ad)
+
+
+def test_sharded_multiply_plan_cached(rng):
+    """One-shot sharded_multiply reuses the content-keyed plan cache
+    (the local engine's iterative-caller amortization, mm/plancache.py):
+    second call with the same operands plans nothing, different
+    transposes get their own plan."""
+    from dbcsr_tpu.dist.sharded_ops import sharded_multiply
+    from dbcsr_tpu.mm.plancache import get_plan_cache
+
+    a, b, dist = _pair(rng)
+    sa, sb = shard_matrix(a, dist), shard_matrix(b, dist)
+    pc = get_plan_cache()
+    h0, m0 = pc.hits, pc.misses
+    c1 = sharded_multiply("N", "N", 1.0, sa, sb)
+    c2 = sharded_multiply("N", "N", 1.0, sa, sb)
+    assert pc.hits - h0 == 1 and pc.misses - m0 == 1
+    np.testing.assert_array_equal(_dense(c1), _dense(c2))
+    ref = np.asarray(a.to_dense()) @ np.asarray(b.to_dense())
+    np.testing.assert_allclose(
+        _dense(c1), ref, rtol=1e-4, atol=1e-4 * np.abs(ref).max()
+    )
+    ct = sharded_multiply("T", "N", 1.0, sa, sb)
+    reft = np.asarray(a.to_dense()).T @ np.asarray(b.to_dense())
+    np.testing.assert_allclose(
+        _dense(ct), reft, rtol=1e-4, atol=1e-4 * np.abs(reft).max()
+    )
