@@ -99,7 +99,9 @@ def main():
         from dbcsr_tpu.block.tileops import valid_mask
         from dbcsr_tpu.mm.reorder import locality_block_permutation
 
-        rbs = dt.random_block_sizes(40000, [5, 13, 23], rng)
+        # 24k rows: the scrambled leg's tile blow-up peaks ~6GB on-chip
+        # (40k would peak ~16GB = the whole HBM and OOM in the timing loop)
+        rbs = dt.random_block_sizes(24000, [5, 13, 23], rng)
         n = len(rbs)
         dmax = 15
         i = np.repeat(np.arange(n, dtype=np.int64), 2 * dmax + 1)
