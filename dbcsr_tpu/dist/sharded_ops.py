@@ -338,10 +338,14 @@ def build_sharded_multiply(
         sharded=True,
     )
     sl_a, sl_b, sl_c = exec_fn.shard_a, exec_fn.shard_b, exec_fn.shard_c
+    # bind only the shard LAYOUTS (not the ShardedMatrix objects): the
+    # closure may be plan-cached, and capturing a/b would pin their full
+    # HBM tile stores for the cache entry's lifetime
+    at_rest_a, at_rest_b = a.shard, b.shard
 
     def fn(a_sh, b_sh):
-        xa = _reshard_positions(a_sh, a.shard, sl_a, tile, mesh)
-        xb = _reshard_positions(b_sh, b.shard, sl_b, tile, mesh)
+        xa = _reshard_positions(a_sh, at_rest_a, sl_a, tile, mesh)
+        xb = _reshard_positions(b_sh, at_rest_b, sl_b, tile, mesh)
         return exec_fn(xa, xb)
 
     fn.eff_flops = eff
@@ -368,17 +372,24 @@ def sharded_multiply(
     # content-keyed plan cache (the one-shot-multiply analog of the local
     # engine's, mm/engine.py; iterative sharded loops then pay zero host
     # planning per step without managing build_sharded_multiply handles)
+    import dataclasses
+
     from ..core.config import get_config
     from ..mm.plancache import dist_fingerprint, get_plan_cache
 
     pcache = get_plan_cache()
+    # the executor bakes config at build time (precision, kernel driver,
+    # bf16 inputs, panel knobs, algorithm, ...): key on the WHOLE config
+    # so config_override between calls re-plans instead of silently
+    # reusing a stale executor
+    cfg_fp = repr(sorted(dataclasses.asdict(get_config()).items()))
     key = pcache.key(
         a.index, transa.upper() != "N", b.index, transb.upper() != "N",
         extra=(
             "sharded_multiply", dist_fingerprint(a.dist),
             a.shard.token, b.shard.token, a.tile,
             np.dtype(a.dtype).name, np.dtype(b.dtype).name,
-            get_config().mm_dist_algo,
+            cfg_fp,
         ),
     )
     cached = pcache.get(key)

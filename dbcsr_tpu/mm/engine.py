@@ -179,10 +179,20 @@ def _maybe_panel_plan(cfg, tplan, a_index, b_index, n_a, n_b, driver, tuned):
     tuned preference — when its slab traffic undercuts the flat kernel's
     2-tiles/entry by ``panel_admit`` (banded/clustered patterns pass,
     uniform-random ones don't; see mm/panel.py)."""
-    if driver == "panel":
+    if driver == "panel" or (driver == "auto" and tuned == "panel"):
+        # explicit request, or the tuned table measured panel fastest for
+        # this class: no traffic test (hard VMEM/span limits still apply)
         admit = None
-    elif driver == "auto" and tuned in ("panel", None):
+    elif driver == "auto" and tuned is None:
         admit = cfg.panel_admit
+        # untuned auto mode: the O(S) panel planning is pure overhead on
+        # patterns with no block clustering (uniform-random can never
+        # admit) — gate on the cheap O(nblks) bandedness feature first
+        from ..autotune import workload_features
+
+        # feature index 3 = bandedness (~1 banded/clustered, ~0 uniform)
+        if workload_features(a_index, b_index)[3] < 0.05:
+            return None
     else:
         return None
     from .panel import plan_panel_stack
@@ -1112,6 +1122,17 @@ def build_multiply_executor(
                 a_coords, (mt, kt), b_coords, (kt, nt)
             )
             if rp is not None:
+                # cheap O(n_tiles) gate before the O(S) replan: if RCM
+                # could not concentrate the pattern near the diagonal
+                # (uniform-random stays uniform under any renumbering),
+                # the panel kernel cannot become admissible — skip
+                rc = rp.a_coords
+                spread = float(
+                    np.abs(rc[:, 0] - rc[:, 1]).mean()
+                ) / max(mt, kt, 1)
+                if 1.0 - 3.0 * spread < 0.05:
+                    rp = None
+            if rp is not None:
                 plan_r = plan_tile_stacks_stores(
                     rp.a_coords, (mt, kt), rp.b_coords, (kt, nt)
                 )
@@ -1131,7 +1152,9 @@ def build_multiply_executor(
                     n_c = plan.n_c_tiles
                     reorder_a = jnp.asarray(rp.a_gather)
                     reorder_b = jnp.asarray(rp.b_gather)
-        if pplan is None and drv == "panel":
+        if pplan is None and drv == "panel" and len(stack_np):
+            # empty product stacks fall through to the zero-result path
+            # below (dt.multiply semantics); only a real pattern rejects
             from ..core.errors import DbcsrError
 
             raise DbcsrError("pattern not panel-admissible (see mm/panel.py)")
@@ -1140,6 +1163,10 @@ def build_multiply_executor(
         )
 
     def fn(a_data, b_data):
+        if len(stack_np) == 0:  # empty product: all-zero C tiles
+            return jnp.zeros(
+                (len(amap), tile, tile), dtype=a_data.dtype
+            )
         a_st = op_store(a_data, a_perm, ca)
         b_st = op_store(b_data, b_perm, cb)
         if reorder_a is not None:

@@ -103,6 +103,10 @@ def plan_panel_stack(
     S = len(stack_np)
     if S == 0 or n_c_tiles == 0:
         return None
+    # small stores: a slab is chunk-padded, so the DMA chunk must fit the
+    # store (and, after ceil-rounding, the padded span must too) — shrink
+    # the chunk rather than reject (single-tile matrices stay admissible)
+    chunk = max(1, min(chunk, n_a_tiles, n_b_tiles))
     c_col = stack_np[:, 0].astype(np.int64)
     c_win = min(c_win, n_c_tiles)
     n_groups = -(-n_c_tiles // c_win)
@@ -145,21 +149,31 @@ def plan_panel_stack(
     a_min, a_hi = spans(a_col)
     b_min, b_hi = spans(b_col)
 
-    def pad_spans(mn, hi, cap, n_store):
+    def pad_spans(mn, hi, cap, n_store, ch):
         span = hi - mn
-        spn = -(-span // chunk) * chunk  # chunk-padded slab length
-        spn = np.maximum(spn, chunk)
+        spn = -(-span // ch) * ch  # chunk-padded slab length
+        spn = np.maximum(spn, ch)
         if spn.max(initial=0) > cap or n_store < int(spn.max(initial=0)):
             return None, None
         # shift starts down so the padded slab stays inside the store
         lo = np.maximum(0, np.minimum(mn, n_store - spn))
-        return lo.astype(np.int64), (spn // chunk).astype(np.int32)
+        return lo.astype(np.int64), (spn // ch).astype(np.int32)
 
-    a_lo, a_nch = pad_spans(a_min, a_hi, a_cap, n_a_tiles)
-    if a_lo is None:
-        return None
-    b_lo, b_nch = pad_spans(b_min, b_hi, b_cap, n_b_tiles)
-    if b_lo is None:
+    # ceil-rounding can push a padded span past a small store (e.g. span
+    # 13, chunk 4 -> 16 > 13 tiles): halve the chunk until the slabs fit;
+    # at chunk=1 the padded span equals the true span, so only genuinely
+    # cache-exceeding spans remain inadmissible
+    a_lo = b_lo = None
+    while chunk >= 1:
+        a_lo, a_nch = pad_spans(a_min, a_hi, a_cap, n_a_tiles, chunk)
+        if a_lo is not None:
+            b_lo, b_nch = pad_spans(b_min, b_hi, b_cap, n_b_tiles, chunk)
+        if a_lo is not None and b_lo is not None:
+            break
+        if chunk == 1:
+            return None
+        chunk //= 2
+    if a_lo is None or b_lo is None:
         return None
 
     loaded = int((a_nch.astype(np.int64) + b_nch).sum()) * chunk

@@ -114,26 +114,42 @@ def validate_kernels(*, tile: int = 128, n_tiles: int = 4, seed: int = 0,
         print(f"validate_kernels[band]: max err {err_b:.3e} "
               f"{'OK' if ok_b else 'FAILED'}")
 
-    # panel (supertile slab-DMA) kernel: banded stack, Pallas vs XLA twin
+    # panel (supertile slab-DMA) kernel: banded stack over a 32-tile
+    # store with per-group spans that keep the chunked (chunk=4) slab
+    # path live, Pallas vs XLA twin
     from .mm.panel import plan_panel_stack, tile_stack_matmul_panel
 
-    s, n_c = 24, 8
-    c_col = np.sort(rng.integers(0, n_c, s)).astype(np.int32)
-    c_col[:n_c] = np.arange(n_c, dtype=np.int32)  # every slot non-empty
+    n_pt, n_c, s = 32, 8, 48
+    ap = jnp.asarray(rng.standard_normal((n_pt, tile, tile)), jnp.float32)
+    bp = jnp.asarray(rng.standard_normal((n_pt, tile, tile)), jnp.float32)
+    c_col = np.sort(
+        np.concatenate(
+            [np.arange(n_c, dtype=np.int32),  # every slot non-empty
+             rng.integers(0, n_c, s - n_c).astype(np.int32)]
+        )
+    )
+    # each c slot draws its a/b tiles from a 4-tile window at 3*c: a
+    # c_win=4 group's span is <= 13, chunk-padded to 16 = the cache cap,
+    # inside the 32-tile store — the chunked slab path stays live
+    base = (3 * c_col).astype(np.int32)
     pstack = np.stack(
-        [c_col, rng.integers(0, n_band, s).astype(np.int32),
-         rng.integers(0, n_band, s).astype(np.int32)], axis=1
+        [c_col,
+         base + rng.integers(0, 4, s).astype(np.int32),
+         base + rng.integers(0, 4, s).astype(np.int32)], axis=1
     )
     pstack = pstack[np.argsort(pstack[:, 0], kind="stable")]
     pplan = plan_panel_stack(
-        pstack, n_c, n_band, n_band, c_win=4, a_cap=16, b_cap=16, chunk=4
+        pstack, n_c, n_pt, n_pt, c_win=4, a_cap=16, b_cap=16, chunk=4
     )
-    assert pplan is not None
+    ok_plan = pplan is not None and pplan.chunk == 4
+    if not ok_plan:
+        print(f"validate_kernels[panel]: plan FAILED ({pplan})")
+        return False
     got_p = tile_stack_matmul_panel(
-        ab, bb, pstack, n_c_tiles=n_c, plan=pplan, precision="highest"
+        ap, bp, pstack, n_c_tiles=n_c, plan=pplan, precision="highest"
     )
     ref_p = tile_stack_matmul_xla(
-        ab, bb, jnp.asarray(pstack), n_c_tiles=n_c, precision="highest"
+        ap, bp, jnp.asarray(pstack), n_c_tiles=n_c, precision="highest"
     )
     err_p = float(jnp.max(jnp.abs(got_p - ref_p)))
     scale_p = float(jnp.max(jnp.abs(ref_p))) or 1.0

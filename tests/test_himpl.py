@@ -261,7 +261,10 @@ def test_himpl_typed_contract_index():
         "d", 1.0, 0.0, a_cell, b_cell, 0.0, 0.0, c_cell,
         [1], [0], [0], [1], -1.0, _addr(short), 3,
     )
-    assert nblks2 == 4 and short[-1] != -7 or (short[-1] == -7) is False
+    assert nblks2 == 4  # full count even when the buffer truncates
+    # exactly result_index_size ints written: the first 3 of the
+    # row-major (row, col) coordinate stream (0,0), (0,1), ...
+    assert short.tolist() == [0, 0, 0]
 
 
 def test_himpl_typed_filter():
