@@ -66,9 +66,12 @@ DRIVER_GRIDS = {
         "stack_e_batch": [1, 4, 8],
     },
     "panel": {
-        "panel_c_win": [8, 16, 32],
-        "panel_cache": [48, 64],
-        "panel_chunk": [8],
+        # VMEM budget (~16MB/core): 2 double-buffered caches of
+        # panel_cache tiles (65KB each) + the 2 x c_win C window — cache
+        # 48 + c_win 16 is ~14.5MB; larger combos spill or fail compile
+        "panel_c_win": [8, 16],
+        "panel_cache": [32, 48],
+        "panel_chunk": [8, 16],
         "matmul_precision": ["default", "highest"],
     },
     "grouped": {
