@@ -270,6 +270,100 @@ def scenario_checkpoint(dt, pid, tmpdir):
     assert resid < 1e-6, resid
 
 
+def scenario_tensor(dt, pid, tmpdir):
+    """Distributed tensor contraction: contract -> TAS -> SUMMA over a
+    cross-process mesh (folded dims distributed)."""
+    from dbcsr_tpu.dist import ProcessGrid, tile_aligned_dist
+    from dbcsr_tpu.tensors import NDMapping, TensorBuilder, contract
+
+    rng = np.random.default_rng(8)
+    bs_i = np.asarray([3] * 16, np.int32)
+    bs_j = np.asarray([3] * 4, np.int32)
+    bs_k = np.asarray([3] * 12, np.int32)
+    bs_l = np.asarray([3] * 10, np.int32)
+    tb = TensorBuilder(
+        [bs_i, bs_j, bs_k], NDMapping(3, (0, 1), (2,)), dtype=np.float64
+    )
+    for bi in np.ndindex(16, 4, 12):
+        if rng.random() < 0.25:
+            tb.put_block(bi, rng.standard_normal((3, 3, 3)))
+    mb = TensorBuilder([bs_k, bs_l], dtype=np.float64)
+    for bi in np.ndindex(12, 10):
+        if rng.random() < 0.5:
+            mb.put_block(bi, rng.standard_normal((3, 3)))
+    t, m = tb.finalize(), mb.finalize()
+    grid = ProcessGrid.make(2, 2, devices=_balanced_devices(4))
+    dist = tile_aligned_dist(
+        grid, t.matrix.index.row_block_sizes, bs_l, TILE
+    )
+    out = contract(
+        1.0, t, m,
+        contract_1=(2,), notcontract_1=(0, 1),
+        contract_2=(0,), notcontract_2=(1,),
+        dist=dist, nsplit=1,
+    )
+    # cross-process result data: reshard to a host-replicated copy first
+    from dbcsr_tpu.tensors.tensor import Tensor
+
+    host_m = dt.BCSRMatrix(
+        name="o", index=out.matrix.index, data=_host_view(out.matrix.data)
+    )
+    got = Tensor(
+        name="o", block_sizes=out.block_sizes, mapping=out.mapping,
+        matrix=host_m,
+    ).to_dense()
+    ref = np.einsum("ijk,kl->ijl", t.to_dense(), m.to_dense())
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-10)
+
+
+def scenario_complex(dt, pid, tmpdir):
+    """Split-complex EMULATED sharded ops across processes (re/im stores,
+    4-real-product multiply)."""
+    from dbcsr_tpu.core import machine
+    from dbcsr_tpu.dist import ProcessGrid, tile_aligned_dist
+    from dbcsr_tpu.dist.sharded_ops import (
+        shard_matrix,
+        sharded_frobenius,
+        sharded_multiply,
+    )
+
+    old = dict(machine._COMPLEX_OK)
+    machine._COMPLEX_OK.clear()
+    machine._COMPLEX_OK.update({"cpu": False})  # force the emulated path
+    try:
+        rng = np.random.default_rng(9)
+        rbs = dt.random_block_sizes(36, [3], rng)
+        a = dt.random_matrix(rbs, rbs, 0.5, rng, dtype=np.complex128)
+        b = dt.random_matrix(rbs, rbs, 0.5, rng, dtype=np.complex128)
+        grid = ProcessGrid.make(2, 2, devices=_balanced_devices(4))
+        dist = tile_aligned_dist(grid, rbs, rbs, TILE)
+        sa, sb = shard_matrix(a, dist), shard_matrix(b, dist)
+        assert sa.is_complex_emulated
+        sc = sharded_multiply("C", "N", 1.0 + 0.5j, sa, sb)
+        ref = (1.0 + 0.5j) * (
+            np.asarray(a.to_dense()).conj().T @ np.asarray(b.to_dense())
+        )
+        def unshard_host(x, sl, t):
+            flat = _host_view(x).reshape(sl.ndev * sl.n_max, t, t)
+            return flat[sl.pos_of_slot]
+
+        got = np.asarray(
+            dt.BCSRMatrix(
+                name="c", index=sc.index,
+                data=unshard_host(sc.data, sc.shard, TILE),
+                data_im=unshard_host(sc.data_im, sc.shard, TILE),
+                cdtype=sc.cdtype,
+            ).to_dense()
+        )
+        err = np.abs(got - ref).max()
+        assert err < 1e-10 * max(1.0, float(np.abs(ref).max())), err
+        fro = float(sharded_frobenius(sa))
+        assert abs(fro - float(np.linalg.norm(np.asarray(a.to_dense())))) < 1e-6 * max(1.0, fro)
+    finally:
+        machine._COMPLEX_OK.clear()
+        machine._COMPLEX_OK.update(old)
+
+
 SCENARIOS = {
     "cannon": scenario_cannon,
     "summa": scenario_summa,
@@ -279,6 +373,8 @@ SCENARIOS = {
     "sharded": scenario_sharded,
     "sharded_elementwise": scenario_sharded_elementwise,
     "checkpoint": scenario_checkpoint,
+    "tensor": scenario_tensor,
+    "complex": scenario_complex,
 }
 
 

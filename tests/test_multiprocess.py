@@ -63,6 +63,7 @@ def _run_battery(tmp_path, names):
                      id="mesh-multiply"),
         pytest.param(("tas", "sharded", "sharded_elementwise",
                       "checkpoint"), id="storage-tas"),
+        pytest.param(("tensor", "complex"), id="tensor-complex"),
     ],
 )
 def test_two_process_battery(tmp_path, names):
