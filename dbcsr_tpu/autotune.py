@@ -67,11 +67,13 @@ DRIVER_GRIDS = {
     },
     "panel": {
         # VMEM budget (~16MB/core): 2 double-buffered caches of
-        # panel_cache tiles (65KB each) + the 2 x c_win C window — cache
-        # 48 + c_win 16 is ~14.5MB; larger combos spill or fail compile
+        # panel_cache tiles (65KB each f32, 32KB bf16) + the 2 x c_win C
+        # window — f32 cache 48 + c_win 16 is ~14.5MB; cache 64+ fits
+        # only with bf16 slabs (see _combo_ok)
         "panel_c_win": [8, 16],
-        "panel_cache": [32, 48],
+        "panel_cache": [32, 48, 64],
         "panel_chunk": [8, 16],
+        "panel_bf16_inputs": [False, True],
         "matmul_precision": ["default", "highest"],
     },
     "grouped": {
@@ -82,6 +84,22 @@ DRIVER_GRIDS = {
         "matmul_precision": ["default", "highest"],
     },
 }
+
+
+def _combo_ok(combo: dict) -> bool:
+    """Prune sweep points that are invalid or provably redundant: bf16
+    kernel inputs only take effect at matmul_precision='default' (at
+    'highest' the knob is a no-op — measuring it twice wastes chip time),
+    and f32 slab caches above 48 tiles exceed the ~16MB VMEM budget
+    (2 double-buffered operand caches + the C window)."""
+    prec = combo.get("matmul_precision", "default")
+    for knob in ("panel_bf16_inputs", "stack_bf16_inputs"):
+        if combo.get(knob) and prec != "default":
+            return False
+    cache = combo.get("panel_cache")
+    if cache is not None and cache > 48 and not combo.get("panel_bf16_inputs"):
+        return False
+    return True
 
 
 def _mk_workload(block_sizes, occupancy):
@@ -345,7 +363,9 @@ def sweep(
                 continue
             names = list(g)
             for c in itertools.product(*(g[n] for n in names)):
-                combos.append({"mm_driver": drv, **dict(zip(names, c))})
+                combo = {"mm_driver": drv, **dict(zip(names, c))}
+                if _combo_ok(combo):
+                    combos.append(combo)
     device_kind = jax.devices()[0].device_kind
     results: Dict[str, dict] = {}
     for wname in workloads or list(WORKLOADS):

@@ -50,6 +50,14 @@ class Config:
     panel_cache: int = 48
     panel_chunk: int = 8
     panel_admit: float = 0.85
+    #: feed bf16 slabs to the panel kernel when matmul_precision is
+    #: "default" (same rounding-identical argument as
+    #: ``stack_bf16_inputs``): halves slab DMA traffic AND halves the
+    #: VMEM the caches occupy, at one conversion pass per operand. Off by
+    #: default pending the on-chip sweep (pre-gstart the kernel was
+    #: control-bound and bf16 measured slower; post-gstart it is closer
+    #: to the bandwidth roofline where bf16 should pay).
+    panel_bf16_inputs: bool = False
     #: locality tile-reordering pre-pass (mm/reorder.py): "auto" tries an
     #: RCM tile renumbering when the panel kernel is otherwise
     #: inadmissible (plan-once executor only); "off" disables it

@@ -134,6 +134,20 @@ def _maybe_bf16(a_st, b_st, prec: str, cfg):
     return a_st, b_st, None
 
 
+def _maybe_panel_bf16(a_st, b_st, prec: str, cfg):
+    """bf16 slab inputs for the panel kernel — same rounding-identical
+    argument as ``_maybe_bf16`` but gated on its own knob
+    (``panel_bf16_inputs``): the panel kernel's traffic/issue balance
+    differs from the flat kernel's, so the tradeoff is tuned separately."""
+    if (
+        cfg.panel_bf16_inputs
+        and prec == "default"
+        and a_st.dtype == jnp.float32
+    ):
+        return a_st.astype(jnp.bfloat16), b_st.astype(jnp.bfloat16), jnp.float32
+    return a_st, b_st, None
+
+
 def _tuned_driver(cfg, a_index, b_index):
     """Tuned per-class driver preference (only when the user left
     mm_driver at its default): the reference's parameter tables likewise
@@ -558,14 +572,15 @@ def _execute_local(
                     a_st.shape[0], b_st.shape[0], driver, tuned,
                 )
                 if pplan is not None:
-                    # panel keeps f32 inputs: it is control-bound, not
-                    # bandwidth-bound (bf16 inputs measured SLOWER on v5e)
                     from .panel import tile_stack_matmul_panel
 
+                    a_in, b_in, out_dt = _maybe_panel_bf16(
+                        a_st, b_st, prec, cfg
+                    )
                     prod_tiles = tile_stack_matmul_panel(
-                        a_st, b_st, tplan.stack,
+                        a_in, b_in, tplan.stack,
                         n_c_tiles=tplan.n_c_tiles, plan=pplan,
-                        precision=prec,
+                        precision=prec, out_dtype=out_dt,
                     )
                 elif driver == "panel":
                     from ..core.errors import DbcsrError
@@ -1175,9 +1190,10 @@ def build_multiply_executor(
         if pplan is not None:
             from .panel import tile_stack_matmul_panel
 
+            a_in, b_in, out_dt = _maybe_panel_bf16(a_st, b_st, prec, cfg)
             prod = tile_stack_matmul_panel(
-                a_st, b_st, stack_np, n_c_tiles=n_c, plan=pplan,
-                precision=prec,
+                a_in, b_in, stack_np, n_c_tiles=n_c, plan=pplan,
+                precision=prec, out_dtype=out_dt,
             )
         elif use_grouped:
             from .kernels import tile_stack_matmul_grouped

@@ -163,3 +163,44 @@ def test_engine_panel_driver_cpu_fallback(rng):
 
     c2 = BCSRMatrix(name="C", index=c_index, data=out)
     np.testing.assert_allclose(np.asarray(c2.to_dense()), ref, atol=1e-4)
+
+
+def test_engine_panel_bf16_knob_gating():
+    """panel_bf16_inputs converts slabs only at default precision on f32."""
+    import jax.numpy as jnp
+
+    from dbcsr_tpu.core.config import config_override, get_config
+    from dbcsr_tpu.mm.engine import _maybe_panel_bf16
+
+    a = jnp.ones((3, 8, 8), jnp.float32)
+    b = jnp.ones((3, 8, 8), jnp.float32)
+    with config_override(panel_bf16_inputs=True):
+        cfg = get_config()
+        ai, bi, out_dt = _maybe_panel_bf16(a, b, "default", cfg)
+        assert ai.dtype == jnp.bfloat16 and bi.dtype == jnp.bfloat16
+        assert out_dt == jnp.float32
+        ai, bi, out_dt = _maybe_panel_bf16(a, b, "highest", cfg)
+        assert ai.dtype == jnp.float32 and out_dt is None
+    with config_override(panel_bf16_inputs=False):
+        ai, bi, out_dt = _maybe_panel_bf16(a, b, "default", get_config())
+        assert ai.dtype == jnp.float32 and out_dt is None
+
+
+def test_autotune_combo_pruning():
+    """The sweep grid prunes bf16-at-highest (no-op) and f32 caches past
+    the VMEM budget."""
+    from dbcsr_tpu.autotune import _combo_ok
+
+    assert _combo_ok({"mm_driver": "panel", "panel_cache": 64,
+                      "panel_bf16_inputs": True,
+                      "matmul_precision": "default"})
+    assert not _combo_ok({"mm_driver": "panel", "panel_cache": 64,
+                          "panel_bf16_inputs": False,
+                          "matmul_precision": "default"})
+    assert not _combo_ok({"mm_driver": "panel", "panel_cache": 32,
+                          "panel_bf16_inputs": True,
+                          "matmul_precision": "highest"})
+    assert not _combo_ok({"mm_driver": "stack", "stack_bf16_inputs": True,
+                          "matmul_precision": "highest"})
+    assert _combo_ok({"mm_driver": "stack", "stack_bf16_inputs": True,
+                      "matmul_precision": "default"})
