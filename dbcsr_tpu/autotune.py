@@ -73,6 +73,7 @@ DRIVER_GRIDS = {
         "panel_c_win": [8, 16],
         "panel_cache": [32, 48, 64],
         "panel_chunk": [8, 16],
+        "panel_unroll": [1, 4],
         "panel_bf16_inputs": [False, True],
         "matmul_precision": ["default", "highest"],
     },

@@ -50,6 +50,9 @@ class Config:
     panel_cache: int = 48
     panel_chunk: int = 8
     panel_admit: float = 0.85
+    #: unroll factor of the panel kernel's per-entry dot loop (the loop is
+    #: MXU-issue bound; unrolling lets Mosaic pipeline consecutive dots)
+    panel_unroll: int = 1
     #: feed bf16 slabs to the panel kernel when matmul_precision is
     #: "default" (same rounding-identical argument as
     #: ``stack_bf16_inputs``): halves slab DMA traffic AND halves the

@@ -165,10 +165,12 @@ def _tuned_driver(cfg, a_index, b_index):
 def _panel_knobs(cfg, a_index, b_index):
     """Panel-kernel launch parameters: user/env-set config wins; defaults
     defer to the tuned per-class table (like ``_stack_knobs``)."""
-    c_win, cache, chunk = cfg.panel_c_win, cfg.panel_cache, cfg.panel_chunk
+    c_win, cache, chunk, unroll = (
+        cfg.panel_c_win, cfg.panel_cache, cfg.panel_chunk, cfg.panel_unroll
+    )
     provs = tuple(
         cfg.provenance(n)
-        for n in ("panel_c_win", "panel_cache", "panel_chunk")
+        for n in ("panel_c_win", "panel_cache", "panel_chunk", "panel_unroll")
     )
     if "D" in provs:
         from ..autotune import tuned_stack_params
@@ -181,7 +183,9 @@ def _panel_knobs(cfg, a_index, b_index):
                 cache = int(best.get("panel_cache", cache))
             if provs[2] == "D":
                 chunk = int(best.get("panel_chunk", chunk))
-    return c_win, cache, chunk
+            if provs[3] == "D":
+                unroll = int(best.get("panel_unroll", unroll))
+    return c_win, cache, chunk, unroll
 
 
 def _maybe_panel_plan(cfg, tplan, a_index, b_index, n_a, n_b, driver, tuned):
@@ -211,11 +215,11 @@ def _maybe_panel_plan(cfg, tplan, a_index, b_index, n_a, n_b, driver, tuned):
         return None
     from .panel import plan_panel_stack
 
-    c_win, cache, chunk = _panel_knobs(cfg, a_index, b_index)
+    c_win, cache, chunk, unroll = _panel_knobs(cfg, a_index, b_index)
     return plan_panel_stack(
         tplan.stack, tplan.n_c_tiles, n_a, n_b,
         c_win=c_win, a_cap=cache, b_cap=cache, chunk=chunk,
-        admit_ratio=admit,
+        admit_ratio=admit, unroll=unroll,
     )
 
 

@@ -77,6 +77,7 @@ class PanelPlan:
     chunk: int
     n_c_tiles: int
     loaded_tiles: int       # slab traffic in tiles (for admission/stats)
+    unroll: int = 1         # entry-loop unroll factor (launch knob)
 
     @property
     def traffic_ratio(self) -> float:
@@ -96,6 +97,7 @@ def plan_panel_stack(
     b_cap: int = 64,
     chunk: int = 8,
     admit_ratio: Optional[float] = None,
+    unroll: int = 1,
 ) -> Optional[PanelPlan]:
     """Group the stack into ``c_win``-slot panels; None if inadmissible
     (a group's A/B span exceeds the cache, the store is too small for the
@@ -205,6 +207,7 @@ def plan_panel_stack(
         chunk=chunk,
         n_c_tiles=n_c_tiles,
         loaded_tiles=loaded,
+        unroll=unroll,
     )
 
 
@@ -217,7 +220,7 @@ def _panel_kernel(
     out_hbm,
     # scratch
     a_cache, b_cache, c_buf, a_sems, b_sems, c_sems,
-    *, c_win: int, chunk: int, n_groups: int, precision,
+    *, c_win: int, chunk: int, n_groups: int, precision, unroll: int,
 ):
     # all scalar index math pinned i32 (x64 mixed-width traps, see
     # kernels.py `zero` note)
@@ -298,7 +301,7 @@ def _panel_kernel(
         e0 = ob_ref[g * cwin_c + l].astype(i32)
         e1 = ob_ref[g * cwin_c + l + one].astype(i32)
 
-        def e_body(e, acc):
+        def dot_at(e, acc):
             packed = ent_ref[e.astype(i32)].astype(i32)
             sa = jax.lax.shift_right_logical(packed, np.int32(16))
             sb = jnp.bitwise_and(packed, bmask)
@@ -309,9 +312,26 @@ def _panel_kernel(
                 precision=precision,
             )
 
-        acc = jax.lax.fori_loop(
-            e0, e1, e_body, jnp.zeros((tile, tile), jnp.float32)
-        )
+        zero_acc = jnp.zeros((tile, tile), jnp.float32)
+        if unroll <= 1:
+            acc = jax.lax.fori_loop(e0, e1, dot_at, zero_acc)
+        else:
+            # bounds are dynamic per slot, so lax's own `unroll` is
+            # unavailable: strip-mine by hand — a chunked loop whose body
+            # issues `unroll` consecutive dots (letting Mosaic pipeline
+            # the MXU: the per-entry loop is issue-bound), then a
+            # remainder loop
+            u = np.int32(unroll)
+
+            def chunk_body(t, acc):
+                base = e0 + t.astype(i32) * u
+                for uu in range(unroll):
+                    acc = dot_at(base + np.int32(uu), acc)
+                return acc
+
+            n_full = jax.lax.div(e1 - e0, u)
+            acc = jax.lax.fori_loop(0, n_full, chunk_body, zero_acc)
+            acc = jax.lax.fori_loop(e0 + n_full * u, e1, dot_at, acc)
         c_buf[buf, pl.ds(l, 1)] = acc.astype(c_buf.dtype)[None]
         return 0
 
@@ -335,13 +355,14 @@ def _panel_kernel(
     static_argnames=(
         "n_groups", "c_win", "a_cap", "b_cap", "chunk", "tile",
         "n_c_tiles", "interpret", "precision", "out_dtype", "loaded_tiles",
+        "unroll",
     ),
 )
 def _panel_launch(
     a_tiles, b_tiles, gstart, a_lo, a_nch, b_lo, b_nch, obounds, entries, *,
     n_groups: int, c_win: int, a_cap: int, b_cap: int, chunk: int,
     tile: int, n_c_tiles: int, interpret: bool, precision: str, out_dtype,
-    loaded_tiles: int,
+    loaded_tiles: int, unroll: int = 1,
 ):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
@@ -368,6 +389,7 @@ def _panel_launch(
             chunk=chunk,
             n_groups=n_groups,
             precision=_PRECISIONS[precision],
+            unroll=unroll,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_c_tiles, tile, tile), out_dtype),
@@ -400,6 +422,7 @@ def tile_stack_matmul_panel(
     interpret: bool = False,
     precision: str = "highest",
     out_dtype=None,
+    unroll: int = 1,
 ) -> jax.Array:
     """Panel-kernel stack processor. Raises ValueError if the pattern is
     inadmissible (callers that want a fallback should plan first with
@@ -412,6 +435,7 @@ def tile_stack_matmul_panel(
         plan = plan_panel_stack(
             stack_np, n_c_tiles, a_tiles.shape[0], b_tiles.shape[0],
             c_win=c_win, a_cap=a_cap, b_cap=b_cap, chunk=chunk,
+            unroll=unroll,
         )
     if plan is None:
         raise ValueError("pattern not panel-admissible")
@@ -424,5 +448,5 @@ def tile_stack_matmul_panel(
         b_cap=plan.b_cap, chunk=plan.chunk, tile=tile,
         n_c_tiles=plan.n_c_tiles, interpret=interpret,
         precision=precision, out_dtype=out_dtype,
-        loaded_tiles=plan.loaded_tiles,
+        loaded_tiles=plan.loaded_tiles, unroll=plan.unroll,
     )

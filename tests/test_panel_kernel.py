@@ -204,3 +204,19 @@ def test_autotune_combo_pruning():
                           "matmul_precision": "highest"})
     assert _combo_ok({"mm_driver": "stack", "stack_bf16_inputs": True,
                       "matmul_precision": "default"})
+
+
+@pytest.mark.skipif(not _HAVE_PALLAS, reason="pallas unavailable")
+def test_interpret_panel_unroll(rng):
+    """unroll>1 is numerically identical (same dots, pipelined issue)."""
+    a, b, stack, n = _banded_case(rng)
+    ref = tile_stack_matmul_xla(a, b, jnp.asarray(stack), n_c_tiles=n,
+                                precision="highest")
+    for unroll in (2, 4):
+        out = tile_stack_matmul_panel(
+            a, b, stack, n_c_tiles=n, interpret=True,
+            precision="highest", c_win=8, a_cap=32, b_cap=32, chunk=4,
+            unroll=unroll,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)
