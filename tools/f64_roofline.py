@@ -1,93 +1,117 @@
-"""f64 roofline measurement (round-3 VERDICT item 6).
+#!/usr/bin/env python
+"""Measure the f64 roofline on this chip (VERDICT r2 item 6).
 
-fp64 is the reference GPU backend's primary data type
-(``/root/reference/src/acc/libsmm_acc/libsmm_acc.cpp:92-150``); TPUs have
-no f64 MXU mode, so any f64 path here rides XLA's software emulation.
-This tool measures, on the real chip:
+TPU has no native f64 MXU path; XLA emulates f64 dots (multi-pass
+split-precision). This tool pins down, with the marginal-time
+methodology:
 
-  1. dense f64 matmul rate at several sizes — the HARDWARE ceiling for
-     any f64 tile path (XLA's double-double emulation of the dot);
-  2. dense f32 matmul rate at precision="highest" (6-pass bf16) — the
-     ceiling for a hypothetical f32x2 split-precision path, whose THREE
-     HIGHEST products per f64 product put its best case at 1/3 of this;
-  3. the f64 tile-stack executor (the engine's XLA fallback) on the
-     H2O-like 23-block class — the number docs/performance.md reports;
-  4. the same workload with f32 storage at highest precision, the
-     accuracy-trading alternative a user can select today.
+  1. dense f64 matmul hardware rate vs f32 (default/highest) — the
+     emulation's achievable ceiling on this chip;
+  2. the engine's f64 paths against that ceiling: dense-path multiply
+     (H2O-like tile-dense) and the stack-XLA fallback (banded sparse);
+  3. the df32 (double-float) alternative's bound: 3 f32 products at
+     HIGHEST precision (error-compensated accumulation NOT included —
+     this is an upper bound on any hi/lo Pallas scheme).
 
-Prints one JSON dict; paste the numbers into ARCHITECTURE.md "f64 on
-TPU". Usage: python tools/f64_roofline.py [reps]
+Prints JSON lines; the ARCHITECTURE "f64 on TPU" entry records the
+results. Reference analog: fp64 is the reference GPU backend's primary
+type (/root/reference/src/acc/libsmm_acc/libsmm_acc.cpp:92-150).
 """
 import json
-import os
-import sys
-import time
-
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import numpy as np
 
 
-def median_time(fn, reps=5):
-    fn()  # warm/compile
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        fn()
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
-
-
-def run(reps: int = 5) -> dict:
+def main():
     import jax
     import jax.numpy as jnp
 
     import dbcsr_tpu as dt
-
-    dt.init_lib(enable_x64=True)
-    out = {"platform": jax.devices()[0].platform}
-
-    # 1 + 2: dense matmul ceilings
-    for n in (1024, 2048):
-        for dtype, prec, key in (
-            (jnp.float64, "highest", f"dense_f64_{n}"),
-            (jnp.float32, "highest", f"dense_f32_highest_{n}"),
-            (jnp.float32, "default", f"dense_f32_default_{n}"),
-        ):
-            x = jnp.asarray(np.random.default_rng(0).standard_normal((n, n)), dtype)
-            f = jax.jit(
-                lambda a: jnp.matmul(
-                    a, a, precision=jax.lax.Precision.HIGHEST
-                    if prec == "highest" else jax.lax.Precision.DEFAULT,
-                ).ravel()[0]
-            )
-            t = median_time(lambda: jax.block_until_ready(f(x)), reps)
-            out[key] = round(2 * n**3 / t / 1e12, 2)  # TFLOP/s
-
-    # 3 + 4: the stack executor on an H2O-like 23-block 20%-occupancy class
+    from dbcsr_tpu.autotune import steady_state_time
+    from dbcsr_tpu.core.config import config_override
     from dbcsr_tpu.mm.engine import build_multiply_executor
 
-    rng = np.random.default_rng(1)
-    rbs = np.full(96, 23, dtype=np.int32)  # 2208 elements
-    for dtype, key in (
-        (np.float64, "stack_f64_h2o_tflops"),
-        (np.float32, "stack_f32_highest_h2o_tflops"),
-    ):
-        a = dt.random_matrix(rbs, rbs, 0.2, rng, dtype=dtype, name="A")
-        b = dt.random_matrix(rbs, rbs, 0.2, rng, dtype=dtype, name="B")
-        from dbcsr_tpu.core.config import config_override
+    dt.init_lib()  # x64 on
 
-        with config_override(matmul_precision="highest"):
-            fn, c_index, eff = build_multiply_executor("N", "N", a, b)
-            t = median_time(
-                lambda: jax.block_until_ready(fn(a.data, b.data)), reps
-            )
-        out[key] = round(eff / t / 1e12, 3)
-        out[key.replace("_tflops", "_ms")] = round(t * 1e3, 3)
+    n = 2304  # 18 tiles of 128 (H2O padded dims)
+    key = jax.random.PRNGKey(0)
+    flops = 2.0 * n**3
 
-    print(json.dumps(out))
-    return out
+    def rate(dtype, precision):
+        x = jax.random.normal(key, (n, n), jnp.float32).astype(dtype)
+
+        def fn(a):
+            return jnp.matmul(a, a, precision=precision)
+
+        per = steady_state_time(fn, (x,))
+        return flops / per / 1e12
+
+    for dtype, prec, label in [
+        (jnp.float64, "highest", "dense_f64"),
+        (jnp.float32, "highest", "dense_f32_highest"),
+        (jnp.float32, "default", "dense_f32_default"),
+        (jnp.bfloat16, "default", "dense_bf16"),
+    ]:
+        try:
+            r = rate(dtype, prec)
+            print(json.dumps({"kernel": label, "tflops_hw": round(r, 2)}),
+                  flush=True)
+        except Exception as e:
+            print(json.dumps({"kernel": label,
+                              "error": f"{type(e).__name__}: {e}"[:160]}),
+                  flush=True)
+
+    # df32 bound: hi/lo split, 3 products at f32-HIGHEST (no compensation)
+    x = jax.random.normal(key, (n, n), jnp.float32)
+
+    def df32(hi, lo):
+        p = "highest"
+        return (
+            jnp.matmul(hi, hi, precision=p)
+            + jnp.matmul(hi, lo, precision=p)
+            + jnp.matmul(lo, hi, precision=p)
+        )
+
+    per = steady_state_time(df32, (x, x * 1e-8))
+    print(json.dumps({"kernel": "df32_3prod_bound",
+                      "tflops_hw": round(flops / per / 1e12, 2)}), flush=True)
+
+    # engine f64 paths: tile-dense (H2O-like) and banded sparse (stack-XLA)
+    rng = np.random.default_rng(0)
+    rbs = np.full(96, 23, dtype=np.int32)  # 2208 elements, tile-dense
+    a = dt.random_matrix(rbs, rbs, 0.8, rng, dtype=np.float64, name="A")
+    b = dt.random_matrix(rbs, rbs, 0.8, rng, dtype=np.float64, name="B")
+    with config_override(matmul_precision="highest"):
+        fn, _, eff = build_multiply_executor("N", "N", a, b)
+        per = steady_state_time(fn, (a.data, b.data))
+    print(json.dumps({"kernel": "engine_dense_f64_eff",
+                      "tflops": round(eff / per / 1e12, 2)}), flush=True)
+
+    from dbcsr_tpu.block.bcsr import BCSRMatrix
+    from dbcsr_tpu.block.index import build_index
+    from dbcsr_tpu.block.store import store_layout
+    from dbcsr_tpu.block.tileops import valid_mask
+
+    rbs = dt.random_block_sizes(40000, [5, 13, 23], rng)
+    nb = len(rbs)
+    i = np.repeat(np.arange(nb, dtype=np.int64), 25)
+    j = i + np.tile(np.arange(-12, 13, dtype=np.int64), nb)
+    keep = (j >= 0) & (j < nb) & (rng.random(len(j)) < 0.5)
+    idx, _ = build_index(i[keep], j[keep], rbs, rbs)
+    lay = store_layout(idx, 128)
+    data = (
+        jax.random.normal(jax.random.PRNGKey(0), (lay.n_tiles, 128, 128),
+                          jnp.float32) * valid_mask(idx, 128)
+    ).astype(jnp.float64)
+    a = BCSRMatrix(name="A", index=idx, data=data)
+    b = BCSRMatrix(name="B", index=idx, data=data * 0.5)
+    with config_override(matmul_precision="highest"):
+        fn, _, eff = build_multiply_executor("N", "N", a, b)
+        per = steady_state_time(fn, (a.data, b.data))
+    print(json.dumps({"kernel": "engine_banded_f64_eff",
+                      "gflops": round(eff / per / 1e9, 1),
+                      "ms": round(per * 1e3, 3)}), flush=True)
 
 
 if __name__ == "__main__":
-    run(*[int(a) for a in sys.argv[1:]])
+    main()
