@@ -87,18 +87,29 @@ DRIVER_GRIDS = {
 }
 
 
+#: largest f32 panel slab cache inside the ~16MB/core VMEM budget (2
+#: double-buffered operand caches + the C window); bf16 slabs halve the
+#: tile footprint, so larger caches are only valid with
+#: ``panel_bf16_inputs`` — both the sweep pruning and the engine's
+#: tuned-knob application (``engine._panel_knobs``) enforce this
+PANEL_F32_CACHE_MAX = 48
+
+
 def _combo_ok(combo: dict) -> bool:
     """Prune sweep points that are invalid or provably redundant: bf16
     kernel inputs only take effect at matmul_precision='default' (at
     'highest' the knob is a no-op — measuring it twice wastes chip time),
-    and f32 slab caches above 48 tiles exceed the ~16MB VMEM budget
-    (2 double-buffered operand caches + the C window)."""
+    and f32 slab caches above PANEL_F32_CACHE_MAX exceed the VMEM budget."""
     prec = combo.get("matmul_precision", "default")
     for knob in ("panel_bf16_inputs", "stack_bf16_inputs"):
         if combo.get(knob) and prec != "default":
             return False
     cache = combo.get("panel_cache")
-    if cache is not None and cache > 48 and not combo.get("panel_bf16_inputs"):
+    if (
+        cache is not None
+        and cache > PANEL_F32_CACHE_MAX
+        and not combo.get("panel_bf16_inputs")
+    ):
         return False
     return True
 
@@ -196,6 +207,28 @@ _FEATURES = (
 )
 
 
+#: bandedness below this can never make the panel kernel admissible —
+#: shared by every panel-admission gate (see _maybe_panel_plan and the
+#: engine's post-RCM gate) so the threshold is tuned in one place
+BANDED_GATE = 0.05
+
+
+def coords_bandedness(rows, cols, n: int) -> float:
+    """``1 - 3 * normalized mean |i - j|`` of a coordinate pattern:
+    ~1 for banded/clustered, ~0 for uniform-random (whose spread is
+    ~n/3). The single definition behind the ``bandedness`` feature and
+    the engine's panel-admission gates."""
+    if len(rows) == 0:
+        return 0.0
+    spread = float(
+        np.abs(
+            np.asarray(rows, dtype=np.float64)
+            - np.asarray(cols, dtype=np.float64)
+        ).mean()
+    ) / max(n, 1)
+    return max(0.0, 1.0 - 3.0 * spread)
+
+
 def index_features(index) -> np.ndarray:
     """Feature vector of one matrix index (pure metadata, O(nblks))."""
     sizes = np.concatenate(
@@ -204,13 +237,10 @@ def index_features(index) -> np.ndarray:
     mean_bs = max(float(sizes.mean()), 1.0)
     cv = float(sizes.std() / mean_bs)
     occ = index.nblks / max(index.nblkrows * index.nblkcols, 1)
-    rows = index.blk_rows.astype(np.float64)
-    cols = index.col_idx.astype(np.float64)
-    n = max(index.nblkrows, index.nblkcols, 1)
-    spread = float(np.abs(rows - cols).mean()) / n if index.nblks else 0.0
-    # random uniform patterns have spread ~ n/3 -> bandedness ~ 0;
-    # perfectly banded patterns have spread ~ 0 -> bandedness ~ 1
-    bandedness = max(0.0, 1.0 - 3.0 * spread)
+    bandedness = coords_bandedness(
+        index.blk_rows, index.col_idx,
+        max(index.nblkrows, index.nblkcols, 1),
+    )
     return np.array(
         [
             np.log2(mean_bs),

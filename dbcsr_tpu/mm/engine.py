@@ -185,10 +185,20 @@ def _panel_knobs(cfg, a_index, b_index):
                 chunk = int(best.get("panel_chunk", chunk))
             if provs[3] == "D":
                 unroll = int(best.get("panel_unroll", unroll))
+    if not cfg.panel_bf16_inputs:
+        # a tuned cache above the f32 VMEM budget was only swept (and only
+        # fits) with bf16 slabs; bf16 is an accuracy knob that is never
+        # auto-applied, so clamp instead of compiling past the budget
+        from ..autotune import PANEL_F32_CACHE_MAX
+
+        cache = min(cache, PANEL_F32_CACHE_MAX)
     return c_win, cache, chunk, unroll
 
 
-def _maybe_panel_plan(cfg, tplan, a_index, b_index, n_a, n_b, driver, tuned):
+def _maybe_panel_plan(
+    cfg, tplan, a_index, b_index, n_a, n_b, driver, tuned,
+    banded_hint: Optional[float] = None,
+):
     """PanelPlan when the panel kernel should execute this stack, else None.
 
     Explicit ``mm_driver="panel"`` bypasses the traffic-admission test
@@ -196,7 +206,10 @@ def _maybe_panel_plan(cfg, tplan, a_index, b_index, n_a, n_b, driver, tuned):
     when the tuned table prefers it for this workload class, or — with no
     tuned preference — when its slab traffic undercuts the flat kernel's
     2-tiles/entry by ``panel_admit`` (banded/clustered patterns pass,
-    uniform-random ones don't; see mm/panel.py)."""
+    uniform-random ones don't; see mm/panel.py). ``banded_hint``
+    overrides the block-index bandedness gate — the RCM-reorder replan
+    passes the bandedness of the REORDERED tile coords, since the user's
+    block numbering no longer reflects the pattern the kernel will see."""
     if driver == "panel" or (driver == "auto" and tuned == "panel"):
         # explicit request, or the tuned table measured panel fastest for
         # this class: no traffic test (hard VMEM/span limits still apply)
@@ -206,10 +219,15 @@ def _maybe_panel_plan(cfg, tplan, a_index, b_index, n_a, n_b, driver, tuned):
         # untuned auto mode: the O(S) panel planning is pure overhead on
         # patterns with no block clustering (uniform-random can never
         # admit) — gate on the cheap O(nblks) bandedness feature first
-        from ..autotune import workload_features
+        from ..autotune import BANDED_GATE, workload_features
 
-        # feature index 3 = bandedness (~1 banded/clustered, ~0 uniform)
-        if workload_features(a_index, b_index)[3] < 0.05:
+        banded = (
+            banded_hint
+            if banded_hint is not None
+            # feature index 3 = bandedness (~1 banded, ~0 uniform)
+            else workload_features(a_index, b_index)[3]
+        )
+        if banded < BANDED_GATE:
             return None
     else:
         return None
@@ -1135,29 +1153,34 @@ def build_multiply_executor(
             # (mm/reorder.py) can make the panel kernel admissible; the
             # permutation folds into the plan's gather maps (one extra
             # slot-gather per operand store at runtime)
+            from ..autotune import BANDED_GATE, coords_bandedness
             from .reorder import locality_reorder_plan
 
             rp = locality_reorder_plan(
                 a_coords, (mt, kt), b_coords, (kt, nt)
             )
+            banded_r = 0.0
             if rp is not None:
                 # cheap O(n_tiles) gate before the O(S) replan: if RCM
                 # could not concentrate the pattern near the diagonal
                 # (uniform-random stays uniform under any renumbering),
                 # the panel kernel cannot become admissible — skip
                 rc = rp.a_coords
-                spread = float(
-                    np.abs(rc[:, 0] - rc[:, 1]).mean()
-                ) / max(mt, kt, 1)
-                if 1.0 - 3.0 * spread < 0.05:
+                banded_r = coords_bandedness(
+                    rc[:, 0], rc[:, 1], max(mt, kt, 1)
+                )
+                if banded_r < BANDED_GATE:
                     rp = None
             if rp is not None:
                 plan_r = plan_tile_stacks_stores(
                     rp.a_coords, (mt, kt), rp.b_coords, (kt, nt)
                 )
+                # the replan must be gated on the REORDERED pattern's
+                # bandedness — the original block index is scrambled by
+                # construction here, so its feature would always reject
                 pplan_r = _maybe_panel_plan(
                     cfg, plan_r, a.index, b.index, n_a_st, n_b_st, drv,
-                    tuned,
+                    tuned, banded_hint=banded_r,
                 )
                 if pplan_r is not None:
                     pplan = pplan_r

@@ -77,13 +77,16 @@ class PanelPlan:
     chunk: int
     n_c_tiles: int
     loaded_tiles: int       # slab traffic in tiles (for admission/stats)
+    stack_size: int         # original S (entries may exceed it: the
+                            # clamped last group recomputes overlap slots)
     unroll: int = 1         # entry-loop unroll factor (launch knob)
 
     @property
     def traffic_ratio(self) -> float:
-        """Slab input traffic relative to the flat kernel's 2 tiles/entry."""
-        s = max(len(self.entries), 1)
-        return self.loaded_tiles / (2.0 * s)
+        """Slab input traffic relative to the flat kernel's 2 tiles/entry,
+        over the ORIGINAL stack size — the same quantity the
+        ``admit_ratio`` test in :func:`plan_panel_stack` enforces."""
+        return self.loaded_tiles / (2.0 * max(self.stack_size, 1))
 
 
 def plan_panel_stack(
@@ -207,6 +210,7 @@ def plan_panel_stack(
         chunk=chunk,
         n_c_tiles=n_c_tiles,
         loaded_tiles=loaded,
+        stack_size=S,
         unroll=unroll,
     )
 

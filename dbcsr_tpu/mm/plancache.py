@@ -17,6 +17,8 @@ import hashlib
 from collections import OrderedDict
 from typing import Optional, Tuple
 
+import numpy as np
+
 from ..block.index import BCSRIndex
 
 __all__ = ["index_fingerprint", "PlanCache", "get_plan_cache"]
@@ -57,6 +59,14 @@ def dist_fingerprint(dist) -> bytes:
         g = dist.grid
         h = hashlib.blake2b(digest_size=16)
         h.update(bytes([g.nprow, g.npcol, g.nlayer]))
+        # device identity: two grids with equal shape + dist maps but
+        # different device sets/order must not share cached executors
+        # (the executor closes over the mesh it was built on)
+        h.update(
+            np.asarray(
+                [d.id for d in g.mesh.devices.flat], dtype=np.int64
+            ).tobytes()
+        )
         h.update(array_fingerprint(dist.row_dist, dist.col_dist))
         object.__setattr__(dist, "_fingerprint", h.digest())
     return dist._fingerprint

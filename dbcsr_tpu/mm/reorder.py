@@ -118,24 +118,71 @@ def permute_blocks(m, row_perm, col_perm, *, name: Optional[str] = None):
     old[i, j]`` (sizes move with their blocks). Host-side repack into the
     new canonical index + tile store — a construction-time cost that
     iterative callers (SCF) amortize over every subsequent multiply.
-    Undo with the inverse permutations (``np.argsort(p)``)."""
-    from ..block.bcsr import BCSRMatrix
+    Undo with the inverse permutations (``np.argsort(p)``).
+
+    Symmetric/antisymmetric/hermitian matrices: with ``row_perm ==
+    col_perm`` the permutation is a similarity transform and the symmetry
+    flag is preserved — stored one-triangle blocks whose images cross the
+    diagonal are re-stored as their (signed/conjugated) transpose. With
+    different row/col permutations the symmetry is broken, so the matrix
+    is desymmetrized first and the result carries ``sym='N'``."""
+    from ..block.bcsr import (
+        SYM_ANTISYMMETRIC,
+        SYM_HERMITIAN,
+        SYM_NONE,
+        BCSRMatrix,
+    )
+    from ..block.index import build_index
 
     ix = m.index
     row_perm = np.asarray(row_perm, dtype=np.int64)
     col_perm = np.asarray(col_perm, dtype=np.int64)
+    if m.sym != SYM_NONE and not np.array_equal(row_perm, col_perm):
+        from ..ops.transform import desymmetrize
+
+        return permute_blocks(
+            desymmetrize(m), row_perm, col_perm, name=name
+        )
     new_rows = row_perm[ix.blk_rows]
     new_cols = col_perm[ix.col_idx]
     new_rbs = np.empty(ix.nblkrows, dtype=np.int32)
     new_rbs[row_perm] = ix.row_block_sizes
     new_cbs = np.empty(ix.nblkcols, dtype=np.int32)
     new_cbs[col_perm] = ix.col_block_sizes
+    flat = m.flat_host()
 
-    from ..block.index import build_index
+    if m.sym != SYM_NONE:
+        # similarity transform on one-triangle storage: images landing in
+        # the strict lower triangle are re-stored transposed at the
+        # mirrored coordinate (sign/conjugation per symmetry kind), so the
+        # upper-triangle invariant survives
+        cross = new_rows > new_cols
+        r2 = np.where(cross, new_cols, new_rows)
+        c2 = np.where(cross, new_rows, new_cols)
+        new_ix, order = build_index(r2, c2, new_rbs, new_cbs)
+        out = np.empty(flat.shape, dtype=flat.dtype)
+        no = new_ix.blk_offset
+        oo = ix.blk_offset
+        rbs, cbs = ix.row_block_sizes, ix.col_block_sizes
+        for ns, ob in enumerate(order):
+            ob = int(ob)
+            h = int(rbs[ix.blk_rows[ob]])
+            w = int(cbs[ix.col_idx[ob]])
+            blk = flat[int(oo[ob]):int(oo[ob + 1])].reshape(h, w)
+            if cross[ob]:
+                blk = blk.T
+                if m.sym == SYM_ANTISYMMETRIC:
+                    blk = -blk
+                elif m.sym == SYM_HERMITIAN:
+                    blk = np.conj(blk)
+            out[int(no[ns]):int(no[ns + 1])] = blk.reshape(-1)
+        return BCSRMatrix.from_flat(
+            new_ix, out, name=name or m.name, sym=m.sym, dist=None,
+            tile=m.tile,
+        )
 
     new_ix, order = build_index(new_rows, new_cols, new_rbs, new_cbs)
     # ragged block-granular gather of the flat data into the new order
-    flat = m.flat_host()
     lens = np.diff(ix.blk_offset)[order]
     starts = ix.blk_offset[:-1][order]
     base = np.concatenate(([0], np.cumsum(lens)))

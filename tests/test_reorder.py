@@ -216,3 +216,68 @@ def test_block_permutation_multiply_equivalence():
     np.testing.assert_allclose(
         np.asarray(cp.to_dense()), want, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("sym", ["S", "A", "H"])
+def test_block_permutation_symmetric_similarity(sym):
+    """Similarity permutation (row_perm == col_perm) of a one-triangle
+    matrix preserves the symmetry flag AND the dense expansion: stored
+    blocks whose images cross the diagonal are re-stored as their
+    (signed/conjugated) transpose. Regression: round-3 review found the
+    moved blocks were previously dropped untransposed into the lower
+    triangle (reading back as zeros)."""
+    import dbcsr_tpu as dt
+
+    rng = np.random.default_rng(5)
+    rbs = dt.random_block_sizes(40, [3, 5, 8], rng)
+    n = len(rbs)
+    dtype = np.complex64 if sym == "H" else np.float32
+    a = dt.random_matrix(rbs, rbs, 0.4, rng, dtype=dtype, sym=sym, name="A")
+    p = np.random.default_rng(11).permutation(n).astype(np.int64)
+    ap = dt.permute_blocks(a, p, p)
+    assert ap.sym == sym
+
+    dense = np.asarray(a.to_dense())
+    eoff = np.concatenate(([0], np.cumsum(a.index.row_block_sizes)))
+    new_eoff = np.concatenate(([0], np.cumsum(ap.index.row_block_sizes)))
+    ne = dense.shape[0]
+    eperm = np.empty(ne, dtype=np.int64)
+    for i in range(n):
+        eperm[new_eoff[p[i]]:new_eoff[p[i]] + (eoff[i + 1] - eoff[i])] = (
+            np.arange(eoff[i], eoff[i + 1])
+        )
+    want = dense[np.ix_(eperm, eperm)]
+    np.testing.assert_allclose(
+        np.asarray(ap.to_dense()), want, atol=1e-5
+    )
+
+
+def test_block_permutation_symmetric_unequal_perms_desymmetrizes():
+    """Different row/col permutations break symmetry: the result is the
+    correctly-permuted FULL matrix with sym='N'."""
+    import dbcsr_tpu as dt
+
+    rng = np.random.default_rng(6)
+    rbs = dt.random_block_sizes(30, [4, 6], rng)
+    n = len(rbs)
+    a = dt.random_matrix(rbs, rbs, 0.4, rng, dtype=np.float32, sym="S")
+    pr = np.random.default_rng(21).permutation(n).astype(np.int64)
+    pc = np.random.default_rng(22).permutation(n).astype(np.int64)
+    ap = dt.permute_blocks(a, pr, pc)
+    assert ap.sym == "N"
+
+    dense = np.asarray(a.to_dense())
+    roff = np.concatenate(([0], np.cumsum(a.index.row_block_sizes)))
+    nr = np.concatenate(([0], np.cumsum(ap.index.row_block_sizes)))
+    ncf = np.concatenate(([0], np.cumsum(ap.index.col_block_sizes)))
+    ne = dense.shape[0]
+    rp = np.empty(ne, dtype=np.int64)
+    cp = np.empty(ne, dtype=np.int64)
+    for i in range(n):
+        w = roff[i + 1] - roff[i]
+        rp[nr[pr[i]]:nr[pr[i]] + w] = np.arange(roff[i], roff[i + 1])
+        cp[ncf[pc[i]]:ncf[pc[i]] + w] = np.arange(roff[i], roff[i + 1])
+    want = dense[np.ix_(rp, cp)]
+    np.testing.assert_allclose(
+        np.asarray(ap.to_dense()), want, atol=1e-5
+    )

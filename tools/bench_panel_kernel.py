@@ -132,18 +132,23 @@ def main():
         ),
         f"panel f32 w{c_win} c{cap} k{chunk}",
     )
-    # bf16 inputs: bigger caps fit in VMEM
+    # bf16 slabs halve the tile footprint, so a bigger cache fits the
+    # VMEM budget (the autotune sweep pairs cache 64 with bf16 only);
+    # fall back to the f32 plan if the bigger caps are inadmissible
+    bf_cap = max(cap, 64)
     pplan2 = plan_panel_stack(
         tplan.stack, tplan.n_c_tiles, lay.n_tiles, lay.n_tiles,
-        c_win=c_win, a_cap=cap, b_cap=cap, chunk=chunk,
+        c_win=c_win, a_cap=bf_cap, b_cap=bf_cap, chunk=chunk,
     )
+    if pplan2 is None:
+        bf_cap, pplan2 = cap, pplan
     bench(
         lambda x: tile_stack_matmul_panel(
             x.astype(jnp.bfloat16), bf_b, tplan.stack,
             n_c_tiles=tplan.n_c_tiles, plan=pplan2, precision="default",
             out_dtype=jnp.float32,
         ),
-        f"panel bf16 w{c_win} c{cap} k{chunk}",
+        f"panel bf16 w{c_win} c{bf_cap} k{chunk}",
     )
 
 
