@@ -74,6 +74,9 @@ DRIVER_GRIDS = {
         "panel_cache": [32, 48, 64],
         "panel_chunk": [8, 16],
         "panel_unroll": [1, 4],
+        # k-run fusion length (0 = per-entry loop); fused rows ignore
+        # unroll (see _combo_ok)
+        "panel_runlen": [0, 3],
         "panel_bf16_inputs": [False, True],
         "matmul_precision": ["default", "highest"],
     },
@@ -110,6 +113,10 @@ def _combo_ok(combo: dict) -> bool:
         and cache > PANEL_F32_CACHE_MAX
         and not combo.get("panel_bf16_inputs")
     ):
+        return False
+    # the fused-run kernel has no per-entry dot loop to unroll: sweeping
+    # unroll under runlen>0 would measure identical launches
+    if combo.get("panel_runlen", 0) > 0 and combo.get("panel_unroll", 1) > 1:
         return False
     return True
 

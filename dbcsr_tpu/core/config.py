@@ -53,6 +53,13 @@ class Config:
     #: unroll factor of the panel kernel's per-entry dot loop (the loop is
     #: MXU-issue bound; unrolling lets Mosaic pipeline consecutive dots)
     panel_unroll: int = 1
+    #: k-run fusion length R (0 = off): the panel planner merges runs of
+    #: R consecutive (A, B) tile pairs into ONE long-K dot_general
+    #: (K = R*tile) over flat transposed-A / column-major-B slab layouts
+    #: — R× fewer MXU issue slots on banded/clustered patterns, where the
+    #: per-entry issue path, not HBM, is the measured bound (see
+    #: mm/panel.py "k-run fusion")
+    panel_runlen: int = 0
     #: feed bf16 slabs to the panel kernel when matmul_precision is
     #: "default" (same rounding-identical argument as
     #: ``stack_bf16_inputs``): halves slab DMA traffic AND halves the

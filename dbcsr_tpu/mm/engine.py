@@ -165,13 +165,15 @@ def _tuned_driver(cfg, a_index, b_index):
 def _panel_knobs(cfg, a_index, b_index):
     """Panel-kernel launch parameters: user/env-set config wins; defaults
     defer to the tuned per-class table (like ``_stack_knobs``)."""
-    c_win, cache, chunk, unroll = (
-        cfg.panel_c_win, cfg.panel_cache, cfg.panel_chunk, cfg.panel_unroll
+    c_win, cache, chunk, unroll, runlen = (
+        cfg.panel_c_win, cfg.panel_cache, cfg.panel_chunk,
+        cfg.panel_unroll, cfg.panel_runlen,
     )
-    provs = tuple(
-        cfg.provenance(n)
-        for n in ("panel_c_win", "panel_cache", "panel_chunk", "panel_unroll")
+    names = (
+        "panel_c_win", "panel_cache", "panel_chunk", "panel_unroll",
+        "panel_runlen",
     )
+    provs = tuple(cfg.provenance(n) for n in names)
     if "D" in provs:
         from ..autotune import tuned_stack_params
 
@@ -185,6 +187,8 @@ def _panel_knobs(cfg, a_index, b_index):
                 chunk = int(best.get("panel_chunk", chunk))
             if provs[3] == "D":
                 unroll = int(best.get("panel_unroll", unroll))
+            if provs[4] == "D":
+                runlen = int(best.get("panel_runlen", runlen))
     if not cfg.panel_bf16_inputs:
         # a tuned cache above the f32 VMEM budget was only swept (and only
         # fits) with bf16 slabs; bf16 is an accuracy knob that is never
@@ -192,12 +196,29 @@ def _panel_knobs(cfg, a_index, b_index):
         from ..autotune import PANEL_F32_CACHE_MAX
 
         cache = min(cache, PANEL_F32_CACHE_MAX)
-    return c_win, cache, chunk, unroll
+    return c_win, cache, chunk, unroll, runlen
 
 
-def _maybe_panel_plan(
+#: diagnostic: class name of the panel plan the engine last selected
+#: (None / "PanelPlan" / "PanelRunPlan") — lets probes and tests see
+#: whether k-run fusion was admitted or silently fell back
+_last_panel_plan_kind = [None]
+
+
+def last_panel_plan_kind() -> Optional[str]:
+    return _last_panel_plan_kind[0]
+
+
+def _maybe_panel_plan(*args, **kwargs):
+    plan = _maybe_panel_plan_impl(*args, **kwargs)
+    _last_panel_plan_kind[0] = None if plan is None else type(plan).__name__
+    return plan
+
+
+def _maybe_panel_plan_impl(
     cfg, tplan, a_index, b_index, n_a, n_b, driver, tuned,
     banded_hint: Optional[float] = None,
+    b_coords: Optional[np.ndarray] = None,
 ):
     """PanelPlan when the panel kernel should execute this stack, else None.
 
@@ -231,9 +252,24 @@ def _maybe_panel_plan(
             return None
     else:
         return None
-    from .panel import plan_panel_stack
+    from .panel import plan_panel_runs, plan_panel_stack
 
-    c_win, cache, chunk, unroll = _panel_knobs(cfg, a_index, b_index)
+    c_win, cache, chunk, unroll, runlen = _panel_knobs(cfg, a_index, b_index)
+    if runlen >= 2 and b_coords is not None:
+        # k-run fusion: column-major B numbering makes consecutive-k runs
+        # contiguous (see mm/panel.py); fall back to the per-entry panel
+        # kernel when the col-major spans break admission
+        kt_b = int(b_coords[:, 0].max()) + 1 if len(b_coords) else 1
+        cm = np.argsort(
+            b_coords[:, 1].astype(np.int64) * kt_b + b_coords[:, 0]
+        ).astype(np.int32)
+        rplan = plan_panel_runs(
+            tplan.stack, tplan.n_c_tiles, n_a, n_b, b_cm_perm=cm,
+            c_win=c_win, a_cap=cache, b_cap=cache, chunk=chunk,
+            runlen=runlen, admit_ratio=admit,
+        )
+        if rplan is not None:
+            return rplan
     return plan_panel_stack(
         tplan.stack, tplan.n_c_tiles, n_a, n_b,
         c_win=c_win, a_cap=cache, b_cap=cache, chunk=chunk,
@@ -592,18 +628,30 @@ def _execute_local(
                 pplan = _maybe_panel_plan(
                     cfg, tplan, a.index, b.index,
                     a_st.shape[0], b_st.shape[0], driver, tuned,
+                    b_coords=b_coords,
                 )
                 if pplan is not None:
-                    from .panel import tile_stack_matmul_panel
+                    from .panel import (
+                        PanelRunPlan,
+                        tile_stack_matmul_panel,
+                        tile_stack_matmul_panel_runs,
+                    )
 
                     a_in, b_in, out_dt = _maybe_panel_bf16(
                         a_st, b_st, prec, cfg
                     )
-                    prod_tiles = tile_stack_matmul_panel(
-                        a_in, b_in, tplan.stack,
-                        n_c_tiles=tplan.n_c_tiles, plan=pplan,
-                        precision=prec, out_dtype=out_dt,
-                    )
+                    if isinstance(pplan, PanelRunPlan):
+                        prod_tiles = tile_stack_matmul_panel_runs(
+                            a_in, b_in, tplan.stack,
+                            n_c_tiles=tplan.n_c_tiles, plan=pplan,
+                            precision=prec, out_dtype=out_dt,
+                        )
+                    else:
+                        prod_tiles = tile_stack_matmul_panel(
+                            a_in, b_in, tplan.stack,
+                            n_c_tiles=tplan.n_c_tiles, plan=pplan,
+                            precision=prec, out_dtype=out_dt,
+                        )
                 elif driver == "panel":
                     from ..core.errors import DbcsrError
 
@@ -1141,7 +1189,8 @@ def build_multiply_executor(
         n_b_st = len(b_coords)
         tuned = _tuned_driver(cfg, a.index, b.index) if drv == "auto" else None
         pplan = _maybe_panel_plan(
-            cfg, plan, a.index, b.index, n_a_st, n_b_st, drv, tuned
+            cfg, plan, a.index, b.index, n_a_st, n_b_st, drv, tuned,
+            b_coords=b_coords,
         )
         if (
             pplan is None
@@ -1180,7 +1229,7 @@ def build_multiply_executor(
                 # construction here, so its feature would always reject
                 pplan_r = _maybe_panel_plan(
                     cfg, plan_r, a.index, b.index, n_a_st, n_b_st, drv,
-                    tuned, banded_hint=banded_r,
+                    tuned, banded_hint=banded_r, b_coords=rp.b_coords,
                 )
                 if pplan_r is not None:
                     pplan = pplan_r
@@ -1215,13 +1264,23 @@ def build_multiply_executor(
             a_st = jnp.take(a_st, reorder_a, axis=0)
             b_st = jnp.take(b_st, reorder_b, axis=0)
         if pplan is not None:
-            from .panel import tile_stack_matmul_panel
+            from .panel import (
+                PanelRunPlan,
+                tile_stack_matmul_panel,
+                tile_stack_matmul_panel_runs,
+            )
 
             a_in, b_in, out_dt = _maybe_panel_bf16(a_st, b_st, prec, cfg)
-            prod = tile_stack_matmul_panel(
-                a_in, b_in, stack_np, n_c_tiles=n_c, plan=pplan,
-                precision=prec, out_dtype=out_dt,
-            )
+            if isinstance(pplan, PanelRunPlan):
+                prod = tile_stack_matmul_panel_runs(
+                    a_in, b_in, stack_np, n_c_tiles=n_c, plan=pplan,
+                    precision=prec, out_dtype=out_dt,
+                )
+            else:
+                prod = tile_stack_matmul_panel(
+                    a_in, b_in, stack_np, n_c_tiles=n_c, plan=pplan,
+                    precision=prec, out_dtype=out_dt,
+                )
         elif use_grouped:
             from .kernels import tile_stack_matmul_grouped
 

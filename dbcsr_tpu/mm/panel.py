@@ -50,7 +50,14 @@ try:  # pragma: no cover - exercised only on pallas-capable builds
 except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
-__all__ = ["PanelPlan", "plan_panel_stack", "tile_stack_matmul_panel"]
+__all__ = [
+    "PanelPlan",
+    "PanelRunPlan",
+    "plan_panel_stack",
+    "plan_panel_runs",
+    "tile_stack_matmul_panel",
+    "tile_stack_matmul_panel_runs",
+]
 
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
@@ -453,4 +460,485 @@ def tile_stack_matmul_panel(
         n_c_tiles=plan.n_c_tiles, interpret=interpret,
         precision=precision, out_dtype=out_dtype,
         loaded_tiles=plan.loaded_tiles, unroll=plan.unroll,
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-run fusion: merge runs of consecutive (A, B) tile pairs into long-K dots
+# ---------------------------------------------------------------------------
+#
+# The panel kernel above issues one 128-K `jnp.dot` per stack entry; on
+# banded patterns the measured cost is dominated by the per-entry issue
+# path (scalar decode + dynamic cache indexing + MXU start/drain), not by
+# slab traffic. But a banded C slot's contraction Sum_k A(r,k)·B(k,c) walks
+# k CONSECUTIVELY: in a row-major A store the A tiles of row r are adjacent
+# slots, and in a COLUMN-major B store the B tiles of column c are adjacent
+# slots. Storing the A slab as stacked TRANSPOSED tiles (rows r*T+j hold
+# A_r[:, j]) and the B slab as stacked tiles in column-major slot order
+# makes a length-R run one contiguous (R*T, T) slice of each cache, and
+#
+#     Sum_r A_r @ B_r  ==  dot_general(a_slice, b_slice,
+#                                      contracting lhs dim 0 with rhs dim 0)
+#
+# one MXU issue of K = R*T instead of R issues of K = T — R× fewer issue
+# slots AND a deeper MXU pipeline per issue. The reference's largeDB
+# kernels make the same move in registers: double-buffered slabs feed one
+# long accumulation loop (`src/acc/libsmm_acc/kernels/smm_acc_dnt_largeDB1.h`).
+# Runs are detected by the host planner on actual slot numbers (quantized
+# to fixed R + per-entry remainder, keeping every dot shape static);
+# patterns with no runs degrade to the per-entry loop and lose nothing.
+
+
+@dataclass
+class PanelRunPlan:
+    """Host plan for the run-fused panel kernel launch sequence."""
+
+    gstart: np.ndarray      # int32 [n_groups] first C store slot of the group
+    a_lo: np.ndarray        # int32 [n_groups] first A slab tile
+    a_nch: np.ndarray       # int32 [n_groups] A slab length in chunks
+    b_lo: np.ndarray        # int32 [n_groups] (column-major B positions)
+    b_nch: np.ndarray       # int32 [n_groups]
+    obq: np.ndarray         # int32 [n_groups*c_win+1] quad offsets per slot
+    qent: np.ndarray        # int32 [nQ] packed (a_local<<16 | b_local)
+    obs: np.ndarray         # int32 [n_groups*c_win+1] single offsets per slot
+    sent: np.ndarray        # int32 [nS'] packed remainder entries
+    cm_perm: Optional[np.ndarray]  # int32 [n_b] new b slot -> old (take map)
+    n_groups: int
+    c_win: int
+    a_cap: int
+    b_cap: int
+    chunk: int
+    runlen: int
+    n_c_tiles: int
+    loaded_tiles: int
+    stack_size: int
+    n_quads: int
+    n_singles: int
+
+    @property
+    def traffic_ratio(self) -> float:
+        """Slab input traffic vs the flat kernel's 2 tiles/entry (over the
+        original stack size, as the admission test enforces)."""
+        return self.loaded_tiles / (2.0 * max(self.stack_size, 1))
+
+    @property
+    def issue_ratio(self) -> float:
+        """MXU issue slots vs one-dot-per-entry (the fusion payoff)."""
+        return (self.n_quads + self.n_singles) / max(self.stack_size, 1)
+
+
+def plan_panel_runs(
+    stack_np: np.ndarray,  # int32 [S, 3] (c, a, b) sorted by c
+    n_c_tiles: int,
+    n_a_tiles: int,
+    n_b_tiles: int,
+    *,
+    b_cm_perm: Optional[np.ndarray] = None,  # new slot -> old slot (take map)
+    c_win: int = 8,
+    a_cap: int = 64,
+    b_cap: int = 64,
+    chunk: int = 8,
+    runlen: int = 4,
+    admit_ratio: Optional[float] = None,
+) -> Optional[PanelRunPlan]:
+    """Run-fused panel plan; None if inadmissible (same span/cache/traffic
+    rules as :func:`plan_panel_stack`, evaluated on the column-major B
+    numbering). ``b_cm_perm`` maps the kernel's B slot order to the
+    caller's store order (``argsort`` of column-major keys); None means
+    the store is already in the desired order."""
+    S = len(stack_np)
+    if S == 0 or n_c_tiles == 0 or runlen < 2:
+        return None
+    chunk = max(1, min(chunk, n_a_tiles, n_b_tiles))
+    c_col = stack_np[:, 0].astype(np.int64)
+    c_win = min(c_win, n_c_tiles)
+    n_groups = -(-n_c_tiles // c_win)
+    gstart = np.minimum(
+        np.arange(n_groups, dtype=np.int64) * c_win, n_c_tiles - c_win
+    )
+
+    slot_bounds = np.searchsorted(c_col, np.arange(n_c_tiles + 1)).astype(
+        np.int64
+    )
+    e0 = slot_bounds[gstart]
+    e1 = slot_bounds[gstart + c_win]
+    glens = e1 - e0
+    tot = int(glens.sum())
+    base = np.concatenate(([0], np.cumsum(glens)))
+    offs = np.arange(tot, dtype=np.int64) - np.repeat(base[:-1], glens)
+    idx = np.repeat(e0, glens) + offs
+    g_of_entry = np.repeat(np.arange(n_groups, dtype=np.int64), glens)
+
+    a_col = stack_np[idx, 1].astype(np.int64)
+    b_old = stack_np[idx, 2].astype(np.int64)
+    if b_cm_perm is not None:
+        b_pos_of_old = np.empty(n_b_tiles, dtype=np.int64)
+        b_pos_of_old[np.asarray(b_cm_perm, dtype=np.int64)] = np.arange(
+            n_b_tiles, dtype=np.int64
+        )
+        b_col = b_pos_of_old[b_old]
+    else:
+        b_col = b_old
+
+    # sort each (group, C slot) segment by A slot so consecutive-k runs
+    # are adjacent (within-slot order is free: the accumulator is f32
+    # either way and slot entry COUNTS are what obounds encode)
+    seg = g_of_entry * np.int64(n_c_tiles) + c_col[idx]
+    order2 = np.lexsort((a_col, seg))
+    a_col = a_col[order2]
+    b_col = b_col[order2]
+    seg = seg[order2]
+    g_of_entry = g_of_entry[order2]
+
+    def spans(col):
+        lo = np.zeros(n_groups, dtype=np.int64)
+        hi = np.zeros(n_groups, dtype=np.int64)
+        nz = glens > 0
+        if nz.any():
+            starts = base[:-1][nz]
+            lo[nz] = np.minimum.reduceat(col, starts)
+            hi[nz] = np.maximum.reduceat(col, starts) + 1
+        return lo, hi
+
+    a_min, a_hi = spans(a_col)
+    b_min, b_hi = spans(b_col)
+
+    def pad_spans(mn, hi, cap, n_store, ch):
+        span = hi - mn
+        spn = -(-span // ch) * ch
+        spn = np.maximum(spn, ch)
+        if spn.max(initial=0) > cap or n_store < int(spn.max(initial=0)):
+            return None, None
+        lo = np.maximum(0, np.minimum(mn, n_store - spn))
+        return lo.astype(np.int64), (spn // ch).astype(np.int32)
+
+    a_lo = b_lo = None
+    while chunk >= 1:
+        a_lo, a_nch = pad_spans(a_min, a_hi, a_cap, n_a_tiles, chunk)
+        if a_lo is not None:
+            b_lo, b_nch = pad_spans(b_min, b_hi, b_cap, n_b_tiles, chunk)
+        if a_lo is not None and b_lo is not None:
+            break
+        if chunk == 1:
+            return None
+        chunk //= 2
+    if a_lo is None or b_lo is None:
+        return None
+
+    loaded = int((a_nch.astype(np.int64) + b_nch).sum()) * chunk
+    if admit_ratio is not None and loaded > admit_ratio * 2.0 * S:
+        return None
+
+    # run detection on slab-local slot numbers
+    a_local = a_col - a_lo[g_of_entry]
+    b_local = b_col - b_lo[g_of_entry]
+    assert a_local.min(initial=0) >= 0 and b_local.min(initial=0) >= 0
+    new_run = np.ones(tot, dtype=bool)
+    if tot > 1:
+        new_run[1:] = (
+            (seg[1:] != seg[:-1])
+            | (a_col[1:] != a_col[:-1] + 1)
+            | (b_col[1:] != b_col[:-1] + 1)
+        )
+    run_id = np.cumsum(new_run) - 1
+    run_start = np.flatnonzero(new_run)
+    run_len = np.diff(np.append(run_start, tot))
+    off_in_run = np.arange(tot, dtype=np.int64) - run_start[run_id]
+    n_full = (run_len // runlen) * runlen
+    is_quad = (off_in_run < n_full[run_id]) & (off_in_run % runlen == 0)
+    is_single = off_in_run >= n_full[run_id]
+
+    packed = ((a_local << 16) | b_local).astype(np.int32)
+    qent = packed[is_quad]
+    sent = packed[is_single]
+
+    # per (group, local slot) offsets for each entry family; entries are
+    # already ordered by (group, slot)
+    cell = g_of_entry * np.int64(c_win) + (c_col[idx][order2] - gstart[g_of_entry])
+    ncell = n_groups * c_win
+
+    def cell_bounds(mask):
+        counts = np.bincount(cell[mask], minlength=ncell)
+        return np.concatenate(
+            ([0], np.cumsum(counts))
+        ).astype(np.int32)
+
+    obq = cell_bounds(is_quad)
+    obs = cell_bounds(is_single)
+
+    return PanelRunPlan(
+        gstart=gstart.astype(np.int32),
+        a_lo=a_lo.astype(np.int32),
+        a_nch=a_nch,
+        b_lo=b_lo.astype(np.int32),
+        b_nch=b_nch,
+        obq=obq,
+        qent=qent if len(qent) else np.zeros(1, dtype=np.int32),
+        obs=obs,
+        sent=sent if len(sent) else np.zeros(1, dtype=np.int32),
+        cm_perm=(
+            None
+            if b_cm_perm is None
+            else np.asarray(b_cm_perm, dtype=np.int32)
+        ),
+        n_groups=n_groups,
+        c_win=c_win,
+        a_cap=a_cap,
+        b_cap=b_cap,
+        chunk=chunk,
+        runlen=runlen,
+        n_c_tiles=n_c_tiles,
+        loaded_tiles=loaded,
+        stack_size=S,
+        n_quads=int(is_quad.sum()),
+        n_singles=int(is_single.sum()),
+    )
+
+
+def _panel_run_kernel(
+    # scalar prefetch
+    gstart_ref, a_lo_ref, a_nch_ref, b_lo_ref, b_nch_ref,
+    obq_ref, qent_ref, obs_ref, sent_ref,
+    # tensor inputs (HBM-resident, FLAT: A^T tiles / column-major B tiles
+    # stacked along the sublane dim)
+    a_hbm, b_hbm,
+    # output (HBM-resident)
+    out_hbm,
+    # scratch
+    a_cache, b_cache, c_buf, a_sems, b_sems, c_sems,
+    *, c_win: int, chunk: int, n_groups: int, precision, runlen: int,
+    tile: int,
+):
+    # all scalar index math pinned i32 (x64 mixed-width traps, see
+    # kernels.py `zero` note)
+    i32 = jnp.int32
+    one = np.int32(1)
+    two = np.int32(2)
+    t_c = np.int32(tile)
+    chrow = chunk * tile  # rows per slab-DMA chunk (static)
+    cwin_c = np.int32(c_win)
+    bmask = np.int32(0xFFFF)
+    g = pl.program_id(0).astype(i32)
+    buf = jnp.remainder(g, two)
+
+    def a_dma(grp, slot, i):
+        return pltpu.make_async_copy(
+            a_hbm.at[pl.ds(a_lo_ref[grp].astype(i32) * t_c + i * np.int32(chrow), chrow)],
+            a_cache.at[slot, pl.ds(i * np.int32(chrow), chrow)],
+            a_sems.at[slot, i],
+        )
+
+    def b_dma(grp, slot, i):
+        return pltpu.make_async_copy(
+            b_hbm.at[pl.ds(b_lo_ref[grp].astype(i32) * t_c + i * np.int32(chrow), chrow)],
+            b_cache.at[slot, pl.ds(i * np.int32(chrow), chrow)],
+            b_sems.at[slot, i],
+        )
+
+    def issue(grp, slot):
+        def a_body(i, _):
+            a_dma(grp, slot, i.astype(i32)).start()
+            return 0
+
+        jax.lax.fori_loop(0, a_nch_ref[grp].astype(i32), a_body, 0)
+
+        def b_body(i, _):
+            b_dma(grp, slot, i.astype(i32)).start()
+            return 0
+
+        jax.lax.fori_loop(0, b_nch_ref[grp].astype(i32), b_body, 0)
+
+    @pl.when(g == 0)
+    def _():
+        issue(g, buf)
+
+    @pl.when(g + one < np.int32(n_groups))
+    def _():
+        issue(g + one, jnp.remainder(g + one, two))
+
+    def a_wait(i, _):
+        a_dma(g, buf, i.astype(i32)).wait()
+        return 0
+
+    jax.lax.fori_loop(0, a_nch_ref[g].astype(i32), a_wait, 0)
+
+    def b_wait(i, _):
+        b_dma(g, buf, i.astype(i32)).wait()
+        return 0
+
+    jax.lax.fori_loop(0, b_nch_ref[g].astype(i32), b_wait, 0)
+
+    def out_dma(grp, slot):
+        return pltpu.make_async_copy(
+            c_buf.at[slot],
+            out_hbm.at[pl.ds(gstart_ref[grp].astype(i32), c_win)],
+            c_sems.at[slot],
+        )
+
+    @pl.when(g >= two)
+    def _():
+        out_dma(g - two, buf).wait()
+
+    dims = (((0,), (0,)), ((), ()))  # contract sublane dim of both slabs
+
+    def l_body(l, _):
+        l = l.astype(i32)
+        cell = g * cwin_c + l
+
+        def dot_run(ent_ref, rt):
+            # one fused dot over rt = run*tile rows of each slab
+            def body(e, acc):
+                packed = ent_ref[e.astype(i32)].astype(i32)
+                sa = jax.lax.shift_right_logical(packed, np.int32(16))
+                sb = jnp.bitwise_and(packed, bmask)
+                return acc + jax.lax.dot_general(
+                    a_cache[buf, pl.ds(sa * t_c, rt)],
+                    b_cache[buf, pl.ds(sb * t_c, rt)],
+                    dimension_numbers=dims,
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+
+            return body
+
+        acc = jax.lax.fori_loop(
+            obq_ref[cell].astype(i32), obq_ref[cell + one].astype(i32),
+            dot_run(qent_ref, runlen * tile),
+            jnp.zeros((tile, tile), jnp.float32),
+        )
+        acc = jax.lax.fori_loop(
+            obs_ref[cell].astype(i32), obs_ref[cell + one].astype(i32),
+            dot_run(sent_ref, tile),
+            acc,
+        )
+        c_buf[buf, pl.ds(l, 1)] = acc.astype(c_buf.dtype)[None]
+        return 0
+
+    jax.lax.fori_loop(0, cwin_c, l_body, 0)
+
+    dma = out_dma(g, buf)
+    dma.start()
+
+    @pl.when(g == np.int32(n_groups) - one)
+    def _():
+        @pl.when(g >= one)
+        def _():
+            out_dma(g - one, jnp.remainder(g + one, two)).wait()
+
+        dma.wait()
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_groups", "c_win", "a_cap", "b_cap", "chunk", "runlen", "tile",
+        "n_c_tiles", "interpret", "precision", "out_dtype", "loaded_tiles",
+    ),
+)
+def _panel_run_launch(
+    a_tiles, b_tiles, cm_perm, gstart, a_lo, a_nch, b_lo, b_nch,
+    obq, qent, obs, sent, *,
+    n_groups: int, c_win: int, a_cap: int, b_cap: int, chunk: int,
+    runlen: int, tile: int, n_c_tiles: int, interpret: bool,
+    precision: str, out_dtype, loaded_tiles: int,
+):
+    t = tile
+    # flat slab layouts (one XLA pass each, fused with any upstream
+    # gather inside the same jit): A as stacked TRANSPOSED tiles, B as
+    # stacked tiles in column-major slot order
+    a_flat = jnp.swapaxes(a_tiles, 1, 2).reshape(-1, t)
+    if cm_perm is not None:
+        b_flat = jnp.take(b_tiles, cm_perm, axis=0).reshape(-1, t)
+    else:
+        b_flat = b_tiles.reshape(-1, t)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=9,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, a_cap * t, t), a_tiles.dtype),
+            pltpu.VMEM((2, b_cap * t, t), b_tiles.dtype),
+            pltpu.VMEM((2, c_win, t, t), out_dtype),
+            pltpu.SemaphoreType.DMA((2, a_cap // chunk)),
+            pltpu.SemaphoreType.DMA((2, b_cap // chunk)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    s = int(qent.shape[0]) * runlen + int(sent.shape[0])
+    return pl.pallas_call(
+        partial(
+            _panel_run_kernel,
+            c_win=c_win,
+            chunk=chunk,
+            n_groups=n_groups,
+            precision=_PRECISIONS[precision],
+            runlen=runlen,
+            tile=t,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_c_tiles, t, t), out_dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * s * t * t * t,
+            bytes_accessed=(
+                loaded_tiles * t * t * a_tiles.dtype.itemsize
+                + n_groups * c_win * t * t * jnp.dtype(out_dtype).itemsize
+            ),
+            transcendentals=0,
+        ),
+    )(
+        gstart, a_lo, a_nch, b_lo, b_nch, obq, qent, obs, sent,
+        a_flat, b_flat,
+    )
+
+
+def tile_stack_matmul_panel_runs(
+    a_tiles: jax.Array,
+    b_tiles: jax.Array,
+    stack_np: np.ndarray,
+    *,
+    n_c_tiles: int,
+    plan: Optional[PanelRunPlan] = None,
+    b_cm_perm: Optional[np.ndarray] = None,
+    c_win: int = 8,
+    a_cap: int = 64,
+    b_cap: int = 64,
+    chunk: int = 8,
+    runlen: int = 4,
+    interpret: bool = False,
+    precision: str = "highest",
+    out_dtype=None,
+) -> jax.Array:
+    """Run-fused panel stack processor (see the k-run fusion note above).
+    Raises ValueError if the pattern is inadmissible."""
+    tile = a_tiles.shape[1]
+    out_dtype = out_dtype or a_tiles.dtype
+    if len(stack_np) == 0:
+        return jnp.zeros((n_c_tiles, tile, tile), dtype=out_dtype)
+    if plan is None:
+        plan = plan_panel_runs(
+            stack_np, n_c_tiles, a_tiles.shape[0], b_tiles.shape[0],
+            b_cm_perm=b_cm_perm, c_win=c_win, a_cap=a_cap, b_cap=b_cap,
+            chunk=chunk, runlen=runlen,
+        )
+    if plan is None:
+        raise ValueError("pattern not panel-run-admissible")
+    return _panel_run_launch(
+        a_tiles, b_tiles,
+        None if plan.cm_perm is None else jnp.asarray(plan.cm_perm),
+        jnp.asarray(plan.gstart),
+        jnp.asarray(plan.a_lo), jnp.asarray(plan.a_nch),
+        jnp.asarray(plan.b_lo), jnp.asarray(plan.b_nch),
+        jnp.asarray(plan.obq), jnp.asarray(plan.qent),
+        jnp.asarray(plan.obs), jnp.asarray(plan.sent),
+        n_groups=plan.n_groups, c_win=plan.c_win, a_cap=plan.a_cap,
+        b_cap=plan.b_cap, chunk=plan.chunk, runlen=plan.runlen,
+        tile=tile, n_c_tiles=plan.n_c_tiles, interpret=interpret,
+        precision=precision, out_dtype=out_dtype,
+        loaded_tiles=plan.loaded_tiles,
     )

@@ -220,3 +220,170 @@ def test_interpret_panel_unroll(rng):
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-4)
+
+
+# --- k-run fusion (plan_panel_runs / tile_stack_matmul_panel_runs) ---------
+
+
+def _cm_perm_of(coords):
+    n = int(coords[:, 0].max()) + 1 if len(coords) else 1
+    return np.argsort(
+        coords[:, 1].astype(np.int64) * n + coords[:, 0]
+    ).astype(np.int32)
+
+
+def test_run_plan_covers_stack_exactly(rng):
+    """Quads + singles reproduce every stack entry exactly once per
+    (group, slot) cell (overlap duplicates of the clamped last group
+    aside), with locals consistent with the slabs."""
+    from dbcsr_tpu.mm.panel import plan_panel_runs
+
+    a, b, stack, n = _banded_case(rng)
+    coords = None
+    # reconstruct coords of the banded store (row-major order)
+    mt, w = 24, 2
+    coords = np.array(
+        [(r, c) for r in range(mt) for c in range(mt) if abs(r - c) <= w],
+        dtype=np.int64,
+    )
+    cm = _cm_perm_of(coords)
+    R = 3
+    plan = plan_panel_runs(
+        stack, n, n, n, b_cm_perm=cm, c_win=8, a_cap=32, b_cap=32,
+        chunk=4, runlen=R,
+    )
+    assert plan is not None
+    assert plan.n_quads * R + plan.n_singles >= len(stack)
+    pos_of = np.empty(n, dtype=np.int64)
+    pos_of[cm] = np.arange(n)
+    ncell = plan.n_groups * plan.c_win
+    got_cells = []
+    for cell in range(ncell):
+        g = cell // plan.c_win
+        ents = []
+        for e in range(plan.obq[cell], plan.obq[cell + 1]):
+            p = int(plan.qent[e])
+            sa, sb = p >> 16, p & 0xFFFF
+            for r in range(R):
+                ents.append((plan.a_lo[g] + sa + r, plan.b_lo[g] + sb + r))
+        for e in range(plan.obs[cell], plan.obs[cell + 1]):
+            p = int(plan.sent[e])
+            ents.append((plan.a_lo[g] + (p >> 16), plan.b_lo[g] + (p & 0xFFFF)))
+        got_cells.append(sorted(ents))
+    # compare against the stack's per-slot entries (col-major b)
+    for g in range(plan.n_groups):
+        for l in range(plan.c_win):
+            slot = plan.gstart[g] + l
+            rows = stack[stack[:, 0] == slot]
+            want = sorted(
+                (int(r[1]), int(pos_of[r[2]])) for r in rows
+            )
+            assert got_cells[g * plan.c_win + l] == want, (g, l)
+
+
+@pytest.mark.parametrize("runlen", [2, 3, 4])
+def test_interpret_panel_runs_matches_xla(rng, runlen):
+    from dbcsr_tpu.mm.panel import (
+        plan_panel_runs,
+        tile_stack_matmul_panel_runs,
+    )
+
+    a, b, stack, n = _banded_case(rng)
+    mt, w = 24, 2
+    coords = np.array(
+        [(r, c) for r in range(mt) for c in range(mt) if abs(r - c) <= w],
+        dtype=np.int64,
+    )
+    plan = plan_panel_runs(
+        stack, n, n, n, b_cm_perm=_cm_perm_of(coords), c_win=8,
+        a_cap=32, b_cap=32, chunk=4, runlen=runlen, admit_ratio=0.9,
+    )
+    assert plan is not None
+    # fusion must actually find runs on a banded pattern
+    assert plan.n_quads > 0 and plan.issue_ratio < 0.8
+    ref = tile_stack_matmul_xla(
+        a, b, jnp.asarray(stack), n_c_tiles=n, precision="highest"
+    )
+    got = tile_stack_matmul_panel_runs(
+        a, b, stack, n_c_tiles=n, plan=plan, interpret=True,
+        precision="highest",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_interpret_panel_runs_random_and_bf16(rng):
+    """Random patterns (no runs without col-major locality) still compute
+    correctly — everything lands in the singles loop; bf16-in/f32-out
+    matches within bf16 tolerance."""
+    from dbcsr_tpu.mm.panel import (
+        plan_panel_runs,
+        tile_stack_matmul_panel_runs,
+    )
+
+    a, b, stack = _random_case(rng, s=150)
+    n_c = 30
+    plan = plan_panel_runs(
+        stack, n_c, a.shape[0], b.shape[0], b_cm_perm=None, c_win=8,
+        a_cap=48, b_cap=48, chunk=4, runlen=4,
+    )
+    assert plan is not None
+    ref = tile_stack_matmul_xla(
+        a, b, jnp.asarray(stack), n_c_tiles=n_c, precision="highest"
+    )
+    got = tile_stack_matmul_panel_runs(
+        a, b, stack, n_c_tiles=n_c, plan=plan, interpret=True,
+        precision="highest",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    got16 = tile_stack_matmul_panel_runs(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), stack,
+        n_c_tiles=n_c, plan=plan, interpret=True, out_dtype=jnp.float32,
+    )
+    assert got16.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(got16), np.asarray(ref), rtol=0.1, atol=0.5
+    )
+
+
+def test_engine_prefers_run_plan_with_knob(rng):
+    """cfg.panel_runlen >= 2 makes _maybe_panel_plan return a PanelRunPlan
+    (falling back to PanelPlan when b_coords are unavailable)."""
+    from dbcsr_tpu.core.config import config_override, get_config
+    from dbcsr_tpu.mm.engine import _maybe_panel_plan
+    from dbcsr_tpu.mm.panel import PanelPlan, PanelRunPlan
+    from dbcsr_tpu.mm.tileplan import plan_tile_stacks_stores
+
+    mt, w = 24, 2
+    coords = np.array(
+        [(r, c) for r in range(mt) for c in range(mt) if abs(r - c) <= w],
+        dtype=np.int64,
+    )
+    tplan = plan_tile_stacks_stores(coords, (mt, mt), coords, (mt, mt))
+    n = len(coords)
+    # NOTE cache 64: column-major B slabs span ~c_win * band-height tiles
+    # (larger than the row-major panel plan's spans), so run plans need
+    # roomier caches — the autotune sweep pairs runlen rows accordingly
+    # pin every panel knob (user provenance) so _panel_knobs skips the
+    # tuned-table lookup — this unit test passes no real indexes
+    with config_override(
+        mm_driver="panel", panel_runlen=3, panel_c_win=8, panel_cache=64,
+        panel_chunk=4, panel_unroll=1,
+    ):
+        cfg = get_config()
+        p = _maybe_panel_plan(
+            cfg, tplan, None, None, n, n, "panel", None, b_coords=coords
+        )
+        assert isinstance(p, PanelRunPlan) and p.runlen == 3
+        p2 = _maybe_panel_plan(
+            cfg, tplan, None, None, n, n, "panel", None, b_coords=None
+        )
+        assert isinstance(p2, PanelPlan)
+    with config_override(
+        mm_driver="panel", panel_c_win=8, panel_cache=32, panel_chunk=4,
+        panel_unroll=1, panel_runlen=0,
+    ):
+        p3 = _maybe_panel_plan(
+            get_config(), tplan, None, None, n, n, "panel", None,
+            b_coords=coords,
+        )
+        assert isinstance(p3, PanelPlan)  # runlen defaults to 0

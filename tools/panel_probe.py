@@ -67,6 +67,20 @@ def main():
         ("panel_u4_bf16_ch16", dict(mm_driver="panel", panel_unroll=4,
                                     panel_bf16_inputs=True,
                                     panel_chunk=16)),
+        # k-run fusion (mm/panel.py): R consecutive (A,B) pairs per MXU
+        # issue over flat transposed-A / col-major-B slabs
+        ("panelrun_r2", dict(mm_driver="panel", panel_runlen=2)),
+        ("panelrun_r3", dict(mm_driver="panel", panel_runlen=3)),
+        ("panelrun_r4", dict(mm_driver="panel", panel_runlen=4)),
+        ("panelrun_r3_bf16", dict(mm_driver="panel", panel_runlen=3,
+                                  panel_bf16_inputs=True)),
+        ("panelrun_r3_bf16_c64", dict(mm_driver="panel", panel_runlen=3,
+                                      panel_bf16_inputs=True,
+                                      panel_cache=64)),
+        ("panelrun_r3_w8", dict(mm_driver="panel", panel_runlen=3,
+                                panel_c_win=8)),
+        ("panelrun_r6_bf16", dict(mm_driver="panel", panel_runlen=6,
+                                  panel_bf16_inputs=True)),
     ]
     if quick:
         variants = variants[:5]
@@ -76,11 +90,15 @@ def main():
         try:
             with config_override(**ov):
                 fn, c_index, eff = build_multiply_executor("N", "N", a, b)
+                from dbcsr_tpu.mm.engine import last_panel_plan_kind
+
+                kind = last_panel_plan_kind()
                 per = steady_state_time(fn, (a.data, b.data))
             gflops = eff / per / 1e9
             results[label] = round(gflops, 1)
             print(json.dumps({"variant": label, "ms": round(per * 1e3, 3),
-                              "gflops": round(gflops, 1)}), flush=True)
+                              "gflops": round(gflops, 1),
+                              "plan": kind}), flush=True)
         except Exception as e:
             print(json.dumps({"variant": label,
                               "error": f"{type(e).__name__}: {e}"[:200]}),
