@@ -500,6 +500,8 @@ class PanelRunPlan:
     b_nch: np.ndarray       # int32 [n_groups]
     obq: np.ndarray         # int32 [n_groups*c_win+1] quad offsets per slot
     qent: np.ndarray        # int32 [nQ] packed (a_local<<16 | b_local)
+    obp: np.ndarray         # int32 [n_groups*c_win+1] pair offsets per slot
+    pent: np.ndarray        # int32 [nP] packed pair entries (K = 2T)
     obs: np.ndarray         # int32 [n_groups*c_win+1] single offsets per slot
     sent: np.ndarray        # int32 [nS'] packed remainder entries
     cm_perm: Optional[np.ndarray]  # int32 [n_b] new b slot -> old (take map)
@@ -513,6 +515,7 @@ class PanelRunPlan:
     loaded_tiles: int
     stack_size: int
     n_quads: int
+    n_pairs: int
     n_singles: int
 
     @property
@@ -524,7 +527,9 @@ class PanelRunPlan:
     @property
     def issue_ratio(self) -> float:
         """MXU issue slots vs one-dot-per-entry (the fusion payoff)."""
-        return (self.n_quads + self.n_singles) / max(self.stack_size, 1)
+        return (
+            self.n_quads + self.n_pairs + self.n_singles
+        ) / max(self.stack_size, 1)
 
 
 def plan_panel_runs(
@@ -644,12 +649,20 @@ def plan_panel_runs(
     run_start = np.flatnonzero(new_run)
     run_len = np.diff(np.append(run_start, tot))
     off_in_run = np.arange(tot, dtype=np.int64) - run_start[run_id]
+    # three-tier quantization: full R-runs, then K=2T pairs on the
+    # remainder, then per-entry singles (runlen==2 leaves the pair tier
+    # empty — quads already are pairs)
     n_full = (run_len // runlen) * runlen
+    off2 = off_in_run - n_full[run_id]
+    rem_len = run_len - n_full
+    n_pair = (rem_len // 2) * 2
     is_quad = (off_in_run < n_full[run_id]) & (off_in_run % runlen == 0)
-    is_single = off_in_run >= n_full[run_id]
+    is_pair = (off2 >= 0) & (off2 < n_pair[run_id]) & (off2 % 2 == 0)
+    is_single = off2 >= n_pair[run_id]
 
     packed = ((a_local << 16) | b_local).astype(np.int32)
     qent = packed[is_quad]
+    pent = packed[is_pair]
     sent = packed[is_single]
 
     # per (group, local slot) offsets for each entry family; entries are
@@ -664,6 +677,7 @@ def plan_panel_runs(
         ).astype(np.int32)
 
     obq = cell_bounds(is_quad)
+    obp = cell_bounds(is_pair)
     obs = cell_bounds(is_single)
 
     return PanelRunPlan(
@@ -674,6 +688,8 @@ def plan_panel_runs(
         b_nch=b_nch,
         obq=obq,
         qent=qent if len(qent) else np.zeros(1, dtype=np.int32),
+        obp=obp,
+        pent=pent if len(pent) else np.zeros(1, dtype=np.int32),
         obs=obs,
         sent=sent if len(sent) else np.zeros(1, dtype=np.int32),
         cm_perm=(
@@ -691,6 +707,7 @@ def plan_panel_runs(
         loaded_tiles=loaded,
         stack_size=S,
         n_quads=int(is_quad.sum()),
+        n_pairs=int(is_pair.sum()),
         n_singles=int(is_single.sum()),
     )
 
@@ -698,7 +715,7 @@ def plan_panel_runs(
 def _panel_run_kernel(
     # scalar prefetch
     gstart_ref, a_lo_ref, a_nch_ref, b_lo_ref, b_nch_ref,
-    obq_ref, qent_ref, obs_ref, sent_ref,
+    obq_ref, qent_ref, obp_ref, pent_ref, obs_ref, sent_ref,
     # tensor inputs (HBM-resident, FLAT: A^T tiles / column-major B tiles
     # stacked along the sublane dim)
     a_hbm, b_hbm,
@@ -806,6 +823,12 @@ def _panel_run_kernel(
             dot_run(qent_ref, runlen * tile),
             jnp.zeros((tile, tile), jnp.float32),
         )
+        if runlen > 2:
+            acc = jax.lax.fori_loop(
+                obp_ref[cell].astype(i32), obp_ref[cell + one].astype(i32),
+                dot_run(pent_ref, 2 * tile),
+                acc,
+            )
         acc = jax.lax.fori_loop(
             obs_ref[cell].astype(i32), obs_ref[cell + one].astype(i32),
             dot_run(sent_ref, tile),
@@ -837,7 +860,7 @@ def _panel_run_kernel(
 )
 def _panel_run_launch(
     a_tiles, b_tiles, cm_perm, gstart, a_lo, a_nch, b_lo, b_nch,
-    obq, qent, obs, sent, *,
+    obq, qent, obp, pent, obs, sent, *,
     n_groups: int, c_win: int, a_cap: int, b_cap: int, chunk: int,
     runlen: int, tile: int, n_c_tiles: int, interpret: bool,
     precision: str, out_dtype, loaded_tiles: int,
@@ -852,7 +875,7 @@ def _panel_run_launch(
     else:
         b_flat = b_tiles.reshape(-1, t)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=9,
+        num_scalar_prefetch=11,
         grid=(n_groups,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -868,7 +891,11 @@ def _panel_run_launch(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    s = int(qent.shape[0]) * runlen + int(sent.shape[0])
+    s = (
+        int(qent.shape[0]) * runlen
+        + int(pent.shape[0]) * 2
+        + int(sent.shape[0])
+    )
     return pl.pallas_call(
         partial(
             _panel_run_kernel,
@@ -892,7 +919,7 @@ def _panel_run_launch(
             transcendentals=0,
         ),
     )(
-        gstart, a_lo, a_nch, b_lo, b_nch, obq, qent, obs, sent,
+        gstart, a_lo, a_nch, b_lo, b_nch, obq, qent, obp, pent, obs, sent,
         a_flat, b_flat,
     )
 
@@ -935,6 +962,7 @@ def tile_stack_matmul_panel_runs(
         jnp.asarray(plan.a_lo), jnp.asarray(plan.a_nch),
         jnp.asarray(plan.b_lo), jnp.asarray(plan.b_nch),
         jnp.asarray(plan.obq), jnp.asarray(plan.qent),
+        jnp.asarray(plan.obp), jnp.asarray(plan.pent),
         jnp.asarray(plan.obs), jnp.asarray(plan.sent),
         n_groups=plan.n_groups, c_win=plan.c_win, a_cap=plan.a_cap,
         b_cap=plan.b_cap, chunk=plan.chunk, runlen=plan.runlen,

@@ -253,7 +253,9 @@ def test_run_plan_covers_stack_exactly(rng):
         chunk=4, runlen=R,
     )
     assert plan is not None
-    assert plan.n_quads * R + plan.n_singles >= len(stack)
+    assert (
+        plan.n_quads * R + plan.n_pairs * 2 + plan.n_singles >= len(stack)
+    )
     pos_of = np.empty(n, dtype=np.int64)
     pos_of[cm] = np.arange(n)
     ncell = plan.n_groups * plan.c_win
@@ -265,6 +267,11 @@ def test_run_plan_covers_stack_exactly(rng):
             p = int(plan.qent[e])
             sa, sb = p >> 16, p & 0xFFFF
             for r in range(R):
+                ents.append((plan.a_lo[g] + sa + r, plan.b_lo[g] + sb + r))
+        for e in range(plan.obp[cell], plan.obp[cell + 1]):
+            p = int(plan.pent[e])
+            sa, sb = p >> 16, p & 0xFFFF
+            for r in range(2):
                 ents.append((plan.a_lo[g] + sa + r, plan.b_lo[g] + sb + r))
         for e in range(plan.obs[cell], plan.obs[cell + 1]):
             p = int(plan.sent[e])
