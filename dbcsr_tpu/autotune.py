@@ -114,8 +114,12 @@ def _combo_ok(combo: dict) -> bool:
         and not combo.get("panel_bf16_inputs")
     ):
         return False
-    # the fused-run kernel has no per-entry dot loop to unroll: sweeping
-    # unroll under runlen>0 would measure identical launches
+    # the fused-run kernel has no per-entry dot loop to unroll, so
+    # unroll>1 under runlen>0 is redundant when fusion admits. When a
+    # class's run plan FALLS BACK to the per-entry kernel, unroll>1 is
+    # live again — but the runlen=0 rows sweep unroll on that identical
+    # fallback executor, so the optimum is still discovered; only the
+    # (runlen>0, unroll>1) duplicate measurements are pruned.
     if combo.get("panel_runlen", 0) > 0 and combo.get("panel_unroll", 1) > 1:
         return False
     return True
@@ -224,9 +228,11 @@ def coords_bandedness(rows, cols, n: int) -> float:
     """``1 - 3 * normalized mean |i - j|`` of a coordinate pattern:
     ~1 for banded/clustered, ~0 for uniform-random (whose spread is
     ~n/3). The single definition behind the ``bandedness`` feature and
-    the engine's panel-admission gates."""
+    the engine's panel-admission gates. Empty patterns score 1.0
+    (spread 0) — the value index_features always produced, kept so
+    nearest-class lookups for degenerate operands are unchanged."""
     if len(rows) == 0:
-        return 0.0
+        return 1.0
     spread = float(
         np.abs(
             np.asarray(rows, dtype=np.float64)

@@ -189,10 +189,13 @@ def _panel_knobs(cfg, a_index, b_index):
                 unroll = int(best.get("panel_unroll", unroll))
             if provs[4] == "D":
                 runlen = int(best.get("panel_runlen", runlen))
-    if not cfg.panel_bf16_inputs:
-        # a tuned cache above the f32 VMEM budget was only swept (and only
+    if provs[1] == "D" and not cfg.panel_bf16_inputs:
+        # a TUNED cache above the f32 VMEM budget was only swept (and only
         # fits) with bf16 slabs; bf16 is an accuracy knob that is never
-        # auto-applied, so clamp instead of compiling past the budget
+        # auto-applied, so clamp the table's value instead of compiling
+        # past the budget. User/env-pinned caches pass through untouched —
+        # the budget constant assumes tile=128 f32 slabs and must not
+        # override an explicit choice on other geometries.
         from ..autotune import PANEL_F32_CACHE_MAX
 
         cache = min(cache, PANEL_F32_CACHE_MAX)

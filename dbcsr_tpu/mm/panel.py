@@ -96,22 +96,37 @@ class PanelPlan:
         return self.loaded_tiles / (2.0 * max(self.stack_size, 1))
 
 
-def plan_panel_stack(
-    stack_np: np.ndarray,  # int32 [S, 3] (c, a, b) sorted by c
-    n_c_tiles: int,
-    n_a_tiles: int,
-    n_b_tiles: int,
-    *,
-    c_win: int = 16,
-    a_cap: int = 64,
-    b_cap: int = 64,
-    chunk: int = 8,
-    admit_ratio: Optional[float] = None,
-    unroll: int = 1,
-) -> Optional[PanelPlan]:
-    """Group the stack into ``c_win``-slot panels; None if inadmissible
-    (a group's A/B span exceeds the cache, the store is too small for the
-    chunk-padded slabs, or slab traffic does not beat the flat kernel)."""
+@dataclass
+class _SlabGroups:
+    """Shared group-window/span/slab computation for both panel planners
+    (the c_win grouping, ragged per-group entry gather, chunk-padded A/B
+    slab spans with the chunk-halving fallback, and the traffic
+    admission). ``b_map``, when given, remaps B slots (e.g. to the
+    column-major numbering) BEFORE spans and locals are computed."""
+
+    gstart: np.ndarray      # int64 [n_groups]
+    slot_bounds: np.ndarray  # int64 [n_c_tiles+1]
+    e0: np.ndarray          # int64 [n_groups]
+    glens: np.ndarray       # int64 [n_groups]
+    base: np.ndarray        # int64 [n_groups+1]
+    idx: np.ndarray         # int64 [tot] global stack row per entry
+    g_of_entry: np.ndarray  # int64 [tot]
+    a_col: np.ndarray       # int64 [tot]
+    b_col: np.ndarray       # int64 [tot] (remapped when b_map given)
+    a_lo: np.ndarray        # int64 [n_groups]
+    a_nch: np.ndarray       # int32 [n_groups]
+    b_lo: np.ndarray        # int64 [n_groups]
+    b_nch: np.ndarray       # int32 [n_groups]
+    chunk: int
+    c_win: int
+    n_groups: int
+    loaded: int
+
+
+def _plan_slab_groups(
+    stack_np, n_c_tiles, n_a_tiles, n_b_tiles, *,
+    c_win, a_cap, b_cap, chunk, admit_ratio, b_map=None,
+):
     S = len(stack_np)
     if S == 0 or n_c_tiles == 0:
         return None
@@ -146,6 +161,11 @@ def plan_panel_stack(
     idx = np.repeat(e0, glens) + offs
     g_of_entry = np.repeat(np.arange(n_groups, dtype=np.int64), glens)
 
+    a_col = stack_np[idx, 1].astype(np.int64)
+    b_col = stack_np[idx, 2].astype(np.int64)
+    if b_map is not None:
+        b_col = b_map[b_col]
+
     def spans(col):
         lo = np.zeros(n_groups, dtype=np.int64)
         hi = np.zeros(n_groups, dtype=np.int64)
@@ -156,8 +176,6 @@ def plan_panel_stack(
             hi[nz] = np.maximum.reduceat(col, starts) + 1
         return lo, hi
 
-    a_col = stack_np[idx, 1].astype(np.int64)
-    b_col = stack_np[idx, 2].astype(np.int64)
     a_min, a_hi = spans(a_col)
     b_min, b_hi = spans(b_col)
 
@@ -191,32 +209,64 @@ def plan_panel_stack(
     loaded = int((a_nch.astype(np.int64) + b_nch).sum()) * chunk
     if admit_ratio is not None and loaded > admit_ratio * 2.0 * S:
         return None
+    return _SlabGroups(
+        gstart=gstart, slot_bounds=slot_bounds, e0=e0, glens=glens,
+        base=base, idx=idx, g_of_entry=g_of_entry, a_col=a_col,
+        b_col=b_col, a_lo=a_lo, a_nch=a_nch, b_lo=b_lo, b_nch=b_nch,
+        chunk=chunk, c_win=c_win, n_groups=n_groups, loaded=loaded,
+    )
 
-    a_local = a_col - a_lo[g_of_entry]
-    b_local = b_col - b_lo[g_of_entry]
+
+
+def plan_panel_stack(
+    stack_np: np.ndarray,  # int32 [S, 3] (c, a, b) sorted by c
+    n_c_tiles: int,
+    n_a_tiles: int,
+    n_b_tiles: int,
+    *,
+    c_win: int = 16,
+    a_cap: int = 64,
+    b_cap: int = 64,
+    chunk: int = 8,
+    admit_ratio: Optional[float] = None,
+    unroll: int = 1,
+) -> Optional[PanelPlan]:
+    """Group the stack into ``c_win``-slot panels; None if inadmissible
+    (a group's A/B span exceeds the cache, the store is too small for the
+    chunk-padded slabs, or slab traffic does not beat the flat kernel)."""
+    S = len(stack_np)
+    sg = _plan_slab_groups(
+        stack_np, n_c_tiles, n_a_tiles, n_b_tiles, c_win=c_win,
+        a_cap=a_cap, b_cap=b_cap, chunk=chunk, admit_ratio=admit_ratio,
+    )
+    if sg is None:
+        return None
+
+    a_local = sg.a_col - sg.a_lo[sg.g_of_entry]
+    b_local = sg.b_col - sg.b_lo[sg.g_of_entry]
     assert a_local.min(initial=0) >= 0 and b_local.min(initial=0) >= 0
     entries = ((a_local << 16) | b_local).astype(np.int32)
 
     # per (group, local slot) entry offsets into the regrouped entry array
-    l_idx = gstart[:, None] + np.arange(c_win, dtype=np.int64)[None, :]
-    ob = base[:-1, None] + slot_bounds[l_idx] - e0[:, None]
-    obounds = np.append(ob.ravel(), tot).astype(np.int32)
+    l_idx = sg.gstart[:, None] + np.arange(sg.c_win, dtype=np.int64)[None, :]
+    ob = sg.base[:-1, None] + sg.slot_bounds[l_idx] - sg.e0[:, None]
+    obounds = np.append(ob.ravel(), len(sg.idx)).astype(np.int32)
 
     return PanelPlan(
-        gstart=gstart.astype(np.int32),
-        a_lo=a_lo.astype(np.int32),
-        a_nch=a_nch,
-        b_lo=b_lo.astype(np.int32),
-        b_nch=b_nch,
+        gstart=sg.gstart.astype(np.int32),
+        a_lo=sg.a_lo.astype(np.int32),
+        a_nch=sg.a_nch,
+        b_lo=sg.b_lo.astype(np.int32),
+        b_nch=sg.b_nch,
         obounds=obounds,
         entries=entries,
-        n_groups=n_groups,
-        c_win=c_win,
+        n_groups=sg.n_groups,
+        c_win=sg.c_win,
         a_cap=a_cap,
         b_cap=b_cap,
-        chunk=chunk,
+        chunk=sg.chunk,
         n_c_tiles=n_c_tiles,
-        loaded_tiles=loaded,
+        loaded_tiles=sg.loaded,
         stack_size=S,
         unroll=unroll,
     )
@@ -552,87 +602,39 @@ def plan_panel_runs(
     caller's store order (``argsort`` of column-major keys); None means
     the store is already in the desired order."""
     S = len(stack_np)
-    if S == 0 or n_c_tiles == 0 or runlen < 2:
+    if runlen < 2:
         return None
-    chunk = max(1, min(chunk, n_a_tiles, n_b_tiles))
-    c_col = stack_np[:, 0].astype(np.int64)
-    c_win = min(c_win, n_c_tiles)
-    n_groups = -(-n_c_tiles // c_win)
-    gstart = np.minimum(
-        np.arange(n_groups, dtype=np.int64) * c_win, n_c_tiles - c_win
-    )
-
-    slot_bounds = np.searchsorted(c_col, np.arange(n_c_tiles + 1)).astype(
-        np.int64
-    )
-    e0 = slot_bounds[gstart]
-    e1 = slot_bounds[gstart + c_win]
-    glens = e1 - e0
-    tot = int(glens.sum())
-    base = np.concatenate(([0], np.cumsum(glens)))
-    offs = np.arange(tot, dtype=np.int64) - np.repeat(base[:-1], glens)
-    idx = np.repeat(e0, glens) + offs
-    g_of_entry = np.repeat(np.arange(n_groups, dtype=np.int64), glens)
-
-    a_col = stack_np[idx, 1].astype(np.int64)
-    b_old = stack_np[idx, 2].astype(np.int64)
+    b_map = None
     if b_cm_perm is not None:
-        b_pos_of_old = np.empty(n_b_tiles, dtype=np.int64)
-        b_pos_of_old[np.asarray(b_cm_perm, dtype=np.int64)] = np.arange(
+        b_map = np.empty(n_b_tiles, dtype=np.int64)
+        b_map[np.asarray(b_cm_perm, dtype=np.int64)] = np.arange(
             n_b_tiles, dtype=np.int64
         )
-        b_col = b_pos_of_old[b_old]
-    else:
-        b_col = b_old
+    sg = _plan_slab_groups(
+        stack_np, n_c_tiles, n_a_tiles, n_b_tiles, c_win=c_win,
+        a_cap=a_cap, b_cap=b_cap, chunk=chunk, admit_ratio=admit_ratio,
+        b_map=b_map,
+    )
+    if sg is None:
+        return None
+    c_win = sg.c_win
+    n_groups = sg.n_groups
+    gstart = sg.gstart
+    tot = len(sg.idx)
 
     # sort each (group, C slot) segment by A slot so consecutive-k runs
     # are adjacent (within-slot order is free: the accumulator is f32
-    # either way and slot entry COUNTS are what obounds encode)
-    seg = g_of_entry * np.int64(n_c_tiles) + c_col[idx]
-    order2 = np.lexsort((a_col, seg))
-    a_col = a_col[order2]
-    b_col = b_col[order2]
+    # either way and slot entry COUNTS are what obounds encode). Spans
+    # and slabs are order-invariant, so the helper's results carry over.
+    c_of_entry = stack_np[sg.idx, 0].astype(np.int64)
+    seg = sg.g_of_entry * np.int64(n_c_tiles) + c_of_entry
+    order2 = np.lexsort((sg.a_col, seg))
+    a_col = sg.a_col[order2]
+    b_col = sg.b_col[order2]
     seg = seg[order2]
-    g_of_entry = g_of_entry[order2]
-
-    def spans(col):
-        lo = np.zeros(n_groups, dtype=np.int64)
-        hi = np.zeros(n_groups, dtype=np.int64)
-        nz = glens > 0
-        if nz.any():
-            starts = base[:-1][nz]
-            lo[nz] = np.minimum.reduceat(col, starts)
-            hi[nz] = np.maximum.reduceat(col, starts) + 1
-        return lo, hi
-
-    a_min, a_hi = spans(a_col)
-    b_min, b_hi = spans(b_col)
-
-    def pad_spans(mn, hi, cap, n_store, ch):
-        span = hi - mn
-        spn = -(-span // ch) * ch
-        spn = np.maximum(spn, ch)
-        if spn.max(initial=0) > cap or n_store < int(spn.max(initial=0)):
-            return None, None
-        lo = np.maximum(0, np.minimum(mn, n_store - spn))
-        return lo.astype(np.int64), (spn // ch).astype(np.int32)
-
-    a_lo = b_lo = None
-    while chunk >= 1:
-        a_lo, a_nch = pad_spans(a_min, a_hi, a_cap, n_a_tiles, chunk)
-        if a_lo is not None:
-            b_lo, b_nch = pad_spans(b_min, b_hi, b_cap, n_b_tiles, chunk)
-        if a_lo is not None and b_lo is not None:
-            break
-        if chunk == 1:
-            return None
-        chunk //= 2
-    if a_lo is None or b_lo is None:
-        return None
-
-    loaded = int((a_nch.astype(np.int64) + b_nch).sum()) * chunk
-    if admit_ratio is not None and loaded > admit_ratio * 2.0 * S:
-        return None
+    g_of_entry = sg.g_of_entry[order2]
+    c_of_entry = c_of_entry[order2]
+    a_lo, b_lo = sg.a_lo, sg.b_lo
 
     # run detection on slab-local slot numbers
     a_local = a_col - a_lo[g_of_entry]
@@ -667,7 +669,7 @@ def plan_panel_runs(
 
     # per (group, local slot) offsets for each entry family; entries are
     # already ordered by (group, slot)
-    cell = g_of_entry * np.int64(c_win) + (c_col[idx][order2] - gstart[g_of_entry])
+    cell = g_of_entry * np.int64(c_win) + (c_of_entry - gstart[g_of_entry])
     ncell = n_groups * c_win
 
     def cell_bounds(mask):
@@ -683,9 +685,9 @@ def plan_panel_runs(
     return PanelRunPlan(
         gstart=gstart.astype(np.int32),
         a_lo=a_lo.astype(np.int32),
-        a_nch=a_nch,
+        a_nch=sg.a_nch,
         b_lo=b_lo.astype(np.int32),
-        b_nch=b_nch,
+        b_nch=sg.b_nch,
         obq=obq,
         qent=qent if len(qent) else np.zeros(1, dtype=np.int32),
         obp=obp,
@@ -701,10 +703,10 @@ def plan_panel_runs(
         c_win=c_win,
         a_cap=a_cap,
         b_cap=b_cap,
-        chunk=chunk,
+        chunk=sg.chunk,
         runlen=runlen,
         n_c_tiles=n_c_tiles,
-        loaded_tiles=loaded,
+        loaded_tiles=sg.loaded,
         stack_size=S,
         n_quads=int(is_quad.sum()),
         n_pairs=int(is_pair.sum()),

@@ -157,7 +157,51 @@ def validate_kernels(*, tile: int = 128, n_tiles: int = 4, seed: int = 0,
     if verbose or not ok_p:
         print(f"validate_kernels[panel]: max err {err_p:.3e} "
               f"{'OK' if ok_p else 'FAILED'}")
-    return ok and ok_g and ok_b and ok_p
+
+    # run-fused panel kernel: banded stack (consecutive-k runs exist under
+    # the col-major B numbering) exercising all three dot tiers
+    # (quads/pairs/singles), Pallas vs XLA twin
+    from .mm.panel import plan_panel_runs, tile_stack_matmul_panel_runs
+
+    mt_r, w_r = 12, 2
+    rc = np.array(
+        [(r, c) for r in range(mt_r) for c in range(mt_r)
+         if abs(r - c) <= w_r],
+        dtype=np.int64,
+    )
+    slot_of = {(r, c): i for i, (r, c) in enumerate(rc)}
+    trips = sorted(
+        (slot_of[(r, c)], sa, slot_of[(k, c)])
+        for (r, k), sa in slot_of.items()
+        for c in range(max(0, k - w_r, r - w_r),
+                       min(mt_r, k + w_r + 1, r + w_r + 1))
+    )
+    rstack = np.asarray(trips, dtype=np.int32)
+    n_r = len(rc)
+    ar = jnp.asarray(rng.standard_normal((n_r, tile, tile)), jnp.float32)
+    br = jnp.asarray(rng.standard_normal((n_r, tile, tile)), jnp.float32)
+    cm = np.argsort(rc[:, 1] * mt_r + rc[:, 0]).astype(np.int32)
+    rplan = plan_panel_runs(
+        rstack, n_r, n_r, n_r, b_cm_perm=cm, c_win=8, a_cap=32, b_cap=32,
+        chunk=4, runlen=3,
+    )
+    ok_rplan = rplan is not None and rplan.n_quads > 0 and rplan.n_pairs > 0
+    if not ok_rplan:
+        print(f"validate_kernels[panel-runs]: plan FAILED ({rplan})")
+        return False
+    got_r = tile_stack_matmul_panel_runs(
+        ar, br, rstack, n_c_tiles=n_r, plan=rplan, precision="highest"
+    )
+    ref_r = tile_stack_matmul_xla(
+        ar, br, jnp.asarray(rstack), n_c_tiles=n_r, precision="highest"
+    )
+    err_r = float(jnp.max(jnp.abs(got_r - ref_r)))
+    scale_r = float(jnp.max(jnp.abs(ref_r))) or 1.0
+    ok_r = err_r <= 1e-4 * scale_r
+    if verbose or not ok_r:
+        print(f"validate_kernels[panel-runs]: max err {err_r:.3e} "
+              f"{'OK' if ok_r else 'FAILED'}")
+    return ok and ok_g and ok_b and ok_p and ok_r
 
 
 def to_dense_local(m: BCSRMatrix) -> np.ndarray:

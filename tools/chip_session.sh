@@ -1,8 +1,9 @@
 #!/bin/bash
 # Round-3 chip-window orchestrator: runs the queued on-chip work in
 # priority order, one process at a time, each under timeout, logging to
-# /tmp/chip_r3/. Safe to re-run; steps that already produced their log
-# are skipped (delete the log to redo).
+# /tmp/chip_r3/. Safe to re-run: a step is skipped ONLY if its marker
+# file says "ok" (failed, timed-out, or interrupted steps are retried;
+# delete a marker to force a redo).
 set -u
 LOG=/tmp/chip_r3
 mkdir -p $LOG
@@ -10,10 +11,11 @@ cd /root/repo
 
 step() {  # step <name> <timeout_s> <cmd...>
   local name=$1 to=$2; shift 2
-  if [ -s "$LOG/$name.log" ] && ! grep -q TIMEOUT "$LOG/$name.marker" 2>/dev/null; then
-    echo "== $name: already done (rm $LOG/$name.log to redo)"; return 0
+  if [ "$(cat "$LOG/$name.marker" 2>/dev/null)" = ok ]; then
+    echo "== $name: already done (rm $LOG/$name.marker to redo)"; return 0
   fi
   echo "== $name (timeout ${to}s)"
+  rm -f "$LOG/$name.marker"
   if timeout "$to" "$@" > "$LOG/$name.log" 2>&1; then
     echo ok > "$LOG/$name.marker"
   else
@@ -25,38 +27,52 @@ step() {  # step <name> <timeout_s> <cmd...>
   fi
 }
 
-# 0. probe (fast fail if the tunnel is down)
-if ! timeout 90 python /tmp/chip_probe.py > "$LOG/probe.log" 2>&1; then
-  echo "chip DOWN — aborting"; exit 1
+# 0. probe (fast fail if the tunnel is down; distinguish script errors)
+if [ ! -f tools/chip_probe.py ]; then
+  echo "tools/chip_probe.py missing — broken checkout?"; exit 2
+fi
+if ! timeout 90 python tools/chip_probe.py > "$LOG/probe.log" 2>&1; then
+  rc=$?
+  if [ $rc -eq 124 ] || [ $rc -eq 143 ]; then
+    echo "chip DOWN (probe timed out) — aborting"; exit 1
+  fi
+  echo "probe FAILED rc=$rc (NOT a timeout — inspect $LOG/probe.log):"
+  tail -5 "$LOG/probe.log"; exit 2
 fi
 echo "chip UP"
 
-# 1. panel knob sweep on the bench banded workload (the 1.3 TFLOP/s bar)
+# 1. on-chip kernel parity gate FIRST: the interpret-mode CPU tests
+#    cannot catch Mosaic miscompiles, and everything below benchmarks or
+#    records numbers from the compiled kernels
+step validate 1800 python -c "import dbcsr_tpu as dt; assert dt.testing.validate_kernels(), 'kernel validation failed'"
+
+# 2. panel knob sweep on the bench banded workload (the 1.3 TFLOP/s bar)
 step panel_probe 3000 python tools/panel_probe.py
 
-# 2. f64 emulation roofline (ARCHITECTURE entry)
+# 3. f64 emulation roofline (ARCHITECTURE entry)
 step f64_roofline 1800 python tools/f64_roofline.py
 
-# 3. bench captures (banded + clustered + headline)
+# 4. bench captures (banded + clustered + headline)
 step bench_banded 900 python bench.py banded
 step bench_clustered 1200 python bench.py clustered
 step bench_block23 900 python bench.py
 
-# 4. targeted re-tune of the banded classes (panel/stack/band grids),
+# 5. targeted re-tune of the banded classes (panel/stack/band grids),
 #    merged into the device table
 step autotune 5400 python -m dbcsr_tpu.autotune \
   --workloads banded_fine banded_fine_large --drivers panel stack band \
   --merge
 
-# 5. re-capture bench after the tuned table update
+# 6. re-capture bench after the tuned table update
 step bench_banded2 900 python bench.py banded
 
-# 6. curated on-chip battery
+# 7. curated on-chip battery
 step tpu_check 3000 make tpu-check
 
-# 7. checksum refs for the four new perf recipes
+# 8. checksum refs for the four new perf recipes
 for f in square_dense rect1_sparse rect2_sparse singleblock; do
   step perf_$f 1200 python -m dbcsr_tpu.perf tests/inputs/$f.perf --emit-checksum
 done
 
-echo "== all steps attempted; logs in $LOG"
+echo "== all steps attempted; markers:"
+for m in "$LOG"/*.marker; do echo "  $(basename "$m" .marker): $(cat "$m")"; done
