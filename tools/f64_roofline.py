@@ -79,13 +79,18 @@ def main():
     # engine f64 paths: tile-dense (H2O-like) and banded sparse (stack-XLA)
     rng = np.random.default_rng(0)
     rbs = np.full(96, 23, dtype=np.int32)  # 2208 elements, tile-dense
-    a = dt.random_matrix(rbs, rbs, 0.8, rng, dtype=np.float64, name="A")
-    b = dt.random_matrix(rbs, rbs, 0.8, rng, dtype=np.float64, name="B")
-    with config_override(matmul_precision="highest"):
-        fn, _, eff = build_multiply_executor("N", "N", a, b)
-        per = steady_state_time(fn, (a.data, b.data))
-    print(json.dumps({"kernel": "engine_dense_f64_eff",
-                      "tflops": round(eff / per / 1e12, 2)}), flush=True)
+    try:
+        a = dt.random_matrix(rbs, rbs, 0.8, rng, dtype=np.float64, name="A")
+        b = dt.random_matrix(rbs, rbs, 0.8, rng, dtype=np.float64, name="B")
+        with config_override(matmul_precision="highest"):
+            fn, _, eff = build_multiply_executor("N", "N", a, b)
+            per = steady_state_time(fn, (a.data, b.data))
+        print(json.dumps({"kernel": "engine_dense_f64_eff",
+                          "tflops": round(eff / per / 1e12, 2)}), flush=True)
+    except Exception as e:
+        print(json.dumps({"kernel": "engine_dense_f64_eff",
+                          "error": f"{type(e).__name__}: {e}"[:160]}),
+              flush=True)
 
     from dbcsr_tpu.block.bcsr import BCSRMatrix
     from dbcsr_tpu.block.index import build_index
@@ -103,14 +108,19 @@ def main():
         jax.random.normal(jax.random.PRNGKey(0), (lay.n_tiles, 128, 128),
                           jnp.float32) * valid_mask(idx, 128)
     ).astype(jnp.float64)
-    a = BCSRMatrix(name="A", index=idx, data=data)
-    b = BCSRMatrix(name="B", index=idx, data=data * 0.5)
-    with config_override(matmul_precision="highest"):
-        fn, _, eff = build_multiply_executor("N", "N", a, b)
-        per = steady_state_time(fn, (a.data, b.data))
-    print(json.dumps({"kernel": "engine_banded_f64_eff",
-                      "gflops": round(eff / per / 1e9, 1),
-                      "ms": round(per * 1e3, 3)}), flush=True)
+    try:
+        a = BCSRMatrix(name="A", index=idx, data=data)
+        b = BCSRMatrix(name="B", index=idx, data=data * 0.5)
+        with config_override(matmul_precision="highest"):
+            fn, _, eff = build_multiply_executor("N", "N", a, b)
+            per = steady_state_time(fn, (a.data, b.data))
+        print(json.dumps({"kernel": "engine_banded_f64_eff",
+                          "gflops": round(eff / per / 1e9, 1),
+                          "ms": round(per * 1e3, 3)}), flush=True)
+    except Exception as e:
+        print(json.dumps({"kernel": "engine_banded_f64_eff",
+                          "error": f"{type(e).__name__}: {e}"[:160]}),
+              flush=True)
 
 
 if __name__ == "__main__":
