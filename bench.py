@@ -25,11 +25,67 @@ vs_baseline = achieved effective GFLOP/s / (0.70 * chip peak GFLOP/s),
 so >= 1.0 means the BASELINE target is met.
 """
 import json
+import os
+import subprocess
 import sys
 import time
 from functools import partial
 
 import numpy as np
+
+_METRIC_BY_CONFIG = {
+    "block23": "block23_mm_throughput",
+    "sparse5": "sparse5_mm_throughput",
+    "mixed": "mixed_mm_throughput",
+    "clustered": "clustered_mm_throughput",
+    "banded": "banded_mm_throughput",
+}
+
+
+def _backend_reachable(timeout_s: float = 90.0) -> bool:
+    """Probe the JAX backend in a THROWAWAY subprocess before committing
+    this process to it.
+
+    Two axon failure modes make an in-process probe unusable (memory
+    notes axon-complex-unsupported / axon-tunnel-serialization): a failed
+    backend init poisons the process for good, and a down tunnel hangs
+    ``jax.devices()`` forever rather than erroring. A subprocess under a
+    hard timeout converts both into a clean boolean. The subprocess
+    inherits the environment, so JAX_PLATFORMS overrides (including the
+    CPU test configuration) probe exactly what the benchmark would use.
+    """
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "x = jnp.ones((8, 8), jnp.bfloat16)\n"
+        "print(jax.devices()[0].platform, float((x @ x).sum()))\n"
+    )
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return res.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def _emit_skip(config: str, reason: str) -> None:
+    """One structured JSON line so a capture harness can tell an outage
+    from a regression (an rc!=0 BENCH record should always mean the
+    latter). Mirrors the normal record's shape; ``value`` 0.0 plus the
+    ``skipped`` key marks it unusable as a perf number."""
+    print(
+        json.dumps(
+            {
+                "metric": _METRIC_BY_CONFIG.get(config, config),
+                "value": 0.0,
+                "unit": "GFLOP/s",
+                "vs_baseline": 0.0,
+                "skipped": reason,
+            }
+        )
+    )
 
 
 def _chip_peak_flops() -> float:
@@ -52,6 +108,12 @@ def _chip_peak_flops() -> float:
 
 
 def main():
+    config = sys.argv[1] if len(sys.argv) > 1 else "block23"
+    probe_timeout = float(os.environ.get("DBCSR_BENCH_PROBE_TIMEOUT", "90"))
+    if not _backend_reachable(probe_timeout):
+        _emit_skip(config, "tpu unreachable")
+        return
+
     import jax
     import jax.numpy as jnp
 
@@ -63,7 +125,6 @@ def main():
     # TPU-native tradeoff; 'highest' = bf16x3 is the accuracy default)
     dt.set_config(matmul_precision="default")
 
-    config = sys.argv[1] if len(sys.argv) > 1 else "block23"
     rng = np.random.default_rng(0)
     metric = "block23_mm_throughput"
     if config == "block23":
@@ -129,7 +190,14 @@ def main():
         sr, sc = sig[i[keep]], sig[j[keep]]
         a0 = store_mat(sr, sc, rbs_s, "A0")  # scrambled numbering
         b0 = store_mat(sr, sc, rbs_s, "B0", 0.5)
-        pm, _, _ = locality_block_permutation(a0.index)
+        perm = locality_block_permutation(a0.index)
+        if perm is None:
+            raise SystemExit(
+                "clustered bench: locality_block_permutation declined the "
+                "pattern (degenerate input) — the workload generator is "
+                "supposed to produce a reorderable banded structure"
+            )
+        pm, _, _ = perm
         rbs_r = np.empty(n, np.int32)
         rbs_r[pm[sig]] = rbs
         a = store_mat(pm[sr], pm[sc], rbs_r, "A")  # RCM-recovered numbering

@@ -427,9 +427,15 @@ def nfullcols_total(cell: Cell) -> int:
 def get_infovar(cell: Cell, which: str, out_addr: int, size: int) -> None:
     """One of the reference's ``c_dbcsr_get_${var}$`` info arrays
     (``/root/reference/src/dbcsr.h:282-287``) copied into the caller's
-    int buffer (first ``min(size, len)`` entries). Conventions: 0-based
-    block element offsets; local rows/cols == all rows/cols on one
-    controller; proc dists are all-zero for undistributed matrices."""
+    int buffer (first ``min(size, len)`` entries). Conventions match the
+    reference's C API exactly: its ``c_dbcsr_get_info`` converts
+    ``local_rows``/``local_cols``/``row_blk_offset``/``col_blk_offset``
+    to 0-based before returning them to C callers
+    (``/root/reference/src/dbcsr_api_c.F:1373-1380``,
+    ``f_var = var - 1``), so 0-based is the reference C convention, not
+    a deviation from it. Local rows/cols == all rows/cols on one
+    controller; proc dists are ranks (0-based in the reference too) and
+    all-zero for undistributed matrices."""
     m = _mat(cell)
     ix = m.index
     if which == "local_rows":

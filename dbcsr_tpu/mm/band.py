@@ -330,7 +330,7 @@ def _band_product_pallas(
             pl.BlockSpec(
                 (wa, 1, tile, tile), lambda m: (zero, m, zero, zero)
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (wc, 1, tile, tile), lambda m: (zero, m, zero, zero)

@@ -218,6 +218,42 @@ def _maybe_panel_plan(*args, **kwargs):
     return plan
 
 
+def _cached_panel_plan(
+    cfg, tplan, a_index, b_index, ta, ca, tb, cb, n_a, n_b, driver, tuned,
+    b_coords,
+):
+    """Panel planning is O(S log S) host work per call; iterative one-shot
+    callers (``dt.multiply`` per SCF step) repeat it on an identical
+    pattern every step. Cache the outcome — INCLUDING the None
+    "inadmissible" verdict — in the plan cache, mirroring
+    ``sharded_multiply``'s executor caching (round-3 advisor finding).
+    The key covers everything the plan depends on: operand index content
+    + transpose/conj orientation (which fix ``tplan.stack`` and
+    ``b_coords``), store sizes, driver/tuned selection, and the public
+    config fields (panel knobs, admission ratio)."""
+    from .plancache import get_plan_cache
+
+    pcache = get_plan_cache()
+    cfg_fp = repr([(name, getattr(cfg, name)) for name in cfg.params()])
+    key = pcache.key(
+        a_index, ta, b_index, tb,
+        extra=("panel_plan", ca, cb, n_a, n_b, driver, tuned, cfg_fp),
+    )
+    cached = pcache.get(key)
+    if cached is not None:
+        plan = cached[0]
+        _last_panel_plan_kind[0] = (
+            None if plan is None else type(plan).__name__
+        )
+        return plan
+    plan = _maybe_panel_plan(
+        cfg, tplan, a_index, b_index, n_a, n_b, driver, tuned,
+        b_coords=b_coords,
+    )
+    pcache.put(key, (plan,))
+    return plan
+
+
 def _maybe_panel_plan_impl(
     cfg, tplan, a_index, b_index, n_a, n_b, driver, tuned,
     banded_hint: Optional[float] = None,
@@ -628,8 +664,8 @@ def _execute_local(
                     if driver == "auto"
                     else None
                 )
-                pplan = _maybe_panel_plan(
-                    cfg, tplan, a.index, b.index,
+                pplan = _cached_panel_plan(
+                    cfg, tplan, a.index, b.index, ta, ca, tb, cb,
                     a_st.shape[0], b_st.shape[0], driver, tuned,
                     b_coords=b_coords,
                 )

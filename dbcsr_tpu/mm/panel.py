@@ -398,16 +398,21 @@ def _panel_kernel(
 
     jax.lax.fori_loop(0, cwin_c, l_body, 0)
 
+    # the clamped last group's C window may overlap group g-1's (gstart is
+    # clamped so gstart + c_win <= n_c_tiles): drain the previous output
+    # DMA BEFORE starting ours so two in-flight DMAs never target the same
+    # HBM addresses — concurrent same-address writes are not guaranteed
+    # benign even when the data is bit-identical
+    @pl.when((g == np.int32(n_groups) - one) & (g >= one))
+    def _():
+        out_dma(g - one, jnp.remainder(g + one, two)).wait()
+
     dma = out_dma(g, buf)
     dma.start()
 
-    # drain outstanding output DMAs at the last step
+    # drain our own output DMA at the last step
     @pl.when(g == np.int32(n_groups) - one)
     def _():
-        @pl.when(g >= one)
-        def _():
-            out_dma(g - one, jnp.remainder(g + one, two)).wait()
-
         dma.wait()
 
 
@@ -841,15 +846,17 @@ def _panel_run_kernel(
 
     jax.lax.fori_loop(0, cwin_c, l_body, 0)
 
+    # same clamped-last-group overlap rule as _panel_kernel: drain the
+    # previous output DMA before starting an overlapping one
+    @pl.when((g == np.int32(n_groups) - one) & (g >= one))
+    def _():
+        out_dma(g - one, jnp.remainder(g + one, two)).wait()
+
     dma = out_dma(g, buf)
     dma.start()
 
     @pl.when(g == np.int32(n_groups) - one)
     def _():
-        @pl.when(g >= one)
-        def _():
-            out_dma(g - one, jnp.remainder(g + one, two)).wait()
-
         dma.wait()
 
 

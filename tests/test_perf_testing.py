@@ -143,3 +143,30 @@ def test_impose_sparsity():
     out = testing.impose_sparsity(dense, m)
     assert out[0, 2] == dense[0, 2]
     assert out[0, 0] == 0.0 and out[2, 2] == 0.0
+
+
+def test_bench_outage_skip_record():
+    """bench.py with an unreachable backend emits ONE structured skip JSON
+    line at rc=0 (VERDICT r3 item 6: an rc!=0 BENCH capture must always
+    mean a real regression, never an outage). Simulated by pointing
+    JAX_PLATFORMS at a platform that does not exist, which makes the
+    subprocess probe fail fast."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "nonexistent_backend"
+    env["DBCSR_BENCH_PROBE_TIMEOUT"] = "30"
+    res = subprocess.run(
+        [sys.executable, os.path.join(HERE, "..", "bench.py"), "banded"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        env=env,
+    )
+    assert res.returncode == 0, res.stderr
+    rec = json.loads(res.stdout.strip().splitlines()[-1])
+    assert rec["skipped"] == "tpu unreachable"
+    assert rec["metric"] == "banded_mm_throughput"
+    assert rec["value"] == 0.0 and rec["vs_baseline"] == 0.0
