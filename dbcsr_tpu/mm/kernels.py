@@ -447,7 +447,7 @@ def _grouped_kernel(
         ).start()
         return 0
 
-    jax.lax.fori_loop(0, na, start_a, 0)
+    jax.lax.fori_loop(np.int32(0), na, start_a, 0)
 
     e0 = ebounds_ref[g].astype(i32)
     ne = ebounds_ref[g + one].astype(i32) - e0
@@ -464,7 +464,7 @@ def _grouped_kernel(
         b_dma(j).start()
         return 0
 
-    jax.lax.fori_loop(0, jnp.minimum(ne, ring_c), warm, 0)
+    jax.lax.fori_loop(np.int32(0), jnp.minimum(ne, ring_c), warm, 0)
 
     def wait_a(i, _):
         i = i.astype(i32)
@@ -473,7 +473,7 @@ def _grouped_kernel(
         ).wait()
         return 0
 
-    jax.lax.fori_loop(0, na, wait_a, 0)
+    jax.lax.fori_loop(np.int32(0), na, wait_a, 0)
 
     def body(j, _):
         j = j.astype(i32)
@@ -500,7 +500,7 @@ def _grouped_kernel(
         )[None]
         return 0
 
-    jax.lax.fori_loop(0, ne, body, 0)
+    jax.lax.fori_loop(np.int32(0), ne, body, 0)
 
 
 @partial(

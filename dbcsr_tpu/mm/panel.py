@@ -313,13 +313,13 @@ def _panel_kernel(
             a_dma(grp, slot, i.astype(i32)).start()
             return 0
 
-        jax.lax.fori_loop(0, a_nch_ref[grp].astype(i32), a_body, 0)
+        jax.lax.fori_loop(np.int32(0), a_nch_ref[grp].astype(i32), a_body, 0)
 
         def b_body(i, _):
             b_dma(grp, slot, i.astype(i32)).start()
             return 0
 
-        jax.lax.fori_loop(0, b_nch_ref[grp].astype(i32), b_body, 0)
+        jax.lax.fori_loop(np.int32(0), b_nch_ref[grp].astype(i32), b_body, 0)
 
     @pl.when(g == 0)
     def _():
@@ -334,13 +334,13 @@ def _panel_kernel(
         a_dma(g, buf, i.astype(i32)).wait()
         return 0
 
-    jax.lax.fori_loop(0, a_nch_ref[g].astype(i32), a_wait, 0)
+    jax.lax.fori_loop(np.int32(0), a_nch_ref[g].astype(i32), a_wait, 0)
 
     def b_wait(i, _):
         b_dma(g, buf, i.astype(i32)).wait()
         return 0
 
-    jax.lax.fori_loop(0, b_nch_ref[g].astype(i32), b_wait, 0)
+    jax.lax.fori_loop(np.int32(0), b_nch_ref[g].astype(i32), b_wait, 0)
 
     def out_dma(grp, slot):
         return pltpu.make_async_copy(
@@ -357,8 +357,13 @@ def _panel_kernel(
 
     tile = c_buf.shape[-1]
 
-    def l_body(l, _):
-        l = l.astype(i32)
+    # STATIC-bound fori_loop: under jax_enable_x64 the induction variable
+    # is int64 regardless of the bounds' dtype, and a 64->32 narrowing
+    # convert inside a Mosaic kernel recurses forever in the lowering
+    # (JAX 0.9 _convert_helper). Carry our own i32 counter instead and
+    # ignore the induction variable.
+    def l_body(_, li):
+        l = li
         e0 = ob_ref[g * cwin_c + l].astype(i32)
         e1 = ob_ref[g * cwin_c + l + one].astype(i32)
 
@@ -391,12 +396,12 @@ def _panel_kernel(
                 return acc
 
             n_full = jax.lax.div(e1 - e0, u)
-            acc = jax.lax.fori_loop(0, n_full, chunk_body, zero_acc)
+            acc = jax.lax.fori_loop(np.int32(0), n_full, chunk_body, zero_acc)
             acc = jax.lax.fori_loop(e0 + n_full * u, e1, dot_at, acc)
         c_buf[buf, pl.ds(l, 1)] = acc.astype(c_buf.dtype)[None]
-        return 0
+        return li + one
 
-    jax.lax.fori_loop(0, cwin_c, l_body, 0)
+    jax.lax.fori_loop(np.int32(0), cwin_c, l_body, np.int32(0))
 
     # the clamped last group's C window may overlap group g-1's (gstart is
     # clamped so gstart + c_win <= n_c_tiles): drain the previous output
@@ -764,13 +769,13 @@ def _panel_run_kernel(
             a_dma(grp, slot, i.astype(i32)).start()
             return 0
 
-        jax.lax.fori_loop(0, a_nch_ref[grp].astype(i32), a_body, 0)
+        jax.lax.fori_loop(np.int32(0), a_nch_ref[grp].astype(i32), a_body, 0)
 
         def b_body(i, _):
             b_dma(grp, slot, i.astype(i32)).start()
             return 0
 
-        jax.lax.fori_loop(0, b_nch_ref[grp].astype(i32), b_body, 0)
+        jax.lax.fori_loop(np.int32(0), b_nch_ref[grp].astype(i32), b_body, 0)
 
     @pl.when(g == 0)
     def _():
@@ -784,13 +789,13 @@ def _panel_run_kernel(
         a_dma(g, buf, i.astype(i32)).wait()
         return 0
 
-    jax.lax.fori_loop(0, a_nch_ref[g].astype(i32), a_wait, 0)
+    jax.lax.fori_loop(np.int32(0), a_nch_ref[g].astype(i32), a_wait, 0)
 
     def b_wait(i, _):
         b_dma(g, buf, i.astype(i32)).wait()
         return 0
 
-    jax.lax.fori_loop(0, b_nch_ref[g].astype(i32), b_wait, 0)
+    jax.lax.fori_loop(np.int32(0), b_nch_ref[g].astype(i32), b_wait, 0)
 
     def out_dma(grp, slot):
         return pltpu.make_async_copy(
@@ -805,8 +810,10 @@ def _panel_run_kernel(
 
     dims = (((0,), (0,)), ((), ()))  # contract sublane dim of both slabs
 
-    def l_body(l, _):
-        l = l.astype(i32)
+    # i32 carry counter; see _panel_kernel's l_body for why the static-
+    # bound induction variable cannot be used under x64
+    def l_body(_, li):
+        l = li
         cell = g * cwin_c + l
 
         def dot_run(ent_ref, rt):
@@ -842,9 +849,9 @@ def _panel_run_kernel(
             acc,
         )
         c_buf[buf, pl.ds(l, 1)] = acc.astype(c_buf.dtype)[None]
-        return 0
+        return li + one
 
-    jax.lax.fori_loop(0, cwin_c, l_body, 0)
+    jax.lax.fori_loop(np.int32(0), cwin_c, l_body, np.int32(0))
 
     # same clamped-last-group overlap rule as _panel_kernel: drain the
     # previous output DMA before starting an overlapping one

@@ -30,24 +30,31 @@ __all__ = [
     "test_tas",
     "test_tensor",
     "validate_kernels",
+    "lower_kernels_for_tpu",
     "run_tests",
 ]
 
 
-def validate_kernels(*, tile: int = 128, n_tiles: int = 4, seed: int = 0,
-                     verbose: bool = False) -> bool:
-    """Numeric self-validation of the Pallas stack kernel against the XLA
-    twin (the reference validates every JIT kernel at first use,
-    ``validate_kernel``, ``src/acc/libsmm_acc/libsmm_acc.cpp:55-89``).
-    Returns True on non-TPU backends (the XLA twin IS the kernel there)."""
-    import jax
+def _kernel_validation_cases(tile: int, n_tiles: int, seed: int):
+    """One representative case per Pallas kernel family, shared by
+    :func:`validate_kernels` (the on-chip numeric gate — the reference
+    validates every JIT kernel at first use, ``validate_kernel``,
+    ``src/acc/libsmm_acc/libsmm_acc.cpp:55-89``) and
+    :func:`lower_kernels_for_tpu` (the AOT Mosaic-lowering gate, which
+    needs no chip). Returns ``[(name, run_pallas, run_xla), ...]``
+    thunks; raises RuntimeError if a host planner declines its pattern —
+    that is a planning regression, not a numerics question."""
     import jax.numpy as jnp
 
-    from .mm.kernels import tile_stack_matmul_pallas, tile_stack_matmul_xla
+    from .mm.kernels import (
+        tile_stack_matmul_grouped,
+        tile_stack_matmul_pallas,
+        tile_stack_matmul_xla,
+    )
 
-    if not any(d.platform == "tpu" for d in jax.devices()):
-        return True
     rng = np.random.default_rng(seed)
+    cases = []
+
     a = jnp.asarray(rng.standard_normal((n_tiles, tile, tile)), jnp.float32)
     b = jnp.asarray(rng.standard_normal((n_tiles, tile, tile)), jnp.float32)
     # stack with repeated C tiles to exercise revisit accumulation
@@ -55,33 +62,27 @@ def validate_kernels(*, tile: int = 128, n_tiles: int = 4, seed: int = 0,
         [[0, 0, 0], [0, 1, 1], [1, 2, 2], [2, 0, 3], [2, 3, 0]],
         dtype=np.int32,
     )
-    got = tile_stack_matmul_pallas(
-        a, b, stack, n_c_tiles=3, precision="highest"
-    )
-    ref = tile_stack_matmul_xla(
-        a, b, jnp.asarray(stack), n_c_tiles=3, precision="highest"
-    )
-    err = float(jnp.max(jnp.abs(got - ref)))
-    scale = float(jnp.max(jnp.abs(ref))) or 1.0
-    ok = err <= 1e-4 * scale
-    if verbose or not ok:
-        print(f"validate_kernels: max err {err:.3e} (scale {scale:.3e}) "
-              f"{'OK' if ok else 'FAILED'}")
+    cases.append((
+        "flat",
+        lambda: tile_stack_matmul_pallas(
+            a, b, stack, n_c_tiles=3, precision="highest"
+        ),
+        lambda: tile_stack_matmul_xla(
+            a, b, jnp.asarray(stack), n_c_tiles=3, precision="highest"
+        ),
+    ))
 
     # grouped A-caching kernel (same stack)
-    from .mm.kernels import tile_stack_matmul_grouped
+    cases.append((
+        "grouped",
+        lambda: tile_stack_matmul_grouped(
+            a, b, stack, n_c_tiles=3, group=2, cache=4, ring=2,
+            precision="highest",
+        ),
+        cases[0][2],
+    ))
 
-    got_g = tile_stack_matmul_grouped(
-        a, b, stack, n_c_tiles=3, group=2, cache=4, ring=2,
-        precision="highest",
-    )
-    err_g = float(jnp.max(jnp.abs(got_g - ref)))
-    ok_g = err_g <= 1e-4 * scale
-    if verbose or not ok_g:
-        print(f"validate_kernels[grouped]: max err {err_g:.3e} "
-              f"{'OK' if ok_g else 'FAILED'}")
-
-    # band kernel: small tridiagonal product, Pallas vs XLA twin
+    # band kernel: small tridiagonal product
     from .mm.band import BandPlan, _band_matmul_xla, band_matmul_pallas
 
     mt = 5
@@ -100,23 +101,24 @@ def validate_kernels(*, tile: int = 128, n_tiles: int = 4, seed: int = 0,
         rng.standard_normal((n_band, tile, tile)), jnp.float32
     )
     ckeys = np.sort(coords[:, 0] * mt + coords[:, 1])
-    plan = BandPlan(
+    bplan = BandPlan(
         a_pack=a_pack, b_pack=a_pack,
         c_unpack=((ckeys % mt) - (ckeys // mt) + 2) * mt + (ckeys // mt),
         wa=3, wb=3, off_a=-1, off_b=-1, mt=mt, kt=mt, hw_flops=0.0,
     )
-    got_b = band_matmul_pallas(ab, bb, plan, tile=tile, precision="highest")
-    ref_b = _band_matmul_xla(ab, bb, plan, tile=tile, precision="highest")
-    err_b = float(jnp.max(jnp.abs(got_b - ref_b)))
-    scale_b = float(jnp.max(jnp.abs(ref_b))) or 1.0
-    ok_b = err_b <= 1e-4 * scale_b
-    if verbose or not ok_b:
-        print(f"validate_kernels[band]: max err {err_b:.3e} "
-              f"{'OK' if ok_b else 'FAILED'}")
+    cases.append((
+        "band",
+        lambda: band_matmul_pallas(
+            ab, bb, bplan, tile=tile, precision="highest"
+        ),
+        lambda: _band_matmul_xla(
+            ab, bb, bplan, tile=tile, precision="highest"
+        ),
+    ))
 
     # panel (supertile slab-DMA) kernel: banded stack over a 32-tile
     # store with per-group spans that keep the chunked (chunk=4) slab
-    # path live, Pallas vs XLA twin
+    # path live
     from .mm.panel import plan_panel_stack, tile_stack_matmul_panel
 
     n_pt, n_c, s = 32, 8, 48
@@ -141,26 +143,36 @@ def validate_kernels(*, tile: int = 128, n_tiles: int = 4, seed: int = 0,
     pplan = plan_panel_stack(
         pstack, n_c, n_pt, n_pt, c_win=4, a_cap=16, b_cap=16, chunk=4
     )
-    ok_plan = pplan is not None and pplan.chunk == 4
-    if not ok_plan:
-        print(f"validate_kernels[panel]: plan FAILED ({pplan})")
-        return False
-    got_p = tile_stack_matmul_panel(
-        ap, bp, pstack, n_c_tiles=n_c, plan=pplan, precision="highest"
-    )
-    ref_p = tile_stack_matmul_xla(
-        ap, bp, jnp.asarray(pstack), n_c_tiles=n_c, precision="highest"
-    )
-    err_p = float(jnp.max(jnp.abs(got_p - ref_p)))
-    scale_p = float(jnp.max(jnp.abs(ref_p))) or 1.0
-    ok_p = err_p <= 1e-4 * scale_p
-    if verbose or not ok_p:
-        print(f"validate_kernels[panel]: max err {err_p:.3e} "
-              f"{'OK' if ok_p else 'FAILED'}")
+    if pplan is None or pplan.chunk != 4:
+        raise RuntimeError(f"kernel cases: panel plan FAILED ({pplan})")
+    cases.append((
+        "panel",
+        lambda: tile_stack_matmul_panel(
+            ap, bp, pstack, n_c_tiles=n_c, plan=pplan, precision="highest"
+        ),
+        lambda: tile_stack_matmul_xla(
+            ap, bp, jnp.asarray(pstack), n_c_tiles=n_c, precision="highest"
+        ),
+    ))
+
+    # panel kernel with bf16 slab inputs / f32 accumulate+out (the
+    # panel_bf16 knob's launch configuration)
+    ap16, bp16 = ap.astype(jnp.bfloat16), bp.astype(jnp.bfloat16)
+    cases.append((
+        "panel-bf16",
+        lambda: tile_stack_matmul_panel(
+            ap16, bp16, pstack, n_c_tiles=n_c, plan=pplan,
+            precision="default", out_dtype=jnp.float32,
+        ),
+        lambda: tile_stack_matmul_xla(
+            ap16.astype(jnp.float32), bp16.astype(jnp.float32),
+            jnp.asarray(pstack), n_c_tiles=n_c, precision="highest",
+        ),
+    ))
 
     # run-fused panel kernel: banded stack (consecutive-k runs exist under
     # the col-major B numbering) exercising all three dot tiers
-    # (quads/pairs/singles), Pallas vs XLA twin
+    # (quads/pairs/singles)
     from .mm.panel import plan_panel_runs, tile_stack_matmul_panel_runs
 
     mt_r, w_r = 12, 2
@@ -185,23 +197,90 @@ def validate_kernels(*, tile: int = 128, n_tiles: int = 4, seed: int = 0,
         rstack, n_r, n_r, n_r, b_cm_perm=cm, c_win=8, a_cap=32, b_cap=32,
         chunk=4, runlen=3,
     )
-    ok_rplan = rplan is not None and rplan.n_quads > 0 and rplan.n_pairs > 0
-    if not ok_rplan:
-        print(f"validate_kernels[panel-runs]: plan FAILED ({rplan})")
-        return False
-    got_r = tile_stack_matmul_panel_runs(
-        ar, br, rstack, n_c_tiles=n_r, plan=rplan, precision="highest"
-    )
-    ref_r = tile_stack_matmul_xla(
-        ar, br, jnp.asarray(rstack), n_c_tiles=n_r, precision="highest"
-    )
-    err_r = float(jnp.max(jnp.abs(got_r - ref_r)))
-    scale_r = float(jnp.max(jnp.abs(ref_r))) or 1.0
-    ok_r = err_r <= 1e-4 * scale_r
-    if verbose or not ok_r:
-        print(f"validate_kernels[panel-runs]: max err {err_r:.3e} "
-              f"{'OK' if ok_r else 'FAILED'}")
-    return ok and ok_g and ok_b and ok_p and ok_r
+    if rplan is None or rplan.n_quads == 0 or rplan.n_pairs == 0:
+        raise RuntimeError(f"kernel cases: panel-runs plan FAILED ({rplan})")
+    cases.append((
+        "panel-runs",
+        lambda: tile_stack_matmul_panel_runs(
+            ar, br, rstack, n_c_tiles=n_r, plan=rplan, precision="highest"
+        ),
+        lambda: tile_stack_matmul_xla(
+            ar, br, jnp.asarray(rstack), n_c_tiles=n_r, precision="highest"
+        ),
+    ))
+    return cases
+
+
+def validate_kernels(*, tile: int = 128, n_tiles: int = 4, seed: int = 0,
+                     verbose: bool = False) -> bool:
+    """Numeric self-validation of every Pallas stack-kernel family against
+    its XLA twin (the reference validates every JIT kernel at first use,
+    ``validate_kernel``, ``src/acc/libsmm_acc/libsmm_acc.cpp:55-89``).
+    Returns True on non-TPU backends (the XLA twin IS the kernel there).
+
+    Tolerances: bf16-input cases are compared at bf16 resolution; all
+    f32 cases at 1e-4 relative."""
+    import jax
+    import jax.numpy as jnp
+
+    if not any(d.platform == "tpu" for d in jax.devices()):
+        return True
+    all_ok = True
+    for name, run_pallas, run_xla in _kernel_validation_cases(
+        tile, n_tiles, seed
+    ):
+        got = run_pallas()
+        ref = run_xla()
+        err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref)))
+        scale = float(jnp.max(jnp.abs(ref))) or 1.0
+        tol = 2e-2 if "bf16" in name else 1e-4
+        ok = err <= tol * scale
+        if verbose or not ok:
+            print(f"validate_kernels[{name}]: max err {err:.3e} "
+                  f"(scale {scale:.3e}) {'OK' if ok else 'FAILED'}")
+        all_ok = all_ok and ok
+    return all_ok
+
+
+def lower_kernels_for_tpu(*, tile: int = 128, n_tiles: int = 4,
+                          seed: int = 0, verbose: bool = False) -> dict:
+    """AOT-lower every Pallas kernel family for the TPU platform — from
+    ANY backend, no chip required. The Pallas→Mosaic kernel construction
+    runs at jit-lowering time, so this catches the kernel-construction /
+    legalization failure class that interpret-mode tests cannot (the
+    round-3 risk: a kernel that only ever ran interpreted). It does NOT
+    replace :func:`validate_kernels` on hardware: the Mosaic pass
+    pipeline and chip numerics still run at XLA-compile/execute time.
+
+    Returns ``{case_name: True}`` for every case; raises with the failing
+    case name otherwise.
+    """
+    import jax
+
+    results = {}
+    for name, run_pallas, _ in _kernel_validation_cases(
+        tile, n_tiles, seed
+    ):
+        try:
+            lowered = jax.jit(run_pallas).trace().lower(
+                lowering_platforms=("tpu",)
+            )
+            txt = lowered.as_text()
+        except Exception as e:  # re-raise with the case name attached
+            raise RuntimeError(
+                f"lower_kernels_for_tpu[{name}]: TPU lowering failed: {e}"
+            ) from e
+        if "tpu_custom_call" not in txt:
+            raise RuntimeError(
+                f"lower_kernels_for_tpu[{name}]: lowered module contains "
+                "no tpu_custom_call — the Pallas kernel was not emitted"
+            )
+        if verbose:
+            print(f"lower_kernels_for_tpu[{name}]: OK "
+                  f"({len(txt)} bytes of StableHLO)")
+        results[name] = True
+    return results
+
 
 
 def to_dense_local(m: BCSRMatrix) -> np.ndarray:

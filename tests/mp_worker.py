@@ -1,26 +1,32 @@
-"""Worker for the two-process ``jax.distributed`` CPU battery.
+"""Worker for the N-process ``jax.distributed`` CPU battery.
 
-Each of the 2 processes owns 4 local CPU devices (8 global). Runs ONE
-named scenario across REAL process boundaries — covering what the
+The battery always runs 8 global CPU devices split across ``nprocs``
+processes (2 procs x 4 local devices, or 4 procs x 2 — different
+process counts exercise different collective groupings, the analog of
+the reference running its whole suite at 1..N MPI ranks,
+``/root/reference/tests/CMakeLists.txt:9-25``). Runs the named
+scenarios across REAL process boundaries — covering what the
 single-process virtual mesh cannot: per-process addressable shards,
 cross-process collectives, per-process sharded checkpoint, and
-cross-process plan determinism. The reference runs its whole suite at
-1..N MPI ranks (``/root/reference/tests/CMakeLists.txt:9-25``); this
-battery is the jax.distributed analog over the representative
-distributed slice (tiled Cannon, SUMMA, 2.5D, sharded storage + ops +
-checkpoint, TAS mesh-parallel).
+cross-process plan determinism (tiled Cannon, SUMMA, 2.5D, sharded
+storage + ops + checkpoint, TAS mesh-parallel).
 
 Usage: python mp_worker.py <coordinator_port> <process_id> <tmpdir>
-       [scenario]
+       [scenarios] [nprocs]
 """
 import hashlib
 import os
 import sys
 
+GLOBAL_DEVICES = 8
+NPROCS = int(sys.argv[5]) if len(sys.argv) > 5 else 2
+assert GLOBAL_DEVICES % NPROCS == 0, (GLOBAL_DEVICES, NPROCS)
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=4"
+        flags
+        + f" --xla_force_host_platform_device_count={GLOBAL_DEVICES // NPROCS}"
     ).strip()
 
 import jax  # noqa: E402
@@ -51,13 +57,23 @@ def _host_view(x) -> np.ndarray:
 
 
 def _balanced_devices(k: int):
-    """k devices, k/2 from each process — every mesh must span both
-    processes so the two workers stay in collective lockstep."""
+    """k devices spread round-robin across ALL processes — every mesh
+    must span every process so the workers stay in collective lockstep
+    (a mesh that omits a process would leave it waiting at the next
+    barrier while the others run collectives without it)."""
     per = {}
     for d in jax.devices():
         per.setdefault(d.process_index, []).append(d)
-    half = k // 2
-    return per[0][:half] + per[1][: k - half]
+    procs = [per[p] for p in sorted(per)]
+    assert k >= len(procs), (k, len(procs))
+    out = []
+    depth = 0
+    while len(out) < k:
+        for lst in procs:
+            if depth < len(lst) and len(out) < k:
+                out.append(lst[depth])
+        depth += 1
+    return out
 
 
 def _mats(dt, rng, square=False):
@@ -387,12 +403,12 @@ def main() -> None:
     dt.init_lib(
         distributed=True,
         coordinator_address=f"127.0.0.1:{port}",
-        num_processes=2,
+        num_processes=NPROCS,
         process_id=pid,
     )
-    assert jax.process_count() == 2, jax.process_count()
-    assert len(jax.devices()) == 8, len(jax.devices())
-    assert len(jax.local_devices()) == 4
+    assert jax.process_count() == NPROCS, jax.process_count()
+    assert len(jax.devices()) == GLOBAL_DEVICES, len(jax.devices())
+    assert len(jax.local_devices()) == GLOBAL_DEVICES // NPROCS
     dt.set_config(tile_size=TILE)
 
     from jax.experimental import multihost_utils
