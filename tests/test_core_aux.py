@@ -96,3 +96,27 @@ def test_statistics_report(rng):
     assert "effective flops" in rep
     # per-(m,n,k) classes recorded (2/3-sized blocks -> classes like 2x2x3)
     assert "x" in rep.splitlines()[-1]
+
+
+def test_ici_model_tool():
+    """tools/ici_model.py (BASELINE metric #2 analytic tracker) plans the
+    weak-scaling workload host-side and yields sane roofline records."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                     "tools"),
+    )
+    try:
+        from ici_model import model
+    finally:
+        sys.path.pop(0)
+
+    recs = model(blocks_per_dev=16, occupancy=0.3, grids=(2,))
+    assert {r["chip"] for r in recs} == {"v5e", "v5p"}
+    for r in recs:
+        assert 0.0 < r["weak_scaling_efficiency_model"] <= 1.0
+        assert r["t_comm_us"] > 0 and r["t_compute_us"] > 0
+        assert r["s_max_per_tick"] > 0
