@@ -69,8 +69,9 @@ step bench_banded2 900 python bench.py banded
 # 7. curated on-chip battery
 step tpu_check 3000 make tpu-check
 
-# 8. checksum refs for the four new perf recipes
-for f in square_dense rect1_sparse rect2_sparse singleblock; do
+# 8. checksum refs for the five unpinned perf recipes (VERDICT r3
+#    Missing #4: square_sparse was also unpinned)
+for f in square_dense rect1_sparse rect2_sparse singleblock square_sparse; do
   step perf_$f 1200 python -m dbcsr_tpu.perf tests/inputs/$f.perf --emit-checksum
 done
 
