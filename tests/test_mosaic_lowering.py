@@ -26,3 +26,71 @@ def test_all_kernel_families_lower_for_tpu():
         "flat", "grouped", "band", "panel", "panel-bf16", "panel-runs"
     }
     assert all(res.values())
+
+
+def test_bench_banded_panel_launches_lower_for_tpu():
+    """The exact launch configurations the chip-window probe will compile
+    (bench.py banded workload, real plan shapes) AOT-lower for TPU under
+    the perf driver's x64 config — catches shape-dependent Mosaic
+    construction failures before they can burn a chip window."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dbcsr_tpu.block.index import build_index
+    from dbcsr_tpu.block.store import store_layout
+    from dbcsr_tpu.core.config import config_override, get_config
+    from dbcsr_tpu.mm.engine import _maybe_panel_plan
+    from dbcsr_tpu.mm.panel import (
+        PanelRunPlan,
+        tile_stack_matmul_panel,
+        tile_stack_matmul_panel_runs,
+    )
+    from dbcsr_tpu.mm.tileplan import plan_tile_stacks_stores
+
+    rng = np.random.default_rng(0)
+    rbs = dt.random_block_sizes(40000, [5, 13, 23], rng)
+    n = len(rbs)
+    i = np.repeat(np.arange(n, dtype=np.int64), 25)
+    j = i + np.tile(np.arange(-12, 13, dtype=np.int64), n)
+    keep = (j >= 0) & (j < n) & (rng.random(len(j)) < 0.5)
+    idx, _ = build_index(i[keep], j[keep], rbs, rbs)
+    lay = store_layout(idx, 128)
+    coords = lay.tile_coords
+    tplan = plan_tile_stacks_stores(
+        coords, (lay.ntr, lay.ntc), coords, (lay.ntc, lay.ntr)
+    )
+
+    cases = [
+        ("panel_base", dict(mm_driver="panel"), jnp.float32),
+        ("panelrun_r3", dict(mm_driver="panel", panel_runlen=3),
+         jnp.float32),
+        ("panel_u4_bf16_w32",
+         dict(mm_driver="panel", panel_unroll=4, panel_bf16_inputs=True,
+              panel_c_win=32, panel_cache=96, panel_chunk=16),
+         jnp.bfloat16),
+    ]
+    for label, ov, in_dt in cases:
+        with config_override(**ov):
+            plan = _maybe_panel_plan(
+                get_config(), tplan, idx, idx, lay.n_tiles, lay.n_tiles,
+                "panel", None, b_coords=coords,
+            )
+        assert plan is not None, f"{label}: bench workload must admit"
+        aval = jax.ShapeDtypeStruct((lay.n_tiles, 128, 128), in_dt)
+        out_dt = jnp.float32 if in_dt == jnp.bfloat16 else None
+        kern = (
+            tile_stack_matmul_panel_runs
+            if isinstance(plan, PanelRunPlan)
+            else tile_stack_matmul_panel
+        )
+
+        def f(a, b, *, _k=kern, _p=plan):
+            return _k(a, b, tplan.stack, n_c_tiles=tplan.n_c_tiles,
+                      plan=_p, precision="default", out_dtype=out_dt)
+
+        txt = (
+            jax.jit(f).trace(aval, aval)
+            .lower(lowering_platforms=("tpu",)).as_text()
+        )
+        assert "tpu_custom_call" in txt, label
