@@ -270,6 +270,14 @@ def main(argv=None) -> int:
             "[--emit-checksum]"
         )
         return 2
+    # honor JAX_PLATFORMS even when a sitecustomize pinned another
+    # backend (CPU smoke runs; harmless on chip)
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     emit = "--emit-checksum" in argv
     argv = [a for a in argv if a != "--emit-checksum"]
     cfg = parse_perf(argv[0])

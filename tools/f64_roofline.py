@@ -17,23 +17,42 @@ Prints JSON lines; the ARCHITECTURE "f64 on TPU" entry records the
 results. Reference analog: fp64 is the reference GPU backend's primary
 type (/root/reference/src/acc/libsmm_acc/libsmm_acc.cpp:92-150).
 """
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+)
 import json
 
 import numpy as np
 
 
 def main():
+    import functools
+
     import jax
     import jax.numpy as jnp
+    # honor JAX_PLATFORMS even when a sitecustomize pinned another backend
+    # (needed for CPU smoke runs; harmless on chip)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     import dbcsr_tpu as dt
-    from dbcsr_tpu.autotune import steady_state_time
+    from dbcsr_tpu.autotune import steady_state_time as _sst
     from dbcsr_tpu.core.config import config_override
     from dbcsr_tpu.mm.engine import build_multiply_executor
 
+    # `quick`: small shapes + light timing loops — a CPU-feasible smoke of
+    # every code path (the chip numbers come from the full run)
+    quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
+    steady_state_time = (
+        functools.partial(_sst, n_lo=2, n_hi=6, reps=2) if quick else _sst
+    )
+
     dt.init_lib()  # x64 on
 
-    n = 2304  # 18 tiles of 128 (H2O padded dims)
+    n = 512 if quick else 2304  # 18 tiles of 128 (H2O padded dims)
     key = jax.random.PRNGKey(0)
     flops = 2.0 * n**3
 
@@ -78,7 +97,7 @@ def main():
 
     # engine f64 paths: tile-dense (H2O-like) and banded sparse (stack-XLA)
     rng = np.random.default_rng(0)
-    rbs = np.full(96, 23, dtype=np.int32)  # 2208 elements, tile-dense
+    rbs = np.full(8 if quick else 96, 23, dtype=np.int32)  # tile-dense (H2O dims)
     try:
         a = dt.random_matrix(rbs, rbs, 0.8, rng, dtype=np.float64, name="A")
         b = dt.random_matrix(rbs, rbs, 0.8, rng, dtype=np.float64, name="B")
@@ -97,7 +116,7 @@ def main():
     from dbcsr_tpu.block.store import store_layout
     from dbcsr_tpu.block.tileops import valid_mask
 
-    rbs = dt.random_block_sizes(40000, [5, 13, 23], rng)
+    rbs = dt.random_block_sizes(800 if quick else 40000, [5, 13, 23], rng)
     nb = len(rbs)
     i = np.repeat(np.arange(nb, dtype=np.int64), 25)
     j = i + np.tile(np.arange(-12, 13, dtype=np.int64), nb)

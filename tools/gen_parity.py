@@ -5,6 +5,12 @@ Scans /root/reference/src/dbcsr.h and src/tensors/dbcsr_tensor.h for
 c_dbcsr_* names (expanding the fypp ${nametype}$ typed families to
 d/s/z/c) and checks our dbcsr_tpu/capi/dbcsr_tpu.h + compiled surface.
 """
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+)
 import re
 import subprocess
 
