@@ -18,6 +18,7 @@ __all__ = [
     "reset_config",
     "print_config",
     "config_override",
+    "config_fingerprint",
 ]
 
 _PROVENANCE_DEFAULT = "D"
@@ -175,6 +176,24 @@ def get_config() -> Config:
         _cfg = Config()
         _load_env(_cfg)
     return _cfg
+
+
+def config_fingerprint(cfg: Optional[Config] = None) -> str:
+    """Stable fingerprint of the public config fields AND their D/E/U
+    provenance, for plan/executor cache keys.
+
+    Values alone are not enough: default-provenance knobs defer to the
+    tuned table at plan time (``mm/engine.py:_panel_knobs``,
+    ``_stack_knobs``), so a config where ``panel_c_win=16`` by DEFAULT
+    can resolve a different plan than one where the user PINNED 16.
+    The ``_provenance`` dict itself must not be embedded raw — its repr
+    depends on mutation order (round-3 advisor finding) — so fields are
+    emitted in declaration order with their provenance letters."""
+    if cfg is None:
+        cfg = get_config()
+    return repr(
+        [(n, getattr(cfg, n), cfg.provenance(n)) for n in cfg.params()]
+    )
 
 
 def set_config(**kwargs: Any) -> None:

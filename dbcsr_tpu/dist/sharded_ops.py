@@ -372,19 +372,17 @@ def sharded_multiply(
     # content-keyed plan cache (the one-shot-multiply analog of the local
     # engine's, mm/engine.py; iterative sharded loops then pay zero host
     # planning per step without managing build_sharded_multiply handles)
-    from ..core.config import get_config
+    from ..core.config import config_fingerprint
     from ..mm.plancache import dist_fingerprint, get_plan_cache
 
     pcache = get_plan_cache()
     # the executor bakes config at build time (precision, kernel driver,
-    # bf16 inputs, panel knobs, algorithm, ...): key on every PUBLIC
-    # config field so config_override between calls re-plans instead of
-    # silently reusing a stale executor. Public fields only — the
-    # _provenance bookkeeping dict's repr depends on mutation order, and
-    # keying on it caused spurious cache misses for value-identical
-    # configs (round-3 advisor finding).
-    cfg = get_config()
-    cfg_fp = repr([(name, getattr(cfg, name)) for name in cfg.params()])
+    # bf16 inputs, panel knobs, algorithm, ...): key on every public
+    # config field + its D/E/U provenance (knob resolution defers to the
+    # tuned table for default-provenance fields) so config_override
+    # between calls re-plans instead of silently reusing a stale
+    # executor — see core.config.config_fingerprint
+    cfg_fp = config_fingerprint()
     key = pcache.key(
         a.index, transa.upper() != "N", b.index, transb.upper() != "N",
         extra=(

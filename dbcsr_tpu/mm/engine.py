@@ -230,11 +230,15 @@ def _cached_panel_plan(
     The key covers everything the plan depends on: operand index content
     + transpose/conj orientation (which fix ``tplan.stack`` and
     ``b_coords``), store sizes, driver/tuned selection, and the public
-    config fields (panel knobs, admission ratio)."""
+    config fields WITH their provenance — knob resolution branches on
+    D/E/U (default-provenance knobs defer to the tuned table,
+    ``_panel_knobs``), so two value-identical configs can resolve
+    different plans."""
+    from ..core.config import config_fingerprint
     from .plancache import get_plan_cache
 
     pcache = get_plan_cache()
-    cfg_fp = repr([(name, getattr(cfg, name)) for name in cfg.params()])
+    cfg_fp = config_fingerprint(cfg)
     key = pcache.key(
         a_index, ta, b_index, tb,
         extra=("panel_plan", ca, cb, n_a, n_b, driver, tuned, cfg_fp),

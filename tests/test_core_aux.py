@@ -104,15 +104,17 @@ def test_ici_model_tool():
     import os
     import sys
 
-    sys.path.insert(
-        0,
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                     "tools"),
+    tools_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "tools"
     )
+    sys.path.insert(0, tools_dir)
     try:
         from ici_model import model
     finally:
-        sys.path.pop(0)
+        # remove OUR entry specifically — importing ici_model inserts the
+        # repo root at sys.path[0], so pop(0) would evict that instead
+        # and leak tools/ onto the path for the rest of the session
+        sys.path.remove(tools_dir)
 
     recs = model(blocks_per_dev=16, occupancy=0.3, grids=(2,))
     assert {r["chip"] for r in recs} == {"v5e", "v5p"}

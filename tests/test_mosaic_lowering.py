@@ -77,6 +77,11 @@ def test_bench_banded_panel_launches_lower_for_tpu():
                 "panel", None, b_coords=coords,
             )
         assert plan is not None, f"{label}: bench workload must admit"
+        if "runlen" in str(ov):
+            # the k-run case must actually produce a run plan — a silent
+            # PanelRunPlan->PanelPlan fallback would leave the run kernel
+            # with zero real-shape lowering coverage
+            assert isinstance(plan, PanelRunPlan), f"{label}: fell back"
         aval = jax.ShapeDtypeStruct((lay.n_tiles, 128, 128), in_dt)
         out_dt = jnp.float32 if in_dt == jnp.bfloat16 else None
         kern = (
@@ -94,3 +99,16 @@ def test_bench_banded_panel_launches_lower_for_tpu():
             .lower(lowering_platforms=("tpu",)).as_text()
         )
         assert "tpu_custom_call" in txt, label
+
+
+def test_kernel_families_lower_with_x64_disabled():
+    """The gate must hold under BOTH x64 settings: the suite pins
+    jax_enable_x64=True (conftest), but bench.py / panel_probe.py run
+    with init_lib(enable_x64=False) — a regression that only breaks
+    Mosaic lowering with x64 off would otherwise reach the chip window
+    unseen."""
+    import jax
+
+    with jax.enable_x64(False):
+        res = dt.testing.lower_kernels_for_tpu()
+    assert all(res.values()) and len(res) >= 6

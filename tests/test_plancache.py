@@ -121,3 +121,11 @@ def test_panel_plan_cached(rng):
     with config_override(panel_c_win=max(4, cfg.panel_c_win // 2)):
         _cached_panel_plan(get_config(), *args[1:])
     assert cache.misses == misses0 + 1
+
+    # pinning the knob at its DEFAULT VALUE must also invalidate: knob
+    # resolution branches on D/E/U provenance (default defers to the
+    # tuned table), so value-identical configs can resolve different
+    # plans — the fingerprint covers provenance too
+    with config_override(panel_c_win=cfg.panel_c_win):
+        _cached_panel_plan(get_config(), *args[1:])
+    assert cache.misses == misses0 + 2

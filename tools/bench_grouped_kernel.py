@@ -4,12 +4,7 @@ grouped A-caching manual-DMA kernel, on the banded BASELINE shape.
 Marginal-time methodology (see bench.py); run on the real chip.
 Usage: python tools/bench_grouped_kernel.py [nrows] [group] [cache] [ring]
 """
-import os
-import sys
-
-sys.path.insert(
-    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
-)
+import _bootstrap  # noqa: F401  (repo-root sys.path + JAX_PLATFORMS honor)
 import sys
 import time
 from functools import partial
@@ -19,9 +14,6 @@ import numpy as np
 
 def main():
     import jax
-    # honor JAX_PLATFORMS even when a sitecustomize pinned another backend
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     import dbcsr_tpu as dt

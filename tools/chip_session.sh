@@ -76,4 +76,12 @@ for f in square_dense rect1_sparse rect2_sparse singleblock square_sparse; do
 done
 
 echo "== all steps attempted; markers:"
-for m in "$LOG"/*.marker; do echo "  $(basename "$m" .marker): $(cat "$m")"; done
+bad=0
+for m in "$LOG"/*.marker; do
+  s=$(cat "$m")
+  echo "  $(basename "$m" .marker): $s"
+  [ "$s" = ok ] || bad=1
+done
+# nonzero when ANY step is not ok, so callers (chip_watch.sh) can tell a
+# clean capture from a partial one
+exit $bad

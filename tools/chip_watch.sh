@@ -21,9 +21,14 @@ while [ "$(date +%s)" -lt "$deadline" ]; do
   n=$((n + 1))
   if timeout 90 python tools/chip_probe.py > "$LOG/watch_probe.log" 2>&1; then
     echo "chip_watch: probe $n OK at $(date -u +%FT%TZ) — launching chip_session"
-    bash tools/chip_session.sh 2>&1 | tee "$LOG/session_run.log"
-    echo "chip_watch: orchestrator finished at $(date -u +%FT%TZ)"
-    exit 0
+    set -o pipefail
+    if bash tools/chip_session.sh 2>&1 | tee "$LOG/session_run.log"; then
+      echo "chip_watch: orchestrator COMPLETE (all markers ok) at $(date -u +%FT%TZ)"
+      exit 0
+    fi
+    rc=$?
+    echo "chip_watch: orchestrator INCOMPLETE (rc=$rc) at $(date -u +%FT%TZ) — see $LOG"
+    exit 3
   fi
   echo "chip_watch: probe $n down at $(date -u +%FT%TZ)"
   sleep "$INTERVAL"

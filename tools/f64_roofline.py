@@ -17,12 +17,9 @@ Prints JSON lines; the ARCHITECTURE "f64 on TPU" entry records the
 results. Reference analog: fp64 is the reference GPU backend's primary
 type (/root/reference/src/acc/libsmm_acc/libsmm_acc.cpp:92-150).
 """
-import os
 import sys
 
-sys.path.insert(
-    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
-)
+import _bootstrap  # noqa: F401  (repo-root sys.path + JAX_PLATFORMS honor)
 import json
 
 import numpy as np
@@ -33,10 +30,6 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    # honor JAX_PLATFORMS even when a sitecustomize pinned another backend
-    # (needed for CPU smoke runs; harmless on chip)
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     import dbcsr_tpu as dt
     from dbcsr_tpu.autotune import steady_state_time as _sst

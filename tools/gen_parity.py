@@ -5,12 +5,7 @@ Scans /root/reference/src/dbcsr.h and src/tensors/dbcsr_tensor.h for
 c_dbcsr_* names (expanding the fypp ${nametype}$ typed families to
 d/s/z/c) and checks our dbcsr_tpu/capi/dbcsr_tpu.h + compiled surface.
 """
-import os
-import sys
-
-sys.path.insert(
-    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
-)
+import _bootstrap  # noqa: F401  (repo-root sys.path + JAX_PLATFORMS honor)
 import re
 import subprocess
 
@@ -65,6 +60,32 @@ NOTES = {
     "c_dbcsr_nblkcols_local": "== total on one controller",
     "c_dbcsr_t_nblks_local": "== total on one controller",
     "c_dbcsr_t_pgrid_create_expert": "nsplit/dimsplit auto-estimated",
+    # info-array index-base conventions (round-3 advisor finding): the
+    # reference's own C API emits these 0-based (`f_var = var - 1`,
+    # dbcsr_api_c.F:1373-1380), so 0-based here IS reference parity
+    "c_dbcsr_get_local_rows": (
+        "0-based block-row ids — matches the reference C API, whose "
+        "c_dbcsr_get_info emits `local_rows - 1` (dbcsr_api_c.F:1373-1380)"
+    ),
+    "c_dbcsr_get_local_cols": (
+        "0-based block-col ids (reference C API emits `local_cols - 1`, "
+        "dbcsr_api_c.F:1373-1380)"
+    ),
+    "c_dbcsr_get_proc_row_dist":
+        "ranks, 0-based in the reference too; all-zero when undistributed",
+    "c_dbcsr_get_proc_col_dist":
+        "ranks, 0-based in the reference too; all-zero when undistributed",
+    "c_dbcsr_get_row_blk_size": "sizes (no index base)",
+    "c_dbcsr_get_col_blk_size": "sizes (no index base)",
+    "c_dbcsr_get_row_blk_offset": (
+        "0-based element offsets — matches the reference C API, whose "
+        "c_dbcsr_get_info emits `row_blk_offset - 1` "
+        "(dbcsr_api_c.F:1373-1380)"
+    ),
+    "c_dbcsr_get_col_blk_offset": (
+        "0-based element offsets (reference C API emits "
+        "`col_blk_offset - 1`, dbcsr_api_c.F:1373-1380)"
+    ),
 }
 
 

@@ -39,16 +39,13 @@ Chip constants (bf16 peak, ICI one-way per link; from the public
   v5e: 197 TFLOP/s, 4.5e10 B/s (2D torus, 4 links/chip)
   v5p: 459 TFLOP/s, 9.0e10 B/s (3D torus, 6 links/chip)
 
-Usage: python tools/ici_model.py [blocks_per_device] [occupancy]
+Usage: python tools/ici_model.py [blocks_per_device] [occupancy] [f32|bf16]
 Prints one JSON line per (chip, grid) combination.
 """
 import json
-import os
 import sys
 
-sys.path.insert(
-    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
-)
+import _bootstrap  # noqa: F401  (repo-root sys.path + JAX_PLATFORMS honor)
 
 import numpy as np
 
@@ -63,7 +60,15 @@ def model(blocks_per_dev: int = 64, occupancy: float = 0.25,
     """Plan the weak-scaling workload on p x p grids and evaluate the
     per-tick roofline. Same workload as tools/weak_scaling.py: uniform
     23-blocks, per-device block count held constant (nblk scales with
-    sqrt(devices))."""
+    sqrt(devices)).
+
+    ``dtype_bytes`` sets the PANEL dtype: 4 = f32 at rest with
+    matmul_precision="default" (the bench configuration — single MXU
+    pass at bf16 internally, so the bf16 peak applies while HBM/ICI
+    traffic is 4 bytes/elt), 2 = bf16 panels (panel_bf16_inputs — same
+    peak, half the ICI traffic, so the comm/compute crossover halves).
+    Keep bytes and peak consistent when adding other precisions:
+    f32-HIGHEST would be peak/3 (bf16x3 passes)."""
     # pure host-side: index + plan math only, no jax, no device arrays
     from dbcsr_tpu.block.index import build_index
     from dbcsr_tpu.block.store import store_layout
@@ -86,14 +91,17 @@ def model(blocks_per_dev: int = 64, occupancy: float = 0.25,
         symb = symbolic_product(a_index, False, a_index, False)
         c_index, _ = build_index(symb.rows, symb.cols, rbs, rbs)
         # block-cyclic tile-aligned row/col -> grid bins, exactly what
-        # tile_aligned_dist produces (host math only; no mesh/devices)
-        ntr = a_lay.ntr
-        rowb = np.arange(ntr, dtype=np.int64) % p
-        colb = np.arange(ntr, dtype=np.int64) % p
+        # tile_aligned_dist produces (host math only; no mesh/devices).
+        # rowb is over the M tile-rows, colb/kb over the N/K tile-COLS —
+        # equal here (square workload) but keep the roles straight for
+        # non-square extensions (cf. tas/parallel.py's use of lb.ntc)
+        rowb = np.arange(a_lay.ntr, dtype=np.int64) % p
+        colb = np.arange(a_lay.ntc, dtype=np.int64) % p
+        kb = np.arange(a_lay.ntc, dtype=np.int64) % p
         plan = plan_cannon_tiled(
             a_lay.tile_coords, a_lay.tile_coords,
             store_layout(c_index, tile),
-            rowb, colb, colb, p, 1,
+            rowb, colb, kb, p, 1,
         )
         if plan is None:
             raise SystemExit(f"planning failed on {p}x{p}")
@@ -109,6 +117,7 @@ def model(blocks_per_dev: int = 64, occupancy: float = 0.25,
                 "grid": f"{p}x{p}",
                 "devices": n_dev,
                 "nblk": nblk,
+                "panel_dtype_bytes": dtype_bytes,
                 "panel_MiB_a": round(bytes_a / 2**20, 2),
                 "panel_MiB_b": round(bytes_b / 2**20, 2),
                 "s_max_per_tick": int(plan.s_max),
@@ -129,4 +138,6 @@ if __name__ == "__main__":
         kw["blocks_per_dev"] = int(args[0])
     if len(args) >= 2:
         kw["occupancy"] = float(args[1])
+    if len(args) >= 3:  # panel dtype: f32 | bf16
+        kw["dtype_bytes"] = {"f32": 4, "bf16": 2}[args[2]]
     model(**kw)

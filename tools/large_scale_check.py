@@ -8,7 +8,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+import _bootstrap  # noqa: F401  (repo-root sys.path + JAX_PLATFORMS honor)
 
 import numpy as np
 

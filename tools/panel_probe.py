@@ -9,12 +9,7 @@ to verify the VERDICT r2 banded bar (>=1.3 TFLOP/s effective).
 
 Usage: python tools/panel_probe.py [quick]
 """
-import os
-import sys
-
-sys.path.insert(
-    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
-)
+import _bootstrap  # noqa: F401  (repo-root sys.path + JAX_PLATFORMS honor)
 import json
 import sys
 
@@ -25,10 +20,6 @@ def main():
     quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
     import jax
     import jax.numpy as jnp
-    # honor JAX_PLATFORMS even when a sitecustomize pinned another backend
-    # (needed for CPU smoke runs; harmless on chip)
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     import dbcsr_tpu as dt
     from dbcsr_tpu.autotune import steady_state_time

@@ -15,7 +15,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+import _bootstrap  # noqa: F401  (repo-root sys.path + JAX_PLATFORMS honor)
 
 import numpy as np
 
@@ -23,9 +23,6 @@ import numpy as np
 def run(blocks_per_dev: int = 64, reps: int = 5) -> dict:
     import jax
 
-    # honor JAX_PLATFORMS even when a sitecustomize pinned another backend
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     import dbcsr_tpu as dt
