@@ -112,3 +112,43 @@ def test_kernel_families_lower_with_x64_disabled():
     with jax.enable_x64(False):
         res = dt.testing.lower_kernels_for_tpu()
     assert all(res.values()) and len(res) >= 6
+
+
+def test_distributed_executors_lower_for_tpu():
+    """Multi-chip TPU lowering gate: the full Cannon / SUMMA / 2.5D
+    shard_map executors (pack + per-tick collectives + local compute +
+    unpack) AOT-lower for the TPU platform from the virtual CPU mesh,
+    with the expected collective present in the StableHLO — validates
+    the multi-chip path's TPU lowering without TPU hardware."""
+    import re
+
+    import jax
+    import numpy as np
+
+    from dbcsr_tpu.dist import ProcessGrid, tile_aligned_dist
+    from dbcsr_tpu.mm.engine import build_distributed_executor
+
+    rng = np.random.default_rng(0)
+    rbs = dt.random_block_sizes(24, [3, 5], rng)
+    a = dt.random_matrix(rbs, rbs, 0.5, rng, dtype=np.float32)
+    b = dt.random_matrix(rbs, rbs, 0.5, rng, dtype=np.float32)
+
+    cases = [
+        ("cannon", ProcessGrid.make(2, 2), "collective_permute"),
+        ("summa", ProcessGrid.make(2, 4), "all_gather"),
+        ("cannon", ProcessGrid.make(2, 2, nlayer=2), "all_reduce"),
+    ]
+    for algo, grid, expect in cases:
+        dist = tile_aligned_dist(grid, rbs, rbs, a.tile)
+        fn, _, _ = build_distributed_executor(
+            "N", "N", a, b, dist, algo=algo
+        )
+        txt = (
+            jax.jit(fn).trace(a.data, b.data)
+            .lower(lowering_platforms=("tpu",)).as_text()
+        )
+        colls = set(re.findall(
+            r"stablehlo\.(collective_permute|all_gather|all_reduce|"
+            r"reduce_scatter)", txt,
+        ))
+        assert expect in colls, (algo, grid.nlayer, colls)
