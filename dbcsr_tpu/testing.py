@@ -478,6 +478,13 @@ def run_tests(*, verbose: bool = False) -> bool:
     ok = test_mm(verbose=verbose)
     ok = test_binary_io(verbose=verbose) and ok
     ok = validate_kernels(verbose=verbose) and ok
+    try:
+        # kernel-construction gate, meaningful on ANY backend (numeric
+        # validation above needs the chip; this needs only the lowerer)
+        lower_kernels_for_tpu(verbose=verbose)
+    except Exception as e:
+        print(f"run_tests: TPU kernel lowering FAILED: {e}")
+        ok = False
     ok = test_tas(verbose=verbose) and ok
     ok = test_tensor(verbose=verbose) and ok
     if verbose:
