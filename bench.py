@@ -55,7 +55,11 @@ def _backend_reachable(timeout_s: float = 90.0) -> bool:
     CPU test configuration) probe exactly what the benchmark would use.
     """
     code = (
-        "import jax, jax.numpy as jnp\n"
+        "import os, jax\n"
+        "if os.environ.get('DBCSR_PLATFORM'):\n"
+        "    jax.config.update('jax_platforms',"
+        " os.environ['DBCSR_PLATFORM'])\n"
+        "import jax.numpy as jnp\n"
         "x = jnp.ones((8, 8), jnp.bfloat16)\n"
         "print(jax.devices()[0].platform, float((x @ x).sum()))\n"
     )
@@ -273,6 +277,16 @@ def main():
     per_iter = measure(fn, c_index, a, b)
     gflops = eff_flops / per_iter / 1e9
 
+    # BASELINE metric 3 block-granularity throughput: block-matmuls/s is
+    # the reference STATISTICS "marketing matmuls" counter per second
+    # (one entry per contributing (C,A,B) block triple,
+    # docs/guide/.../4-performance/1-insights.md), block-nnz/s the C
+    # blocks produced per second. Host-side recompute of the symbolic
+    # product (setup cost, not timed).
+    from dbcsr_tpu.mm.plan import symbolic_product
+
+    n_triples = symbolic_product(a.index, False, b.index, False).nnz_triples
+
     if config == "block23":
         # headline BASELINE target: fraction of 70% MXU peak
         vs = gflops / (0.70 * _chip_peak_flops() / 1e9)
@@ -298,6 +312,8 @@ def main():
                 "value": round(gflops, 1),
                 "unit": "GFLOP/s",
                 "vs_baseline": round(vs, 3),
+                "block_matmuls_per_s": round(n_triples / per_iter),
+                "block_nnz_per_s": round(len(c_index.col_idx) / per_iter),
             }
         )
     )

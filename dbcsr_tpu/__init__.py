@@ -5,6 +5,21 @@ A brand-new JAX/XLA/Pallas implementation of the capabilities of cp2k/dbcsr
 design). Public API mirrors the reference's Fortran/C API surface
 (``src/dbcsr_api.F``) in Python-first form.
 """
+import os as _os
+
+# DBCSR_PLATFORM=cpu|tpu selects the JAX backend for every entry point
+# that imports this package (bench.py, dbcsr_tpu.perf, dbcsr_tpu.autotune,
+# inline validate drives, ...). A dedicated variable because this
+# environment pins JAX_PLATFORMS=axon at a layer below env overrides
+# (the axon sitecustomize re-registers the platform), and because
+# honoring JAX_PLATFORMS here would clobber callers that already chose a
+# backend via jax.config.update (tests/conftest.py). Only consulted when
+# explicitly set; must run before first backend use, hence at import.
+if _os.environ.get("DBCSR_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["DBCSR_PLATFORM"])
+
 from .block.bcsr import (
     BCSRBuilder,
     BCSRMatrix,

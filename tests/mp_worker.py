@@ -1,7 +1,7 @@
 """Worker for the N-process ``jax.distributed`` CPU battery.
 
 The battery always runs 8 global CPU devices split across ``nprocs``
-processes (2 procs x 4 local devices, or 4 procs x 2 — different
+processes (1 proc x 8 local devices, 2 x 4, or 4 x 2 — different
 process counts exercise different collective groupings, the analog of
 the reference running its whole suite at 1..N MPI ranks,
 ``/root/reference/tests/CMakeLists.txt:9-25``). Runs the named

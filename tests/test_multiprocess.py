@@ -77,6 +77,15 @@ def test_two_process_battery(tmp_path, names):
         assert h0 == h1
 
 
+def test_one_process_battery(tmp_path):
+    """The degenerate 1-rank case (reference tests run at 1..N ranks):
+    jax.distributed initialized with a single process owning all 8
+    devices — collectives become local, the sharded checkpoint writes
+    one shard set, and the plan hash is still emitted."""
+    _run_battery(tmp_path, ("cannon", "sharded", "checkpoint"), nprocs=1)
+    assert (tmp_path / "planhash_0.txt").read_text()
+
+
 def test_four_process_battery(tmp_path):
     """The representative legs again at 4 procs x 2 local devices: same
     8-device global mesh, different collective groupings (each process

@@ -22,7 +22,11 @@ sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 )
 
-if os.environ.get("JAX_PLATFORMS"):
+# DBCSR_PLATFORM (the package-level selector, see dbcsr_tpu/__init__.py)
+# wins over the ambient JAX_PLATFORMS, which this environment pins to
+# axon for every process.
+_plat = os.environ.get("DBCSR_PLATFORM") or os.environ.get("JAX_PLATFORMS")
+if _plat:
     import jax
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    jax.config.update("jax_platforms", _plat)

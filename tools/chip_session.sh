@@ -1,16 +1,24 @@
 #!/bin/bash
 # Round-3 chip-window orchestrator: runs the queued on-chip work in
 # priority order, one process at a time, each under timeout, logging to
-# /tmp/chip_r3/. Safe to re-run: a step is skipped ONLY if its marker
-# file says "ok" (failed, timed-out, or interrupted steps are retried;
-# delete a marker to force a redo).
+# $CHIP_LOG (default /tmp/chip_r3/). Safe to re-run: a step is skipped
+# ONLY if its marker file says "ok" (failed, timed-out, or interrupted
+# steps are retried; delete a marker to force a redo). Set CHIP_LOG to
+# rehearse in a scratch dir without touching the real window's markers.
 set -u
-LOG=/tmp/chip_r3
+LOG=${CHIP_LOG:-/tmp/chip_r3}
 mkdir -p $LOG
 cd /root/repo
 
 step() {  # step <name> <timeout_s> <cmd...>
   local name=$1 to=$2; shift 2
+  # CHIP_STEP_TIMEOUT_CAP shortens every step for rehearsals: a bad
+  # command line still fails instantly (rc!=124) while a genuinely
+  # computing step shows up as TIMEOUT instead of burning the window.
+  if [ -n "${CHIP_STEP_TIMEOUT_CAP:-}" ] \
+     && [ "$to" -gt "$CHIP_STEP_TIMEOUT_CAP" ]; then
+    to=$CHIP_STEP_TIMEOUT_CAP
+  fi
   if [ "$(cat "$LOG/$name.marker" 2>/dev/null)" = ok ]; then
     echo "== $name: already done (rm $LOG/$name.marker to redo)"; return 0
   fi
@@ -27,11 +35,15 @@ step() {  # step <name> <timeout_s> <cmd...>
   fi
 }
 
-# 0. probe (fast fail if the tunnel is down; distinguish script errors)
+# 0. probe (fast fail if the tunnel is down; distinguish script errors).
+#    CHIP_PROBE_SKIP=1 bypasses it for CPU rehearsals (JAX_PLATFORMS=cpu)
+#    where no TPU exists by construction.
 if [ ! -f tools/chip_probe.py ]; then
   echo "tools/chip_probe.py missing — broken checkout?"; exit 2
 fi
-if ! timeout 90 python tools/chip_probe.py > "$LOG/probe.log" 2>&1; then
+if [ "${CHIP_PROBE_SKIP:-0}" = 1 ]; then
+  echo "probe SKIPPED (CHIP_PROBE_SKIP=1 — rehearsal mode)"
+elif ! timeout 90 python tools/chip_probe.py > "$LOG/probe.log" 2>&1; then
   rc=$?
   if [ $rc -eq 124 ] || [ $rc -eq 143 ]; then
     echo "chip DOWN (probe timed out) — aborting"; exit 1

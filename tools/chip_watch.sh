@@ -1,15 +1,20 @@
 #!/bin/bash
 # Chip-window watcher: probe the axon tunnel on an interval and launch
 # the resumable orchestrator (tools/chip_session.sh) the moment a probe
-# succeeds. Exits after one orchestrator run (inspect /tmp/chip_r3/ and
-# re-run for retries). Honors the one-chip-process-at-a-time rule: the
-# watcher's probe IS the only chip user until the orchestrator starts,
-# and the orchestrator serializes its own steps.
+# succeeds. The orchestrator is marker-resumable, so an INCOMPLETE run
+# (e.g. the tunnel dropped mid-window) sends the watcher back to probing
+# and a later window retries only the steps that are not yet ok — up to
+# MAX_ATTEMPTS orchestrator launches (a deterministically failing step
+# re-runs once per attempt, so the cap bounds wasted chip time). Honors
+# the one-chip-process-at-a-time rule: the watcher's probe IS the only
+# chip user until the orchestrator starts, and the orchestrator
+# serializes its own steps.
 #
-# Usage: bash tools/chip_watch.sh [interval_s] [max_hours]
+# Usage: bash tools/chip_watch.sh [interval_s] [max_hours] [max_attempts]
 set -u
 INTERVAL=${1:-240}
 MAX_HOURS=${2:-12}
+MAX_ATTEMPTS=${3:-5}
 LOG=/tmp/chip_r3
 mkdir -p "$LOG"
 cd /root/repo
@@ -17,20 +22,24 @@ deadline=$(( $(date +%s) + MAX_HOURS * 3600 ))
 
 echo "chip_watch: probing every ${INTERVAL}s for up to ${MAX_HOURS}h"
 n=0
+attempts=0
 while [ "$(date +%s)" -lt "$deadline" ]; do
   n=$((n + 1))
   if timeout 90 python tools/chip_probe.py > "$LOG/watch_probe.log" 2>&1; then
-    echo "chip_watch: probe $n OK at $(date -u +%FT%TZ) — launching chip_session"
-    set -o pipefail
-    if bash tools/chip_session.sh 2>&1 | tee "$LOG/session_run.log"; then
+    attempts=$((attempts + 1))
+    echo "chip_watch: probe $n OK at $(date -u +%FT%TZ) — launching chip_session (attempt $attempts/$MAX_ATTEMPTS)"
+    if bash tools/chip_session.sh > "$LOG/session_run_$attempts.log" 2>&1; then
       echo "chip_watch: orchestrator COMPLETE (all markers ok) at $(date -u +%FT%TZ)"
       exit 0
     fi
-    rc=$?
-    echo "chip_watch: orchestrator INCOMPLETE (rc=$rc) at $(date -u +%FT%TZ) — see $LOG"
-    exit 3
+    echo "chip_watch: orchestrator INCOMPLETE (attempt $attempts) at $(date -u +%FT%TZ) — see $LOG"
+    if [ "$attempts" -ge "$MAX_ATTEMPTS" ]; then
+      echo "chip_watch: attempt budget exhausted — manual inspection needed"
+      exit 3
+    fi
+  else
+    echo "chip_watch: probe $n down at $(date -u +%FT%TZ)"
   fi
-  echo "chip_watch: probe $n down at $(date -u +%FT%TZ)"
   sleep "$INTERVAL"
 done
 echo "chip_watch: deadline reached without a chip window"
