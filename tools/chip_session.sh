@@ -78,6 +78,12 @@ step autotune 5400 python -m dbcsr_tpu.autotune \
 # 6. re-capture bench after the tuned table update
 step bench_banded2 900 python bench.py banded
 
+# 6b. first chip captures of the remaining BASELINE configs (3: filtered
+#     linear-scaling multiply; 4: tall tensor contraction) — their
+#     vs_baseline refs get pinned from these logs
+step bench_filtered 900 python bench.py filtered
+step bench_tensor 900 python bench.py tensor
+
 # 7. curated on-chip battery
 step tpu_check 3000 make tpu-check
 
