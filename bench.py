@@ -117,6 +117,17 @@ def _chip_peak_flops() -> float:
     return 197e12  # conservative default
 
 
+# DBCSR_BENCH_TINY=1 shrinks every workload ~20x and the timing loops to
+# a few reps: a CPU-feasible smoke of each config's full code path (the
+# suite runs all of them), never a perf number. _sz scales a row count
+# with a floor that keeps the pattern's character (bands, tile packing).
+_TINY = os.environ.get("DBCSR_BENCH_TINY") == "1"
+
+
+def _sz(n, floor=64):
+    return max(floor, n // 20) if _TINY else n
+
+
 def _per_call_median(call, sync, warmup=2, reps=9):
     """Median END-TO-END per-call wall time: host planning + dispatch +
     compute. The one-shot configs below replan every call by design
@@ -124,6 +135,8 @@ def _per_call_median(call, sync, warmup=2, reps=9):
     the marginal-time loop methodology does not apply — this mirrors the
     reference perf driver's per-rep accounting, which likewise includes
     MPI and index assembly (``tests/dbcsr_performance_multiply.F``)."""
+    if _TINY:
+        warmup, reps = 1, 3
     for _ in range(warmup):
         sync(call())
     ts = []
@@ -147,9 +160,9 @@ def _emit(metric, gflops, vs, **extra):
 def _bench_filtered(rng):
     """BASELINE config 3: epsilon-filtered multiply with on-the-fly
     truncation + retained norms — the linear-scaling SCF pattern. Banded
-    operands whose block magnitudes decay away from the diagonal (applied
-    at tile granularity), so ``filter_eps`` genuinely truncates the
-    product's far-band tail: per call the engine recomputes block norms,
+    operands whose block magnitudes decay away from the diagonal (block-
+    granular, applied element-wise through block-of-element maps), so
+    ``filter_eps`` genuinely truncates the product's far-band tail: per call the engine recomputes block norms,
     builds the eps-aware symbolic product (per-row thresholds,
     ``(eps/row_count)^2`` — the reference's ``dbcsr_mm_cannon.F``
     row_max_epss), executes, and applies the final Frobenius filter.
@@ -164,7 +177,7 @@ def _bench_filtered(rng):
     from dbcsr_tpu.block.store import store_layout
     from dbcsr_tpu.block.tileops import valid_mask
 
-    rbs = dt.random_block_sizes(12000, [5, 13, 23], rng)
+    rbs = dt.random_block_sizes(_sz(12000), [5, 13, 23], rng)
     n = len(rbs)
     i = np.repeat(np.arange(n, dtype=np.int64), 25)
     j = i + np.tile(np.arange(-12, 13, dtype=np.int64), n)
@@ -252,7 +265,7 @@ def _bench_tensor(rng):
             builder.put_block(bi, rng.standard_normal(shp))
         return builder.finalize()
 
-    i_bs = dt.random_block_sizes(2000, [5, 13], rng)  # tall axis
+    i_bs = dt.random_block_sizes(_sz(2000), [5, 13], rng)  # tall axis
     j_bs = np.full(10, 8, dtype=np.int32)
     k_bs = np.full(10, 8, dtype=np.int32)
     l_bs = np.full(10, 8, dtype=np.int32)
@@ -320,19 +333,19 @@ def main():
     metric = "block23_mm_throughput"
     if config == "block23":
         # BASELINE config: dense-blocked 23^3 (the headline MXU target)
-        rbs = np.full(128, 23, dtype=np.int32)
+        rbs = np.full(_sz(128, 16), 23, dtype=np.int32)
         a = dt.random_matrix(rbs, rbs, 1.0, rng, dtype=np.float32, name="A")
         b = dt.random_matrix(rbs, rbs, 1.0, rng, dtype=np.float32, name="B")
     elif config == "sparse5":
         # BASELINE config 1: 1000x1000, 5x5 blocks, ~10% occupancy scaled 8x
         metric = "sparse5_mm_throughput"
-        rbs = np.full(1600, 5, dtype=np.int32)
+        rbs = np.full(_sz(1600), 5, dtype=np.int32)
         a = dt.random_matrix(rbs, rbs, 0.10, rng, dtype=np.float32, name="A")
         b = dt.random_matrix(rbs, rbs, 0.10, rng, dtype=np.float32, name="B")
     elif config == "mixed":
         # BASELINE config 2: mixed 5/13/23 blocks, 20% occupancy
         metric = "mixed_mm_throughput"
-        rbs = dt.random_block_sizes(6000, [5, 13, 23], rng)
+        rbs = dt.random_block_sizes(_sz(6000), [5, 13, 23], rng)
         a = dt.random_matrix(rbs, rbs, 0.2, rng, dtype=np.float32, name="A")
         b = dt.random_matrix(rbs, rbs, 0.2, rng, dtype=np.float32, name="B")
     elif config == "clustered":
@@ -353,7 +366,7 @@ def main():
 
         # 24k rows: the scrambled leg's tile blow-up peaks ~6GB on-chip
         # (40k would peak ~16GB = the whole HBM and OOM in the timing loop)
-        rbs = dt.random_block_sizes(24000, [5, 13, 23], rng)
+        rbs = dt.random_block_sizes(_sz(24000), [5, 13, 23], rng)
         n = len(rbs)
         dmax = 15
         i = np.repeat(np.arange(n, dtype=np.int64), 2 * dmax + 1)
@@ -402,7 +415,7 @@ def main():
         from dbcsr_tpu.block.store import store_layout
         from dbcsr_tpu.block.tileops import valid_mask
 
-        rbs = dt.random_block_sizes(40000, [5, 13, 23], rng)
+        rbs = dt.random_block_sizes(_sz(40000), [5, 13, 23], rng)
         n = len(rbs)
         i = np.repeat(np.arange(n, dtype=np.int64), 25)
         j = i + np.tile(np.arange(-12, 13, dtype=np.int64), n)
@@ -419,6 +432,8 @@ def main():
         raise SystemExit(f"unknown bench config {config!r}")
 
     def measure(fn, c_index, ma, mb, n_lo=10, n_hi=210):
+        if _TINY:
+            n_lo, n_hi = 2, 8
         from dbcsr_tpu.block.store import store_layout
 
         chain = np.array_equal(
