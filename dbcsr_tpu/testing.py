@@ -31,6 +31,8 @@ __all__ = [
     "test_tensor",
     "validate_kernels",
     "lower_kernels_for_tpu",
+    "compile_kernels_for_tpu",
+    "tpu_compile_topology",
     "run_tests",
 ]
 
@@ -282,6 +284,69 @@ def lower_kernels_for_tpu(*, tile: int = 128, n_tiles: int = 4,
     return results
 
 
+def tpu_compile_topology(topology_name: str = "v5e:2x2"):
+    """Compile-only PJRT TPU topology for device-less AOT compilation.
+
+    Requires a local ``libtpu`` (the compiler library — NOT a TPU chip:
+    the topology holds compile-only device descriptions). Returns None
+    when unavailable so callers can skip gracefully. The default models
+    this project's bench target exactly (``device_kind == 'TPU v5 lite'``,
+    1 core/chip, the real 128 MiB/core VMEM bound — verified by probing:
+    a 655 MB VMEM scratch fails RESOURCE_EXHAUSTED against
+    ``size=134217728`` while ≤128 MiB compiles)."""
+    try:
+        from jax.experimental import topologies
+
+        return topologies.get_topology_desc(topology_name, "tpu")
+    except Exception:
+        return None
+
+
+def compile_kernels_for_tpu(*, tile: int = 128, n_tiles: int = 4,
+                            seed: int = 0, verbose: bool = False,
+                            topology_name: str = "v5e:2x2") -> dict:
+    """AOT-compile every Pallas kernel family for the real TPU target —
+    device-less, from any backend. One step deeper than
+    :func:`lower_kernels_for_tpu`: jitting against a compile-only PJRT
+    topology (:func:`tpu_compile_topology`) runs the FULL Mosaic pass
+    pipeline and the XLA TPU backend — legalization, layout assignment,
+    VMEM allocation against the hardware bound — i.e. everything the
+    chip itself would run at compile time. After this gate passes, only
+    chip NUMERICS remain for :func:`validate_kernels` on hardware (the
+    reference's first-use validation, ``libsmm_acc.cpp:55-89``).
+
+    Returns ``{case_name: True}``; ``{"skipped": reason}`` when no local
+    TPU compiler is available; raises with the failing case otherwise.
+    """
+    import jax
+    from jax.sharding import SingleDeviceSharding
+
+    topo = tpu_compile_topology(topology_name)
+    if topo is None:
+        return {"skipped": "no local TPU compiler (libtpu) available"}
+    sh = SingleDeviceSharding(topo.devices[0])
+
+    results = {}
+    for name, run_pallas, _ in _kernel_validation_cases(
+        tile, n_tiles, seed
+    ):
+        try:
+            compiled = (
+                jax.jit(run_pallas, out_shardings=sh).trace().lower()
+                .compile()
+            )
+        except Exception as e:
+            raise RuntimeError(
+                f"compile_kernels_for_tpu[{name}]: TPU (Mosaic) compile "
+                f"failed: {e}"
+            ) from e
+        if verbose:
+            mem = compiled.memory_analysis()
+            print(f"compile_kernels_for_tpu[{name}]: OK "
+                  f"(temp {getattr(mem, 'temp_size_in_bytes', '?')} B)")
+        results[name] = True
+    return results
+
 
 def to_dense_local(m: BCSRMatrix) -> np.ndarray:
     """Replicated dense copy on host (``dbcsr_to_dense_local``,
@@ -484,6 +549,14 @@ def run_tests(*, verbose: bool = False) -> bool:
         lower_kernels_for_tpu(verbose=verbose)
     except Exception as e:
         print(f"run_tests: TPU kernel lowering FAILED: {e}")
+        ok = False
+    try:
+        # full Mosaic-compile gate (device-less; needs only local libtpu)
+        res = compile_kernels_for_tpu(verbose=verbose)
+        if verbose and "skipped" in res:
+            print(f"run_tests: TPU kernel compile skipped: {res['skipped']}")
+    except Exception as e:
+        print(f"run_tests: TPU kernel compile FAILED: {e}")
         ok = False
     ok = test_tas(verbose=verbose) and ok
     ok = test_tensor(verbose=verbose) and ok

@@ -8,8 +8,9 @@ with ``lowering_platforms=("tpu",)`` runs the full kernel-body lowering
 to the Mosaic TPU dialect and embeds the serialized module in a
 ``tpu_custom_call`` — unsupported ops, bad memory-space/BlockSpec
 combinations, and dtype/width issues fail HERE. (The Mosaic pass
-pipeline and numerics still need the on-chip ``validate_kernels`` gate —
-``tools/chip_session.sh`` step 1.)
+pipeline + XLA-TPU backend are covered device-less by the deeper
+test_mosaic_compile.py gate; chip NUMERICS still need the on-chip
+``validate_kernels`` — ``tools/chip_session.sh`` step 1.)
 
 The case set is THE SAME one ``validate_kernels`` checks numerically on
 chip (``dbcsr_tpu.testing._kernel_validation_cases``), so lowering
