@@ -66,12 +66,19 @@ DRIVER_GRIDS = {
         "stack_e_batch": [1, 4, 8],
     },
     "panel": {
-        # VMEM budget (~16MB/core): 2 double-buffered caches of
-        # panel_cache tiles (65KB each f32, 32KB bf16) + the 2 x c_win C
-        # window — f32 cache 48 + c_win 16 is ~14.5MB; cache 64+ fits
-        # only with bf16 slabs (see _combo_ok)
-        "panel_c_win": [8, 16],
-        "panel_cache": [32, 48, 64],
+        # VMEM budget: v5e has 128 MiB/core, and the kernel requests its
+        # own scoped-vmem limit (panel._vmem_limit_bytes — round 4; the
+        # old cache<=48 ceiling was XLA's ~32 MiB DEFAULT scoped limit,
+        # not the chip). Footprint rule: 2 double-buffered caches of
+        # panel_cache tiles (65KB each f32, 32KB bf16) + the 2 x c_win
+        # f32 C window <= PANEL_VMEM_BUDGET (see panel_vmem_footprint /
+        # _combo_ok). Large c_win is the point: bench-shape plan traffic
+        # drops 0.538 (c_win 16) -> 0.324 (c_win 64). The planner shrinks
+        # launch caps to the realized span, so a generous cache only
+        # gates ADMISSION — the sweep dedups combos that realize the
+        # same plan.
+        "panel_c_win": [8, 16, 32, 64],
+        "panel_cache": [48, 96, 192, 320],
         "panel_chunk": [8, 16],
         "panel_unroll": [1, 4],
         # k-run fusion length (0 = per-entry loop); fused rows ignore
@@ -90,29 +97,49 @@ DRIVER_GRIDS = {
 }
 
 
-#: largest f32 panel slab cache inside the ~16MB/core VMEM budget (2
-#: double-buffered operand caches + the C window); bf16 slabs halve the
-#: tile footprint, so larger caches are only valid with
-#: ``panel_bf16_inputs`` — both the sweep pruning and the engine's
-#: tuned-knob application (``engine._panel_knobs``) enforce this
-PANEL_F32_CACHE_MAX = 48
+#: scoped-VMEM budget the panel caches may request (the kernel asks for
+#: its own limit via ``panel._vmem_limit_bytes``; v5e has 128 MiB/core —
+#: compiler-verified, tests/test_mosaic_compile.py — and this budget
+#: leaves headroom for Mosaic internals and the +16 MiB pipeline margin
+#: the kernel adds on top of the cache footprint)
+PANEL_VMEM_BUDGET = 100 << 20
+
+
+def panel_vmem_footprint(cache: int, c_win: int,
+                         bf16_inputs: bool = False,
+                         tile: int = 128) -> int:
+    """Bytes of VMEM the panel kernel's scratch needs at these knobs: two
+    double-buffered operand caches of ``cache`` tiles each + the
+    double-buffered ``c_win`` f32 output window."""
+    in_item = 2 if bf16_inputs else 4
+    return (
+        2 * 2 * cache * tile * tile * in_item
+        + 2 * c_win * tile * tile * 4
+    )
+
+
+def panel_cache_cap(c_win: int, bf16_inputs: bool = False,
+                    tile: int = 128) -> int:
+    """Largest admission cache (tiles) whose footprint fits the budget."""
+    in_item = 2 if bf16_inputs else 4
+    left = PANEL_VMEM_BUDGET - 2 * c_win * tile * tile * 4
+    return max(1, left // (2 * 2 * tile * tile * in_item))
 
 
 def _combo_ok(combo: dict) -> bool:
     """Prune sweep points that are invalid or provably redundant: bf16
     kernel inputs only take effect at matmul_precision='default' (at
     'highest' the knob is a no-op — measuring it twice wastes chip time),
-    and f32 slab caches above PANEL_F32_CACHE_MAX exceed the VMEM budget."""
+    and panel cache/c_win combos whose scratch exceeds the VMEM budget."""
     prec = combo.get("matmul_precision", "default")
     for knob in ("panel_bf16_inputs", "stack_bf16_inputs"):
         if combo.get(knob) and prec != "default":
             return False
     cache = combo.get("panel_cache")
-    if (
-        cache is not None
-        and cache > PANEL_F32_CACHE_MAX
-        and not combo.get("panel_bf16_inputs")
-    ):
+    if cache is not None and panel_vmem_footprint(
+        cache, combo.get("panel_c_win", 16),
+        bool(combo.get("panel_bf16_inputs")),
+    ) > PANEL_VMEM_BUDGET:
         return False
     # the fused-run kernel has no per-entry dot loop to unroll, so
     # unroll>1 under runlen>0 is redundant when fusion admits. When a
@@ -410,6 +437,20 @@ def sweep(
                 combo = {"mm_driver": drv, **dict(zip(names, c))}
                 if _combo_ok(combo):
                     combos.append(combo)
+    # panel_cache only gates ADMISSION (the planner shrinks the launch
+    # caps to the realized span), so once some cache admits a pattern,
+    # every larger cache produces the IDENTICAL executor: iterate caches
+    # ascending and skip a combo whose cache-free key already admitted —
+    # collapses the cache axis to "smallest admissible" per pattern,
+    # saving chip time without losing coverage
+    combos.sort(key=lambda c: c.get("panel_cache") or 0)
+
+    def _panel_dedup_key(cfg):
+        if cfg.get("mm_driver") != "panel":
+            return None
+        return tuple(
+            (k, v) for k, v in sorted(cfg.items()) if k != "panel_cache"
+        )
     device_kind = jax.devices()[0].device_kind
     results: Dict[str, dict] = {}
     for wname in workloads or list(WORKLOADS):
@@ -425,7 +466,11 @@ def sweep(
             return built[ts]
 
         rows = []
+        admitted = set()
         for cfg in combos:
+            dkey = _panel_dedup_key(cfg)
+            if dkey is not None and dkey in admitted:
+                continue  # a smaller cache already admitted this plan
             try:
                 a, b = mats(cfg.get("tile_size", get_config().tile_size))
                 with config_override(**cfg):
@@ -437,6 +482,14 @@ def sweep(
                 if verbose:
                     print(f"  {wname} {cfg}: failed ({type(e).__name__})")
                 continue
+            if dkey is not None:
+                # only dedup once a PANEL plan actually admitted — a
+                # fallback executor at a small cache must not mask a
+                # larger cache that would admit the real panel plan
+                from dbcsr_tpu.mm.engine import last_panel_plan_kind
+
+                if last_panel_plan_kind() is not None:
+                    admitted.add(dkey)
             gflops = eff_flops / dt_per / 1e9
             rows.append({**cfg, "gflops": round(gflops, 2)})
             if verbose:

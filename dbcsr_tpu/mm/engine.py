@@ -192,13 +192,15 @@ def _panel_knobs(cfg, a_index, b_index):
     if provs[1] == "D" and not cfg.panel_bf16_inputs:
         # a TUNED cache above the f32 VMEM budget was only swept (and only
         # fits) with bf16 slabs; bf16 is an accuracy knob that is never
-        # auto-applied, so clamp the table's value instead of compiling
-        # past the budget. User/env-pinned caches pass through untouched —
-        # the budget constant assumes tile=128 f32 slabs and must not
+        # auto-applied, so clamp the table's value to the f32 budget
+        # (autotune.panel_cache_cap: the kernel requests its own
+        # scoped-vmem limit, bounded by PANEL_VMEM_BUDGET) instead of
+        # compiling past it. User/env-pinned caches pass through
+        # untouched — the budget math assumes tile=128 slabs and must not
         # override an explicit choice on other geometries.
-        from ..autotune import PANEL_F32_CACHE_MAX
+        from ..autotune import panel_cache_cap
 
-        cache = min(cache, PANEL_F32_CACHE_MAX)
+        cache = min(cache, panel_cache_cap(c_win, bf16_inputs=False))
     return c_win, cache, chunk, unroll, runlen
 
 

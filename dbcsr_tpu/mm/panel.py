@@ -66,6 +66,24 @@ _PRECISIONS = {
 }
 
 
+def _vmem_limit_bytes(a_cap, b_cap, c_win, tile, in_itemsize, out_itemsize):
+    """Per-kernel scoped-VMEM limit for the slab caches.
+
+    XLA's default scoped-vmem stack for custom calls is ~32 MiB — it was
+    the binding constraint on ``panel_cache`` (f32 cache 48 fits, 64 does
+    not), NOT the chip's VMEM: v5e has 128 MiB/core (compiler-verified —
+    a 655 MB scratch fails RESOURCE_EXHAUSTED against size=134217728,
+    and cache-256 launches compile once the scoped limit is raised; see
+    tests/test_mosaic_compile.py). Request exactly what the caches need
+    plus pipeline headroom, never less than the default, capped under
+    the physical bound."""
+    footprint = (
+        2 * (a_cap + b_cap) * tile * tile * in_itemsize
+        + 2 * c_win * tile * tile * out_itemsize
+    )
+    return min(max(32 << 20, footprint + (16 << 20)), 126 << 20)
+
+
 @dataclass
 class PanelPlan:
     """Host plan for one panel-kernel launch sequence."""
@@ -252,6 +270,10 @@ def plan_panel_stack(
     ob = sg.base[:-1, None] + sg.slot_bounds[l_idx] - sg.e0[:, None]
     obounds = np.append(ob.ravel(), len(sg.idx)).astype(np.int32)
 
+    # shrink the launch caps to the REALIZED max span (chunk-padded): the
+    # requested a_cap/b_cap only gate admission, while the VMEM scratch is
+    # sized from the plan's caps — a generous cap therefore costs nothing
+    # once the pattern's true spans are known
     return PanelPlan(
         gstart=sg.gstart.astype(np.int32),
         a_lo=sg.a_lo.astype(np.int32),
@@ -262,8 +284,8 @@ def plan_panel_stack(
         entries=entries,
         n_groups=sg.n_groups,
         c_win=sg.c_win,
-        a_cap=a_cap,
-        b_cap=b_cap,
+        a_cap=int(sg.a_nch.max(initial=1)) * sg.chunk,
+        b_cap=int(sg.b_nch.max(initial=1)) * sg.chunk,
         chunk=sg.chunk,
         n_c_tiles=n_c_tiles,
         loaded_tiles=sg.loaded,
@@ -465,7 +487,13 @@ def _panel_launch(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_c_tiles, tile, tile), out_dtype),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=_vmem_limit_bytes(
+                a_cap, b_cap, c_win, tile, a_tiles.dtype.itemsize,
+                jnp.dtype(out_dtype).itemsize,
+            ),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * s * tile * tile * tile,
             bytes_accessed=(
@@ -711,8 +739,10 @@ def plan_panel_runs(
         ),
         n_groups=n_groups,
         c_win=c_win,
-        a_cap=a_cap,
-        b_cap=b_cap,
+        # realized max span (chunk-padded), not the requested admission
+        # cap — see the PanelPlan construction note
+        a_cap=int(sg.a_nch.max(initial=1)) * sg.chunk,
+        b_cap=int(sg.b_nch.max(initial=1)) * sg.chunk,
         chunk=sg.chunk,
         runlen=runlen,
         n_c_tiles=n_c_tiles,
@@ -925,7 +955,13 @@ def _panel_run_launch(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_c_tiles, t, t), out_dtype),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=_vmem_limit_bytes(
+                a_cap, b_cap, c_win, t, a_tiles.dtype.itemsize,
+                jnp.dtype(out_dtype).itemsize,
+            ),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * s * t * t * t,
             bytes_accessed=(

@@ -294,6 +294,14 @@ def tpu_compile_topology(topology_name: str = "v5e:2x2"):
     1 core/chip, the real 128 MiB/core VMEM bound — verified by probing:
     a 655 MB VMEM scratch fails RESOURCE_EXHAUSTED against
     ``size=134217728`` while ≤128 MiB compiles)."""
+    import os
+
+    # libtpu serializes process loads through /tmp/libtpu_lockfile and
+    # ABORTS when another process holds it (or a killed one left it
+    # stale). Compile-only topologies claim no TPU, so multiple loads
+    # are safe — opt out of the lock before the first libtpu touch, or
+    # a concurrently running gate (pytest + a tool) flakes the suite.
+    os.environ.setdefault("ALLOW_MULTIPLE_LIBTPU_LOAD", "true")
     try:
         from jax.experimental import topologies
 

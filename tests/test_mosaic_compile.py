@@ -86,6 +86,18 @@ def test_bench_banded_panel_launches_compile_for_tpu():
          dict(mm_driver="panel", panel_unroll=4, panel_bf16_inputs=True,
               panel_c_win=32, panel_cache=96, panel_chunk=16),
          jnp.bfloat16),
+        # the round-4 large-envelope frontier: f32 caches past the old
+        # 32 MiB scoped-vmem default (the kernel requests its own limit,
+        # panel._vmem_limit_bytes) — bench-shape plan traffic 0.324 at
+        # c_win 64 vs 0.538 at the round-3 c_win 16 ceiling
+        ("panel_w64_c320",
+         dict(mm_driver="panel", panel_c_win=64, panel_cache=320,
+              panel_chunk=16),
+         jnp.float32),
+        ("panelrun_r3_w32_c192",
+         dict(mm_driver="panel", panel_runlen=3, panel_c_win=32,
+              panel_cache=192, panel_chunk=16),
+         jnp.float32),
     ]
     for label, ov, in_dt in cases:
         with config_override(**ov):

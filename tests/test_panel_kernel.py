@@ -187,16 +187,35 @@ def test_engine_panel_bf16_knob_gating():
 
 
 def test_autotune_combo_pruning():
-    """The sweep grid prunes bf16-at-highest (no-op) and f32 caches past
-    the VMEM budget."""
-    from dbcsr_tpu.autotune import _combo_ok
+    """The sweep grid prunes bf16-at-highest (no-op) and cache/c_win
+    combos whose scratch footprint exceeds the scoped-VMEM budget
+    (PANEL_VMEM_BUDGET — v5e has 128 MiB/core and the kernel requests
+    its own limit; the old f32-cache-48 ceiling was XLA's default
+    scoped-vmem stack, see tests/test_mosaic_compile.py)."""
+    from dbcsr_tpu.autotune import (
+        PANEL_VMEM_BUDGET,
+        _combo_ok,
+        panel_cache_cap,
+        panel_vmem_footprint,
+    )
 
+    # f32 cache 64 is well inside the real budget (round 3 pruned it)
     assert _combo_ok({"mm_driver": "panel", "panel_cache": 64,
-                      "panel_bf16_inputs": True,
+                      "panel_bf16_inputs": False,
                       "matmul_precision": "default"})
-    assert not _combo_ok({"mm_driver": "panel", "panel_cache": 64,
+    # past the budget: f32 cache 400 @ c_win 16 is ~107 MB of scratch
+    assert panel_vmem_footprint(400, 16, False) > PANEL_VMEM_BUDGET
+    assert not _combo_ok({"mm_driver": "panel", "panel_cache": 400,
                           "panel_bf16_inputs": False,
                           "matmul_precision": "default"})
+    # bf16 slabs halve the footprint: the same cache fits
+    assert _combo_ok({"mm_driver": "panel", "panel_cache": 400,
+                      "panel_bf16_inputs": True,
+                      "matmul_precision": "default"})
+    # the engine's tuned-cache clamp and the sweep agree on the boundary
+    assert panel_vmem_footprint(
+        panel_cache_cap(16, False), 16, False
+    ) <= PANEL_VMEM_BUDGET
     assert not _combo_ok({"mm_driver": "panel", "panel_cache": 32,
                           "panel_bf16_inputs": True,
                           "matmul_precision": "highest"})

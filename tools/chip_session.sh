@@ -70,8 +70,11 @@ step bench_clustered 1200 python bench.py clustered
 step bench_block23 900 python bench.py
 
 # 5. targeted re-tune of the banded classes (panel/stack/band grids),
-#    merged into the device table
-step autotune 5400 python -m dbcsr_tpu.autotune \
+#    merged into the device table. 9000s: the round-4 panel grid sweeps
+#    c_win up to 64 (the scoped-vmem discovery) — the cache-axis dedup
+#    keeps the combo count near round 3's, but each c_win is a fresh
+#    Mosaic compile through the tunnel
+step autotune 9000 python -m dbcsr_tpu.autotune \
   --workloads banded_fine banded_fine_large --drivers panel stack band \
   --merge
 

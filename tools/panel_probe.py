@@ -82,6 +82,28 @@ def main():
                                 panel_c_win=8)),
         ("panelrun_r6_bf16", dict(mm_driver="panel", panel_runlen=6,
                                   panel_bf16_inputs=True)),
+        # round-4 large-envelope frontier: the old cache<=48-f32 ceiling
+        # was XLA's DEFAULT ~32MiB scoped-vmem stack, not the chip (v5e:
+        # 128 MiB/core); the kernel now requests its own limit
+        # (panel._vmem_limit_bytes) and big windows cut bench-shape plan
+        # traffic 0.538 (c_win16) -> 0.451 (c_win32) -> 0.324 (c_win64)
+        ("panel_w32_c192", dict(mm_driver="panel", panel_c_win=32,
+                                panel_cache=192, panel_chunk=16)),
+        ("panel_w64_c320", dict(mm_driver="panel", panel_c_win=64,
+                                panel_cache=320, panel_chunk=16)),
+        ("panel_w64_c320_u4", dict(mm_driver="panel", panel_c_win=64,
+                                   panel_cache=320, panel_chunk=16,
+                                   panel_unroll=4)),
+        ("panel_w64_bf16", dict(mm_driver="panel", panel_c_win=64,
+                                panel_cache=320, panel_chunk=16,
+                                panel_bf16_inputs=True)),
+        ("panelrun_r3_w32_c192", dict(mm_driver="panel", panel_runlen=3,
+                                      panel_c_win=32, panel_cache=192,
+                                      panel_chunk=16)),
+        ("panelrun_r3_w64_bf16", dict(mm_driver="panel", panel_runlen=3,
+                                      panel_c_win=64, panel_cache=320,
+                                      panel_chunk=16,
+                                      panel_bf16_inputs=True)),
     ]
     if quick:
         variants = variants[:5]
