@@ -126,6 +126,29 @@ def panel_cache_cap(c_win: int, bf16_inputs: bool = False,
     return max(1, left // (2 * 2 * tile * tile * in_item))
 
 
+def panel_plan_fingerprint(plan) -> Optional[tuple]:
+    """Launch-shape fingerprint of a realized panel plan (None = the
+    panel family was not admitted and a fallback executor ran).
+
+    For a fixed set of non-cache knobs, planning is deterministic and
+    ``panel_cache`` enters only as the admission cap (plus the
+    chunk-halving rescue in ``pad_spans``), so two plans agreeing on
+    this tuple are bit-identical: the sweep measures each distinct
+    fingerprint once per cache-free knob key."""
+    if plan is None:
+        return None
+    return (
+        type(plan).__name__,
+        int(plan.chunk),
+        int(plan.a_cap),
+        int(plan.b_cap),
+        int(plan.c_win),
+        int(plan.n_groups),
+        int(getattr(plan, "runlen", 0)),
+        int(getattr(plan, "loaded_tiles", getattr(plan, "loaded", 0))),
+    )
+
+
 def _combo_ok(combo: dict) -> bool:
     """Prune sweep points that are invalid or provably redundant: bf16
     kernel inputs only take effect at matmul_precision='default' (at
@@ -417,7 +440,7 @@ def sweep(
 
     import dbcsr_tpu as dt
     from dbcsr_tpu.core.config import config_override
-    from dbcsr_tpu.mm.engine import build_multiply_executor
+    from dbcsr_tpu.mm.engine import build_multiply_executor, last_panel_plan
 
     from dbcsr_tpu.core.config import get_config
 
@@ -438,11 +461,17 @@ def sweep(
                 if _combo_ok(combo):
                     combos.append(combo)
     # panel_cache only gates ADMISSION (the planner shrinks the launch
-    # caps to the realized span), so once some cache admits a pattern,
-    # every larger cache produces the IDENTICAL executor: iterate caches
-    # ascending and skip a combo whose cache-free key already admitted —
-    # collapses the cache axis to "smallest admissible" per pattern,
-    # saving chip time without losing coverage
+    # caps to the realized span), so different cache values usually
+    # realize the IDENTICAL executor: iterate caches ascending and skip a
+    # combo whose cache-free key already measured the same REALIZED plan
+    # (planning is cheap host work; the chip measurement is what the
+    # dedup saves). Keyed on the plan fingerprint, not mere admission —
+    # a small cache can admit with a HALVED chunk (pad_spans shrinks the
+    # chunk when the padded span busts the cap) where a larger cache
+    # admits at full chunk, a genuinely different launch that must still
+    # be measured. A declined plan fingerprints as None: the fallback
+    # executor ignores panel_cache entirely, so it too is measured once
+    # per cache-free key.
     combos.sort(key=lambda c: c.get("panel_cache") or 0)
 
     def _panel_dedup_key(cfg):
@@ -466,30 +495,26 @@ def sweep(
             return built[ts]
 
         rows = []
-        admitted = set()
+        measured: Dict[tuple, set] = {}
         for cfg in combos:
             dkey = _panel_dedup_key(cfg)
-            if dkey is not None and dkey in admitted:
-                continue  # a smaller cache already admitted this plan
             try:
                 a, b = mats(cfg.get("tile_size", get_config().tile_size))
                 with config_override(**cfg):
                     fn, _, eff_flops = build_multiply_executor(
                         "N", "N", a, b, driver=cfg.get("mm_driver")
                     )
+                    if dkey is not None:
+                        fp = panel_plan_fingerprint(last_panel_plan())
+                        seen = measured.setdefault(dkey, set())
+                        if fp in seen:
+                            continue  # identical realized launch measured
+                        seen.add(fp)
                     dt_per = steady_state_time(fn, (a.data, b.data))
             except Exception as e:  # config invalid for this workload
                 if verbose:
                     print(f"  {wname} {cfg}: failed ({type(e).__name__})")
                 continue
-            if dkey is not None:
-                # only dedup once a PANEL plan actually admitted — a
-                # fallback executor at a small cache must not mask a
-                # larger cache that would admit the real panel plan
-                from dbcsr_tpu.mm.engine import last_panel_plan_kind
-
-                if last_panel_plan_kind() is not None:
-                    admitted.add(dkey)
             gflops = eff_flops / dt_per / 1e9
             rows.append({**cfg, "gflops": round(gflops, 2)})
             if verbose:

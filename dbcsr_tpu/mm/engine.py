@@ -204,19 +204,26 @@ def _panel_knobs(cfg, a_index, b_index):
     return c_win, cache, chunk, unroll, runlen
 
 
-#: diagnostic: class name of the panel plan the engine last selected
-#: (None / "PanelPlan" / "PanelRunPlan") — lets probes and tests see
-#: whether k-run fusion was admitted or silently fell back
-_last_panel_plan_kind = [None]
+#: diagnostic: the panel plan the engine last selected (None when the
+#: panel kernel was not admitted) — lets probes, tests, and the autotune
+#: sweep's realized-plan dedup see whether (and with what launch shape)
+#: the panel family was admitted or silently fell back
+_last_panel_plan = [None]
 
 
 def last_panel_plan_kind() -> Optional[str]:
-    return _last_panel_plan_kind[0]
+    plan = _last_panel_plan[0]
+    return None if plan is None else type(plan).__name__
+
+
+def last_panel_plan():
+    """The PanelPlan/PanelRunPlan the engine last selected, or None."""
+    return _last_panel_plan[0]
 
 
 def _maybe_panel_plan(*args, **kwargs):
     plan = _maybe_panel_plan_impl(*args, **kwargs)
-    _last_panel_plan_kind[0] = None if plan is None else type(plan).__name__
+    _last_panel_plan[0] = plan
     return plan
 
 
@@ -248,9 +255,7 @@ def _cached_panel_plan(
     cached = pcache.get(key)
     if cached is not None:
         plan = cached[0]
-        _last_panel_plan_kind[0] = (
-            None if plan is None else type(plan).__name__
-        )
+        _last_panel_plan[0] = plan
         return plan
     plan = _maybe_panel_plan(
         cfg, tplan, a_index, b_index, n_a, n_b, driver, tuned,

@@ -186,6 +186,35 @@ def test_engine_panel_bf16_knob_gating():
         assert ai.dtype == jnp.float32 and out_dt is None
 
 
+def test_panel_plan_fingerprint_dedup_rule():
+    """The sweep dedups cache-axis combos by REALIZED plan fingerprint
+    (autotune.panel_plan_fingerprint), not by admission: a small cache
+    can admit with a HALVED chunk (pad_spans shrinks the chunk when the
+    chunk-padded span busts the cap) where a larger cache admits at
+    full chunk — a genuinely different launch that must be measured."""
+    from dbcsr_tpu.autotune import panel_plan_fingerprint
+
+    assert panel_plan_fingerprint(None) is None
+
+    # one group (c_win covers all slots) whose A span is 34 tiles:
+    # chunk 16 pads to 48 (> cap 40 -> halves to 8, pads to 40 <= 40);
+    # cap 96 keeps chunk 16
+    n_c, n_ab = 4, 64
+    ent = []
+    for c in range(n_c):
+        for ai in (0, 33):  # span [0, 34)
+            ent.append((c, ai, c))
+    stack = np.asarray(sorted(ent), dtype=np.int32)
+    mk = lambda cap: plan_panel_stack(
+        stack, n_c, n_ab, n_ab, c_win=4, a_cap=cap, b_cap=cap, chunk=16
+    )
+    small, big, bigger = mk(40), mk(96), mk(320)
+    assert small.chunk == 8 and big.chunk == 16
+    fps = list(map(panel_plan_fingerprint, (small, big, bigger)))
+    assert fps[0] != fps[1], "halved-chunk launch must not be deduped"
+    assert fps[1] == fps[2], "caps past admission realize one launch"
+
+
 def test_autotune_combo_pruning():
     """The sweep grid prunes bf16-at-highest (no-op) and cache/c_win
     combos whose scratch footprint exceeds the scoped-VMEM budget

@@ -63,15 +63,13 @@ def main() -> int:
             lay_b.tile_coords, (lay_b.ntr, lay_b.ntc),
         )
         compiled_fp = set()
-        admitted = set()
         n_new = n_dup = n_decl = 0
         for combo in combos:
-            dkey = tuple(
-                (k, v) for k, v in sorted(combo.items())
-                if k != "panel_cache"
-            )
-            if dkey in admitted:
-                continue
+            # no admission-keyed skip here: a small cache can admit with
+            # a HALVED chunk where a larger cache admits at full chunk
+            # (pad_spans), so every combo is planned and the dedup keys
+            # on the realized launch fingerprint below — exactly the
+            # sweep's dedup rule (autotune.panel_plan_fingerprint)
             with config_override(**combo):
                 plan = _maybe_panel_plan(
                     get_config(), tplan, a.index, b.index,
@@ -81,7 +79,6 @@ def main() -> int:
             if plan is None:
                 n_decl += 1
                 continue
-            admitted.add(dkey)
             is_runs = isinstance(plan, PanelRunPlan)
             in_dt = (
                 "bfloat16" if combo.get("panel_bf16_inputs") else "float32"
