@@ -20,6 +20,15 @@ mkdir -p "$LOG"
 cd /root/repo
 deadline=$(( $(date +%s) + MAX_HOURS * 3600 ))
 
+harvest() {
+  # move window results into the repo tree the moment the orchestrator
+  # stops: /tmp does not survive the round, and the round driver commits
+  # any uncommitted work — so even an unattended window ends up recorded.
+  # Both tools are idempotent and safe on partial windows.
+  python tools/apply_checksums.py "$LOG" >> "$LOG/harvest.log" 2>&1 || true
+  python tools/window_report.py "$LOG" >> "$LOG/harvest.log" 2>&1 || true
+}
+
 echo "chip_watch: probing every ${INTERVAL}s for up to ${MAX_HOURS}h"
 n=0
 attempts=0
@@ -30,9 +39,11 @@ while [ "$(date +%s)" -lt "$deadline" ]; do
     echo "chip_watch: probe $n OK at $(date -u +%FT%TZ) — launching chip_session (attempt $attempts/$MAX_ATTEMPTS)"
     if bash tools/chip_session.sh > "$LOG/session_run_$attempts.log" 2>&1; then
       echo "chip_watch: orchestrator COMPLETE (all markers ok) at $(date -u +%FT%TZ)"
+      harvest
       exit 0
     fi
     echo "chip_watch: orchestrator INCOMPLETE (attempt $attempts) at $(date -u +%FT%TZ) — see $LOG"
+    harvest   # partial results are still results — move them into the repo
     if [ "$attempts" -ge "$MAX_ATTEMPTS" ]; then
       echo "chip_watch: attempt budget exhausted — manual inspection needed"
       exit 3
