@@ -602,7 +602,18 @@ def main(argv=None) -> int:
         old = load_params(table["device_kind"])
         if old is not None:
             merged = dict(old["results"])
-            merged.update(table["results"])
+            for cls, res in table["results"].items():
+                # a class whose sweep produced NO successful measurement
+                # (tunnel drop mid-window, every combo failed) must not
+                # clobber a previously MEASURED entry with best=None —
+                # stale-but-real beats fresh-but-empty
+                if res.get("best") is None and merged.get(cls, {}).get(
+                    "best"
+                ) is not None:
+                    print(f"merge: keeping existing {cls} entry "
+                          "(new sweep has no successful measurement)")
+                    continue
+                merged[cls] = res
             table = {**old, **table, "results": merged}
     path = save_params(table, args.out)
     print(f"wrote {path}")

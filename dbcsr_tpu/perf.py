@@ -270,14 +270,20 @@ def main(argv=None) -> int:
             "[--emit-checksum]"
         )
         return 2
-    # honor JAX_PLATFORMS even when a sitecustomize pinned another
-    # backend (CPU smoke runs; harmless on chip)
+    # honor the platform selectors even when a sitecustomize pinned
+    # another backend. DBCSR_PLATFORM takes precedence: this environment
+    # pins JAX_PLATFORMS=axon in the ambient env, so re-applying
+    # JAX_PLATFORMS here would clobber the package-level DBCSR_PLATFORM
+    # selector and hang CPU rehearsals on a downed tunnel (round-4 fix)
     import os
 
-    if os.environ.get("JAX_PLATFORMS"):
+    plat = os.environ.get("DBCSR_PLATFORM") or os.environ.get(
+        "JAX_PLATFORMS"
+    )
+    if plat:
         import jax
 
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        jax.config.update("jax_platforms", plat)
     emit = "--emit-checksum" in argv
     argv = [a for a in argv if a != "--emit-checksum"]
     cfg = parse_perf(argv[0])

@@ -45,6 +45,83 @@ def test_sweep_and_apply(tmp_path, monkeypatch):
     assert cfg.tile_size == best["tile_size"]
 
 
+class _FakePlan:
+    """Plan-shaped object for fingerprint tests (panel_plan_fingerprint
+    reads attrs, not the concrete PanelPlan class)."""
+
+    def __init__(self, chunk=16, a_cap=32, b_cap=32, c_win=16,
+                 n_groups=4, loaded_tiles=100):
+        self.chunk, self.a_cap, self.b_cap = chunk, a_cap, b_cap
+        self.c_win, self.n_groups = c_win, n_groups
+        self.loaded_tiles = loaded_tiles
+
+
+def test_sweep_panel_cache_axis_dedup(monkeypatch):
+    """The sweep measures each REALIZED panel launch once per cache-free
+    knob key: identical fingerprints across the cache axis collapse to
+    one measurement; a differing fingerprint (e.g. the pad_spans chunk
+    halving at a small cap) is measured separately."""
+    from dbcsr_tpu.mm import engine
+
+    monkeypatch.setitem(autotune.WORKLOADS, "tiny", _tiny_workload)
+
+    plans = {48: _FakePlan(chunk=8), 96: _FakePlan(chunk=16),
+             320: _FakePlan(chunk=16)}
+    measured = []
+
+    def fake_build(ta, tb, a, b, driver=None):
+        cache = get_config().panel_cache
+        engine._last_panel_plan[0] = plans[cache]
+
+        def fn(ad, bd):
+            return ad
+
+        return fn, None, 1e9
+
+    def fake_time(fn, args, **kw):
+        measured.append(get_config().panel_cache)
+        return 1e-3
+
+    monkeypatch.setattr(engine, "build_multiply_executor", fake_build)
+    monkeypatch.setattr(autotune, "steady_state_time", fake_time)
+    table = autotune.sweep(
+        grid={"mm_driver": ["panel"], "panel_cache": [48, 96, 320]},
+        workloads=["tiny"],
+        verbose=False,
+    )
+    # cache 48 realizes chunk 8 (measured), 96 realizes chunk 16
+    # (measured), 320 realizes the same launch as 96 (deduped)
+    assert measured == [48, 96]
+    assert len(table["results"]["tiny"]["all"]) == 2
+
+
+def test_merge_keeps_measured_entry_over_empty_sweep(tmp_path, monkeypatch):
+    """--merge must not clobber a previously MEASURED class entry with a
+    best=None result from a sweep where every combo failed (tunnel drop
+    mid-window): stale-but-real beats fresh-but-empty."""
+    good = {"best": {"mm_driver": "stack", "gflops": 962.0}, "all": []}
+    fresh = {"best": {"mm_driver": "panel", "gflops": 1500.0}, "all": []}
+    monkeypatch.setattr(
+        autotune, "sweep",
+        lambda **kw: {"device_kind": "k", "results": {
+            "banded_fine_large": {"best": None, "all": []},
+            "banded_fine": fresh,
+        }},
+    )
+    monkeypatch.setattr(
+        autotune, "load_params",
+        lambda kind=None: {"device_kind": "k", "results": {
+            "banded_fine_large": good,
+        }},
+    )
+    out = str(tmp_path / "t.json")
+    autotune.main(["--merge", "--out", out])
+    with open(out) as f:
+        merged = json.load(f)["results"]
+    assert merged["banded_fine_large"] == good      # kept, not clobbered
+    assert merged["banded_fine"] == fresh            # real result merged
+
+
 def test_workload_class_buckets():
     assert autotune.workload_class([23], 1.0) == "block23_dense"
     assert autotune.workload_class([5], 0.1) == "block5_sparse10"

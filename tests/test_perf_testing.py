@@ -47,6 +47,25 @@ def test_parse_perf_reference_recipes():
     assert rect2.transa == "T" and rect2.k == 1000
 
 
+def test_perf_cli_dbcsr_platform_wins(tmp_path):
+    """DBCSR_PLATFORM=cpu must beat an ambient JAX_PLATFORMS pin in the
+    perf CLI: this environment pins JAX_PLATFORMS=axon below env
+    overrides, and re-applying it clobbered the CPU selector — a CPU
+    rehearsal then hung forever on a downed tunnel (round-4 fix)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, DBCSR_PLATFORM="cpu", JAX_PLATFORMS="axon")
+    out = subprocess.run(
+        [sys.executable, "-m", "dbcsr_tpu.perf",
+         os.path.join(os.path.dirname(__file__), "inputs",
+                      "singleblock.perf")],
+        env=env, capture_output=True, text=True, timeout=240,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "checksum" in out.stdout
+
+
 def test_run_perf_small(capsys):
     cfg = parse_perf(os.path.join(HERE, "inputs", "mixed_blocks.perf"))
     cfg.m, cfg.n, cfg.k = 92, 46, 69  # shrink for CI
