@@ -175,13 +175,19 @@ def test_bench_outage_skip_record():
     import sys
 
     env = dict(os.environ)
+    # the probe must honor this EXPLICITLY (jax.config.update): the axon
+    # sitecustomize registers its backend regardless of JAX_PLATFORMS,
+    # so before the r4 fix this test only passed when the chip happened
+    # to be down. The unknown platform errors without matching the
+    # retry-worthy "Unable to initialize backend" pattern, so the probe
+    # fails after ONE attempt (no release-latency retries).
     env["JAX_PLATFORMS"] = "nonexistent_backend"
-    env["DBCSR_BENCH_PROBE_TIMEOUT"] = "30"
+    env["DBCSR_BENCH_PROBE_TIMEOUT"] = "45"
     res = subprocess.run(
         [sys.executable, os.path.join(HERE, "..", "bench.py"), "banded"],
         capture_output=True,
         text=True,
-        timeout=120,
+        timeout=240,
         env=env,
     )
     assert res.returncode == 0, res.stderr
