@@ -129,6 +129,17 @@ class Config:
     #: random stack) but are neutral on banded ones where consecutive-index
     #: DMA elision already helps — autotuned per workload class.
     stack_e_batch: int = 1
+    #: f64 compute path: "ozaki" multiplies double-precision tiles as
+    #: exact 8-bit bf16 slice products on the MXU (ops/f64_emu.py —
+    #: error comparable to a native f64 GEMM, measured ~orders faster
+    #: than XLA's emulated f64 dot on sparse stacks); "native" keeps
+    #: XLA's multi-pass f64 dot (IEEE NaN/Inf propagation, ~2 TFLOP/s
+    #: hw ceiling on v5e).
+    f64_method: str = "ozaki"
+    #: mantissa slices for the ozaki path: 7 x 8 bits covers the 53-bit
+    #: f64 mantissa (~2^-53 worst-case relative from dropped cross
+    #: terms); 6 trades ~8 bits of accuracy for ~25% fewer MXU passes.
+    f64_slices: int = 7
     #: use communication-optimal splitting in TAS multiplies
     tas_split_factor: float = 1.0
     #: randomly seeded value used by random matrix generators

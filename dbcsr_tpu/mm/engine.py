@@ -121,6 +121,65 @@ def _dense_tiles_einsum(a_store, b_store, *, mt, kt, nt, t, prec):
     return out4.reshape(mt * nt, t, t)
 
 
+def _use_ozaki(dtype, cfg) -> bool:
+    """True when f64 tiles should multiply via exact bf16 slice products
+    (ops/f64_emu.py) instead of XLA's emulated f64 dot."""
+    return dtype == jnp.float64 and cfg.f64_method == "ozaki"
+
+
+def _stack_xla_or_ozaki(a_st, b_st, stack, *, n_c_tiles, prec, cfg):
+    """The non-Pallas stack product: XLA fallback, or the ozaki f64
+    twin when the operands are double precision (the Pallas kernels and
+    XLA's f64 batched dot are both unavailable-or-slow there)."""
+    if _use_ozaki(a_st.dtype, cfg):
+        from ..ops.f64_emu import tile_stack_matmul_ozaki
+
+        return tile_stack_matmul_ozaki(
+            a_st, b_st, stack, n_c_tiles=n_c_tiles,
+            n_slices=cfg.f64_slices,
+        )
+    return tile_stack_matmul_xla(
+        a_st, b_st, stack, n_c_tiles=n_c_tiles, precision=prec
+    )
+
+
+def _dense_tiles_ozaki(a_store, b_store, *, mt, kt, nt, t, n_slices):
+    """f64 twin of ``_dense_tiles_einsum``: pack the tile-complete
+    stores into 2-D panels and run the exact-slice product (K chunked
+    tile-wide inside ozaki_matmul)."""
+    from ..ops.f64_emu import ozaki_matmul
+
+    a2 = a_store.reshape(mt, kt, t, t).transpose(0, 2, 1, 3).reshape(
+        mt * t, kt * t
+    )
+    b2 = b_store.reshape(kt, nt, t, t).transpose(0, 2, 1, 3).reshape(
+        kt * t, nt * t
+    )
+    out2 = ozaki_matmul(a2, b2, n_slices=n_slices, k_chunk=t)
+    return out2.reshape(mt, t, nt, t).transpose(0, 2, 1, 3).reshape(
+        mt * nt, t, t
+    )
+
+
+def _dense_tiles_product(a_st, b_st, *, mt, kt, nt, t, prec, cfg):
+    """Dense tile-complete product, routed by dtype (f64 -> ozaki)."""
+    if _use_ozaki(a_st.dtype, cfg):
+        return _dense_tiles_ozaki(
+            a_st, b_st, mt=mt, kt=kt, nt=nt, t=t, n_slices=cfg.f64_slices
+        )
+    return _dense_tiles_einsum(a_st, b_st, mt=mt, kt=kt, nt=nt, t=t,
+                               prec=prec)
+
+
+def _panel_matmul(pa, pb, prec: str, cfg):
+    """2-D panel product, routed by dtype (f64 -> ozaki)."""
+    if _use_ozaki(pa.dtype, cfg):
+        from ..ops.f64_emu import ozaki_matmul
+
+        return ozaki_matmul(pa, pb, n_slices=cfg.f64_slices)
+    return jnp.matmul(pa, pb, precision=_PRECISIONS[prec])
+
+
 def _maybe_bf16(a_st, b_st, prec: str, cfg):
     """bf16 kernel inputs with f32 accumulation when precision='default'
     (halves the bandwidth-bound stack kernel's HBM traffic; the MXU computes
@@ -596,7 +655,14 @@ def _execute_local(
     # band driver: banded tile patterns as diagonal batched matmuls;
     # "auto" admits it when the tuned table prefers band for this class
     # or the conservative flop heuristic passes
-    if tplan is not None and driver in ("auto", "band"):
+    # ozaki-f64 auto mode prefers the exact-slice stack product over the
+    # band driver's XLA-f64 diagonal path (orders slower per the
+    # roofline); an EXPLICIT driver="band" request is still honored
+    if (
+        tplan is not None
+        and driver in ("auto", "band")
+        and not (driver == "auto" and _use_ozaki(a.dtype, cfg))
+    ):
         from .band import band_matmul, plan_band
 
         force_band = driver == "band" or (
@@ -637,8 +703,8 @@ def _execute_local(
     if tplan is None:
         if len(a_coords) == mt * kt and len(b_coords) == kt * nt:
             # tile-complete operands: one einsum straight off the stores
-            full = _dense_tiles_einsum(
-                a_st, b_st, mt=mt, kt=kt, nt=nt, t=tile, prec=prec
+            full = _dense_tiles_product(
+                a_st, b_st, mt=mt, kt=kt, nt=nt, t=tile, prec=prec, cfg=cfg
             )
             if len(c_keys) == mt * nt:
                 prod = full
@@ -655,7 +721,7 @@ def _execute_local(
                 jnp.asarray(b_coords[:, 0].astype(np.int64) * nt + b_coords[:, 1]),
                 ntr=kt, ntc=nt, t=tile,
             )
-            g = jnp.matmul(pa, pb, precision=_PRECISIONS[prec])
+            g = _panel_matmul(pa, pb, prec, cfg)
             prod = _panel_to_tiles(
                 g, jnp.asarray(c_keys), ntr=mt, ntc=nt, t=tile
             ) if len(c_keys) else jnp.zeros((0, tile, tile), dtype=a.dtype)
@@ -728,9 +794,9 @@ def _execute_local(
                         out_dtype=out_dt, e_batch=e_batch,
                     )
             else:
-                prod_tiles = tile_stack_matmul_xla(
+                prod_tiles = _stack_xla_or_ozaki(
                     a_st, b_st, jnp.asarray(tplan.stack),
-                    n_c_tiles=tplan.n_c_tiles, precision=prec,
+                    n_c_tiles=tplan.n_c_tiles, prec=prec, cfg=cfg,
                 )
             # align product tiles (sorted by product key) to C's tile set
             amap = tile_align_map(c_keys, tplan.c_tile_keys)
@@ -1161,8 +1227,14 @@ def build_multiply_executor(
         return jnp.conj(st) if conj else st
 
     # band driver: banded tile patterns run as diagonal batched matmuls
-    # (band.py) — the fast path for linear-scaling SCF shapes
-    if tplan is not None and drv in ("auto", "band"):
+    # (band.py) — the fast path for linear-scaling SCF shapes. ozaki-f64
+    # auto mode skips it (the exact-slice stack product is faster than
+    # band's XLA-f64 diagonals); explicit driver="band" is honored.
+    if (
+        tplan is not None
+        and drv in ("auto", "band")
+        and not (drv == "auto" and _use_ozaki(a.dtype, cfg))
+    ):
         from .band import band_matmul, plan_band
 
         force_band = drv == "band" or (
@@ -1206,15 +1278,16 @@ def build_multiply_executor(
             a_op = op_store(a_data, a_perm, ca)
             b_op = op_store(b_data, b_perm, cb)
             if tile_complete:
-                full = _dense_tiles_einsum(
-                    a_op, b_op, mt=mt, kt=kt, nt=nt, t=tile, prec=prec
+                full = _dense_tiles_product(
+                    a_op, b_op, mt=mt, kt=kt, nt=nt, t=tile, prec=prec,
+                    cfg=cfg,
                 )
                 if c_complete:
                     return full
                 return jnp.take(full, c_keys_j, axis=0)
             pa = _stores_to_panel(a_op, a_keys, ntr=mt, ntc=kt, t=tile)
             pb = _stores_to_panel(b_op, b_keys, ntr=kt, ntc=nt, t=tile)
-            g = jnp.matmul(pa, pb, precision=_PRECISIONS[prec])
+            g = _panel_matmul(pa, pb, prec, cfg)
             return _panel_to_tiles(g, c_keys_j, ntr=mt, ntc=nt, t=tile)
 
         return fn, c_index, symb.eff_flops
@@ -1347,9 +1420,9 @@ def build_multiply_executor(
                 out_dtype=out_dt, e_batch=e_batch,
             )
         else:
-            prod = tile_stack_matmul_xla(
+            prod = _stack_xla_or_ozaki(
                 a_st, b_st, jnp.asarray(stack_np), n_c_tiles=n_c,
-                precision=prec,
+                prec=prec, cfg=cfg,
             )
         if amap_identity:
             return prod

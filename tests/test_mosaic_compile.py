@@ -191,3 +191,29 @@ def test_vmem_budget_enforced_negative_control():
 
     with pytest.raises(Exception, match="RESOURCE_EXHAUSTED"):
         jax.jit(run, out_shardings=sh).trace().lower().compile()
+
+
+def test_ozaki_f64_paths_compile_for_tpu():
+    """The ozaki f64 slice product (ops/f64_emu.py) is pure XLA but
+    leans on f64 elementwise ops (round, log2, exp2) whose TPU lowering
+    is emulated — gate the FULL device-less TPU compile so an
+    unsupported-f64-op regression cannot reach a chip window."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import SingleDeviceSharding
+
+    from dbcsr_tpu.ops.f64_emu import ozaki_matmul, tile_stack_matmul_ozaki
+
+    topo = dt.testing.tpu_compile_topology()
+    sh = SingleDeviceSharding(topo.devices[0])
+    with jax.enable_x64(True):
+        a = jax.ShapeDtypeStruct((64, 256), jnp.float64, sharding=sh)
+        b = jax.ShapeDtypeStruct((256, 48), jnp.float64, sharding=sh)
+        assert jax.jit(ozaki_matmul).lower(a, b).compile() is not None
+        at = jax.ShapeDtypeStruct((6, 128, 128), jnp.float64, sharding=sh)
+        bt = jax.ShapeDtypeStruct((5, 128, 128), jnp.float64, sharding=sh)
+        st = jax.ShapeDtypeStruct((9, 3), jnp.int32, sharding=sh)
+        f = functools.partial(tile_stack_matmul_ozaki, n_c_tiles=4)
+        assert jax.jit(f).lower(at, bt, st).compile() is not None

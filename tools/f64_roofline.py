@@ -88,21 +88,49 @@ def main():
     print(json.dumps({"kernel": "df32_3prod_bound",
                       "tflops_hw": round(flops / per / 1e12, 2)}), flush=True)
 
-    # engine f64 paths: tile-dense (H2O-like) and banded sparse (stack-XLA)
+    # true-f64 ozaki slice product (ops/f64_emu.py): exact bf16 slices,
+    # S(S+1)/2 MXU passes + fused f64 combine — the engine's f64 default
+    from dbcsr_tpu.ops.f64_emu import ozaki_matmul
+
+    for s in (7, 6):
+        try:
+            xd = jax.random.normal(key, (n, n), jnp.float32).astype(
+                jnp.float64
+            )
+
+            def oz(a_):
+                return ozaki_matmul(a_, a_, n_slices=s)
+
+            per = steady_state_time(oz, (xd,))
+            print(json.dumps({"kernel": f"ozaki_dense_s{s}",
+                              "tflops_hw": round(flops / per / 1e12, 2)}),
+                  flush=True)
+        except Exception as e:
+            print(json.dumps({"kernel": f"ozaki_dense_s{s}",
+                              "error": f"{type(e).__name__}: {e}"[:160]}),
+                  flush=True)
+
+    # engine f64 paths: tile-dense (H2O-like) and banded sparse, each
+    # under both f64 methods (native XLA f64 vs ozaki slices)
     rng = np.random.default_rng(0)
     rbs = np.full(8 if quick else 96, 23, dtype=np.int32)  # tile-dense (H2O dims)
-    try:
-        a = dt.random_matrix(rbs, rbs, 0.8, rng, dtype=np.float64, name="A")
-        b = dt.random_matrix(rbs, rbs, 0.8, rng, dtype=np.float64, name="B")
-        with config_override(matmul_precision="highest"):
-            fn, _, eff = build_multiply_executor("N", "N", a, b)
-            per = steady_state_time(fn, (a.data, b.data))
-        print(json.dumps({"kernel": "engine_dense_f64_eff",
-                          "tflops": round(eff / per / 1e12, 2)}), flush=True)
-    except Exception as e:
-        print(json.dumps({"kernel": "engine_dense_f64_eff",
-                          "error": f"{type(e).__name__}: {e}"[:160]}),
-              flush=True)
+    for method in ("native", "ozaki"):
+        try:
+            a = dt.random_matrix(rbs, rbs, 0.8, rng, dtype=np.float64,
+                                 name="A")
+            b = dt.random_matrix(rbs, rbs, 0.8, rng, dtype=np.float64,
+                                 name="B")
+            with config_override(matmul_precision="highest",
+                                 f64_method=method):
+                fn, _, eff = build_multiply_executor("N", "N", a, b)
+                per = steady_state_time(fn, (a.data, b.data))
+            print(json.dumps({"kernel": f"engine_dense_f64_eff_{method}",
+                              "tflops": round(eff / per / 1e12, 2)}),
+                  flush=True)
+        except Exception as e:
+            print(json.dumps({"kernel": f"engine_dense_f64_eff_{method}",
+                              "error": f"{type(e).__name__}: {e}"[:160]}),
+                  flush=True)
 
     from dbcsr_tpu.block.bcsr import BCSRMatrix
     from dbcsr_tpu.block.index import build_index
@@ -120,19 +148,21 @@ def main():
         jax.random.normal(jax.random.PRNGKey(0), (lay.n_tiles, 128, 128),
                           jnp.float32) * valid_mask(idx, 128)
     ).astype(jnp.float64)
-    try:
-        a = BCSRMatrix(name="A", index=idx, data=data)
-        b = BCSRMatrix(name="B", index=idx, data=data * 0.5)
-        with config_override(matmul_precision="highest"):
-            fn, _, eff = build_multiply_executor("N", "N", a, b)
-            per = steady_state_time(fn, (a.data, b.data))
-        print(json.dumps({"kernel": "engine_banded_f64_eff",
-                          "gflops": round(eff / per / 1e9, 1),
-                          "ms": round(per * 1e3, 3)}), flush=True)
-    except Exception as e:
-        print(json.dumps({"kernel": "engine_banded_f64_eff",
-                          "error": f"{type(e).__name__}: {e}"[:160]}),
-              flush=True)
+    for method in ("native", "ozaki"):
+        try:
+            a = BCSRMatrix(name="A", index=idx, data=data)
+            b = BCSRMatrix(name="B", index=idx, data=data * 0.5)
+            with config_override(matmul_precision="highest",
+                                 f64_method=method):
+                fn, _, eff = build_multiply_executor("N", "N", a, b)
+                per = steady_state_time(fn, (a.data, b.data))
+            print(json.dumps({"kernel": f"engine_banded_f64_eff_{method}",
+                              "gflops": round(eff / per / 1e9, 1),
+                              "ms": round(per * 1e3, 3)}), flush=True)
+        except Exception as e:
+            print(json.dumps({"kernel": f"engine_banded_f64_eff_{method}",
+                              "error": f"{type(e).__name__}: {e}"[:160]}),
+                  flush=True)
 
 
 if __name__ == "__main__":
