@@ -33,3 +33,25 @@ def test_builtin_selftest_mm():
     assert dt.testing.test_mm(
         nblkrows=24, nblkcols=20, nblkks=22, occupancy=0.4, seed=3
     )
+
+
+def test_ozaki_f64_numerics():
+    """True-f64 ozaki slice product vs a host f64 oracle — the slicing
+    leans on emulated f64 elementwise ops (round/log2/exp2) whose CHIP
+    numerics the CPU suite cannot certify (the compile gate only proves
+    they lower). Runs on any backend; on the chip it is the f64
+    counterpart of the Pallas-vs-XLA twin checks."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from dbcsr_tpu.ops.f64_emu import ozaki_matmul
+
+    rng = np.random.default_rng(11)
+    a = rng.standard_normal((96, 260)) * np.exp2(
+        rng.integers(-20, 20, (96, 1)).astype(np.float64)
+    )
+    b = rng.standard_normal((260, 72))
+    ref = a @ b
+    got = np.asarray(ozaki_matmul(jnp.asarray(a), jnp.asarray(b)))
+    bound = np.abs(a) @ np.abs(b)
+    assert np.max(np.abs(got - ref) / bound) < 1e-13
