@@ -228,4 +228,14 @@ def test_feature_nearest_class_holdout(rng):
     # (tuned_stack_params goes through the same nearest_class; it keys the
     # table by the CURRENT device kind, so resolve explicitly here)
     best = table["results"][cls]["best"]
-    assert best is not None and "stack_e_batch" in best
+    assert best is not None and "mm_driver" in best
+    # the winner carries its driver's own knob family (the banded classes
+    # may resolve stack OR panel depending on the last chip re-tune)
+    driver_knobs = {
+        "stack": "stack_e_batch",
+        "panel": "panel_c_win",
+        "band": "matmul_precision",
+        "dense": "matmul_precision",
+        "grouped": "stack_e_batch",
+    }
+    assert driver_knobs[best["mm_driver"]] in best, best
