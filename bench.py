@@ -251,7 +251,11 @@ def _bench_filtered(rng):
     dense = symbolic_product(a.index, False, b.index, False)
     c_dense_nnz = len(build_index(dense.rows, dense.cols, rbs, rbs)[0].col_idx)
     gflops = flops / per / 1e9
-    ref = None  # pinned after the first chip capture
+    # ref pinned from the first chip capture (2026-08-18 window,
+    # docs/measured/window_20260818T1646.md): 1.0 GFLOP/s end-to-end
+    # per-call — the metric tracks host planning + dispatch regressions,
+    # not MXU rate (the filtered pattern is data-dependent per call)
+    ref = 1.0
     _emit(
         "filtered_mm_throughput", gflops,
         (gflops / ref) if ref else 0.0,
@@ -317,7 +321,10 @@ def _bench_tensor(rng):
 
         per = _per_call_median(call, sync)
     gflops = flops / per / 1e9
-    ref = None  # pinned after the first chip capture
+    # ref pinned from the first chip capture (2026-08-18 window,
+    # docs/measured/window_20260818T1646.md): 0.5 GFLOP/s end-to-end
+    # per-call through the BatchedContract state machine
+    ref = 0.5
     _emit(
         "tensor_contract_throughput", gflops,
         (gflops / ref) if ref else 0.0,

@@ -535,10 +535,35 @@ def multiply(
                 c_index = c.index
             else:
                 if prod_index is None:
-                    prod_index, _ = build_index(
-                        symb.rows, symb.cols, m_sizes, n_sizes
-                    )
-                    if cache_key is not None:
+                    if cache_key is None:
+                        # filtered path: the SYMBOLIC plan is data-
+                        # dependent (norms), but once the surviving
+                        # pattern is known the built index is pure
+                        # content — intern it so repeat calls over a
+                        # converged pattern (late SCF) reuse one index
+                        # object and every per-index derived cache
+                        # (store layout, tile_block_info, valid_mask)
+                        from .plancache import array_fingerprint
+
+                        fkey = pcache.key(
+                            a.index, ta, b.index, tb,
+                            extra=(
+                                "filtered_prod",
+                                array_fingerprint(symb.rows, symb.cols),
+                            ),
+                        )
+                        fc = pcache.get(fkey)
+                        if fc is not None:
+                            prod_index = fc[0]
+                        else:
+                            prod_index, _ = build_index(
+                                symb.rows, symb.cols, m_sizes, n_sizes
+                            )
+                            pcache.put(fkey, (prod_index,))
+                    else:
+                        prod_index, _ = build_index(
+                            symb.rows, symb.cols, m_sizes, n_sizes
+                        )
                         pcache.put(cache_key, (symb, prod_index))
                 if c is not None and c.nblks:
                     c_index, _, _ = merge_index(c.index, prod_index)
@@ -605,11 +630,29 @@ def multiply(
                 stats.max_memory_bytes, int(dm["peak_bytes_in_use"])
             )
         if cfg.collect_mnk_stats:
-            from .plan import mnk_statistics
+            # per-(m,n,k) statistics depend only on the operand patterns
+            # and the surviving C pattern — iterative callers (SCF steps
+            # over a converged pattern) repeat them exactly, and the
+            # O(S) class-bucketing pass was ~40% of the filtered bench's
+            # per-call host time. Cache alongside the symbolic plans.
+            from .plancache import array_fingerprint, get_plan_cache
 
-            for (m_, n_, k_), (cnt, fl) in mnk_statistics(
-                a.index, ta, b.index, tb, symb.rows, symb.cols
-            ).items():
+            pcache = get_plan_cache()
+            skey = pcache.key(
+                a.index, ta, b.index, tb,
+                extra=("mnk_stats", array_fingerprint(symb.rows, symb.cols)),
+            )
+            scached = pcache.get(skey)
+            if scached is not None:
+                mnk = scached[0]
+            else:
+                from .plan import mnk_statistics
+
+                mnk = mnk_statistics(
+                    a.index, ta, b.index, tb, symb.rows, symb.cols
+                )
+                pcache.put(skey, (mnk,))
+            for (m_, n_, k_), (cnt, fl) in mnk.items():
                 prev_cnt, prev_fl = stats.by_mnk.get((m_, n_, k_), (0, 0.0))
                 stats.by_mnk[(m_, n_, k_)] = (prev_cnt + cnt, prev_fl + fl)
 
@@ -645,7 +688,25 @@ def _execute_local(
     tplan = None
     if driver in ("auto", "stack", "xla", "band", "panel", "grouped"):
         with timed("multiply/tileplan"):
-            tplan = plan_tile_stacks_stores(a_coords, (mt, kt), b_coords, (kt, nt))
+            # the tile-triple plan depends only on the operand tile
+            # patterns (coords derive from index + trans + tile size):
+            # cache it so iterative one-shot callers — including
+            # FILTERED multiplies, whose C pattern varies but whose
+            # operand plan does not — skip the enumerate+sort pass
+            from .plancache import get_plan_cache
+
+            _pc = get_plan_cache()
+            _tkey = _pc.key(
+                a.index, ta, b.index, tb, extra=("tileplan", tile)
+            )
+            _tc = _pc.get(_tkey)
+            if _tc is not None:
+                tplan = _tc[0]
+            else:
+                tplan = plan_tile_stacks_stores(
+                    a_coords, (mt, kt), b_coords, (kt, nt)
+                )
+                _pc.put(_tkey, (tplan,))
         tdensity = len(tplan.stack) / max(mt * kt * nt, 1)
         if driver == "auto" and tdensity >= cfg.dense_threshold:
             tplan = None

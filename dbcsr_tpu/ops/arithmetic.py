@@ -238,9 +238,27 @@ def filter_blocks(m: BCSRMatrix, eps: float) -> BCSRMatrix:
             return m
         rows = m.index.blk_rows[keep]
         cols = m.index.col_idx[keep]
-        new_index, _ = build_index(
-            rows, cols, m.index.row_block_sizes, m.index.col_block_sizes
+        # intern the filtered index by content: iterative filtered
+        # multiplies re-derive the same surviving pattern every call,
+        # and a shared index object carries its derived caches (store
+        # layout keys, valid_mask) across calls
+        from ..mm.plancache import (
+            array_fingerprint, get_plan_cache, index_fingerprint,
         )
+
+        _pc = get_plan_cache()
+        _fk = (
+            "filter_index", index_fingerprint(m.index),
+            array_fingerprint(keep),
+        )
+        _fc = _pc.get(_fk)
+        if _fc is not None:
+            new_index = _fc[0]
+        else:
+            new_index, _ = build_index(
+                rows, cols, m.index.row_block_sizes, m.index.col_block_sizes
+            )
+            _pc.put(_fk, (new_index,))
         keys = store_layout(new_index, m.tile).tile_keys()
         data = _align_to(keys, m) * valid_mask(new_index, m.tile).astype(m.dtype)
         return BCSRMatrix(

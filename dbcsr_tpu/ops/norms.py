@@ -30,12 +30,25 @@ __all__ = [
 def block_norms_sq(m: BCSRMatrix) -> np.ndarray:
     """Squared Frobenius norm per stored block, float32 host [nblks]
     (single-precision norms like the reference,
-    ``src/mm/dbcsr_mm_common.F:629``)."""
+    ``src/mm/dbcsr_mm_common.F:629``).
+
+    Memoized per matrix object against its (immutable) tile store: a
+    filtered multiply reads operand norms every call and the final
+    filter re-reads the product's — identical data must not pay the
+    device reduction + transfer twice. The result is marked read-only
+    because it is shared across callers."""
     if m.is_complex_emulated:
         from .complex_emu import emu_block_norms_sq
 
         return emu_block_norms_sq(m)
-    return block_sums_sq(m.index, m.tile, m.data)
+    memo = getattr(m, "_norms_sq_memo", None)
+    if memo is not None and memo[0] is m.data:
+        return memo[1]
+    out = block_sums_sq(m.index, m.tile, m.data)
+    out = np.asarray(out)
+    out.flags.writeable = False
+    object.__setattr__(m, "_norms_sq_memo", (m.data, out))
+    return out
 
 
 def block_norms(m: BCSRMatrix) -> np.ndarray:

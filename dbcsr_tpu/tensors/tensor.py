@@ -128,43 +128,87 @@ class Tensor:
         One host index rebuild + one device element gather."""
         if (mapping.map1, mapping.map2) == (self.mapping.map1, self.mapping.map2):
             return self
-        nbpd = self.nblk_per_dim
-        bis = self.block_indices()  # [nblks, ndim]
-        new_rows, new_cols = mapping.fold(bis, nbpd)
-        rbs = grouped_block_sizes(list(self.block_sizes), list(mapping.map1))
-        cbs = grouped_block_sizes(list(self.block_sizes), list(mapping.map2))
-        new_index, order = build_index(
-            new_rows.astype(np.int64), new_cols.astype(np.int64), rbs, cbs
+        # the refold's host work (index rebuild + per-block transpose
+        # map + store-map composition) is pure content; iterative
+        # contractions refold the same operands every call, so cache it
+        # (keyed on matrix index content + nd block sizes + both
+        # mappings) and leave only one jitted device gather per call
+        from ..mm.plancache import (
+            array_fingerprint, get_plan_cache, index_fingerprint,
         )
-        # element gather: per block, transpose storage order old -> new
-        old_order = self.mapping.dim_order
-        new_order = mapping.dim_order
-        # axes to pass to transpose: position of each new-order dim in old order
-        axes = tuple(old_order.index(d) for d in new_order)
-        old_off = self.matrix.index.blk_offset
-        gmap = np.empty(new_index.nelems, dtype=np.int64)
-        pos = 0
-        perm_cache: Dict[Tuple[int, ...], np.ndarray] = {}
-        for nb in range(new_index.nblks):
-            ob = int(order[nb])  # source block id (build_index perm)
-            bi = bis[ob]
-            shp_old = tuple(int(self.block_sizes[d][bi[d]]) for d in old_order)
-            key = shp_old
-            if key not in perm_cache:
-                perm_cache[key] = (
-                    np.transpose(
-                        np.arange(int(np.prod(shp_old)), dtype=np.int64).reshape(
-                            shp_old
-                        ),
-                        axes=axes,
-                    ).reshape(-1)
-                )
-            n = perm_cache[key].size
-            gmap[pos:pos + n] = int(old_off[ob]) + perm_cache[key]
-            pos += n
-        from ..block.gather import apply_flat_gather
 
-        data = apply_flat_gather(new_index, self.matrix.tile, self.matrix, gmap)
+        _pc = get_plan_cache()
+        _key = (
+            "with_layout", index_fingerprint(self.matrix.index),
+            array_fingerprint(*self.block_sizes), self.matrix.tile,
+            self.mapping.map1, self.mapping.map2,
+            mapping.map1, mapping.map2,
+        )
+        _hit = _pc.get(_key)
+        if _hit is not None:
+            new_index, inv, n_tiles = _hit
+        else:
+            nbpd = self.nblk_per_dim
+            bis = self.block_indices()  # [nblks, ndim]
+            new_rows, new_cols = mapping.fold(bis, nbpd)
+            rbs = grouped_block_sizes(list(self.block_sizes), list(mapping.map1))
+            cbs = grouped_block_sizes(list(self.block_sizes), list(mapping.map2))
+            new_index, order = build_index(
+                new_rows.astype(np.int64), new_cols.astype(np.int64), rbs, cbs
+            )
+            # element gather: per block, transpose storage order old -> new
+            old_order = self.mapping.dim_order
+            new_order = mapping.dim_order
+            # axes to pass to transpose: position of each new-order dim in
+            # old order
+            axes = tuple(old_order.index(d) for d in new_order)
+            old_off = self.matrix.index.blk_offset
+            gmap = np.empty(new_index.nelems, dtype=np.int64)
+            pos = 0
+            perm_cache: Dict[Tuple[int, ...], np.ndarray] = {}
+            for nb in range(new_index.nblks):
+                ob = int(order[nb])  # source block id (build_index perm)
+                bi = bis[ob]
+                shp_old = tuple(
+                    int(self.block_sizes[d][bi[d]]) for d in old_order
+                )
+                key = shp_old
+                if key not in perm_cache:
+                    perm_cache[key] = (
+                        np.transpose(
+                            np.arange(
+                                int(np.prod(shp_old)), dtype=np.int64
+                            ).reshape(shp_old),
+                            axes=axes,
+                        ).reshape(-1)
+                    )
+                n = perm_cache[key].size
+                gmap[pos:pos + n] = int(old_off[ob]) + perm_cache[key]
+                pos += n
+            from ..block.gather import flat_gather_store_map
+            from ..block.store import store_layout
+
+            inv = flat_gather_store_map(
+                new_index, self.matrix.tile, self.matrix.layout, gmap
+            )
+            n_tiles = store_layout(new_index, self.matrix.tile).n_tiles
+            # cache the map DEVICE-resident (int32 when positions fit):
+            # re-uploading an nelems-sized int64 map every call costs a
+            # host->device transfer per refold — through the TPU tunnel
+            # that dwarfs the gather itself
+            import jax.numpy as jnp
+
+            # the oob sentinel IS int32 max — it survives the cast and
+            # stays out-of-range for any store smaller than 2^31 elems
+            if self.matrix.data.size < np.iinfo(np.int32).max:
+                inv = inv.astype(np.int32)
+            inv = jnp.asarray(inv)
+            _pc.put(_key, (new_index, inv, n_tiles))
+        from ..block.gather import apply_store_gather
+
+        data = apply_store_gather(
+            self.matrix.data, inv, n_tiles, self.matrix.tile
+        )
         return Tensor(
             name=self.name,
             block_sizes=self.block_sizes,

@@ -20,7 +20,9 @@ def test_parse_perf_square():
     assert cfg.sparsity_a == pytest.approx(0.9)
     assert cfg.nrep == 3
     assert cfg.m_blocks == [(1, 5)]
-    assert not cfg.check_checksum
+    # chip-emitted checksum ref pinned in the 2026-08-18 window
+    # (tools/apply_checksums.py) — the recipe is regression-checked now
+    assert cfg.check_checksum and len(cfg.checksum_refs) == 1
 
 
 def test_parse_perf_mixed():

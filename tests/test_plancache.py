@@ -34,15 +34,34 @@ def test_multiply_hits_cache(rng):
     )
 
 
-def test_filtered_multiply_bypasses_cache(rng):
+def test_filtered_multiply_norms_never_stale_cached(rng):
+    """The norms-dependent SYMBOLIC plan of a filtered multiply is never
+    cached (the surviving pattern depends on data), while pattern-derived
+    pieces (built product index, tile plan, mnk stats) ARE content-cached
+    across identical calls (round-4: per-call host cost of the
+    linear-scaling SCF loop). Correctness criterion: changing the data
+    changes the filtered result — no stale pattern reuse."""
     cache = get_plan_cache()
     cache.clear()
     bs = dt.random_block_sizes(20, [2, 3], rng)
     a = dt.random_matrix(bs, bs, 0.4, rng, dtype=np.float64)
     b = dt.random_matrix(bs, bs, 0.4, rng, dtype=np.float64)
-    dt.multiply("N", "N", 1.0, a, b, filter_eps=1e-3)
-    dt.multiply("N", "N", 1.0, a, b, filter_eps=1e-3)
-    assert cache.hits == 0
+    c1 = dt.multiply("N", "N", 1.0, a, b, filter_eps=1e-3)
+    c2 = dt.multiply("N", "N", 1.0, a, b, filter_eps=1e-3)
+    # identical call: pattern-derived caches may hit, result identical
+    np.testing.assert_array_equal(
+        np.asarray(c1.to_dense()), np.asarray(c2.to_dense())
+    )
+    # the unfiltered-symbolic cache entry is never consulted: scaling the
+    # data changes which blocks survive eps, and the result tracks it
+    tiny = a.with_data(a.data * 1e-6)
+    c3 = dt.multiply("N", "N", 1.0, tiny, b, filter_eps=1e-3)
+    assert c3.nblks < c1.nblks
+    ref = np.asarray(tiny.to_dense()) @ np.asarray(b.to_dense())
+    got = np.asarray(c3.to_dense())
+    # surviving blocks match the true product
+    mask = got != 0
+    np.testing.assert_allclose(got[mask], ref[mask], atol=1e-12)
 
 
 def test_distributed_multiply_hits_plan_cache(rng):
