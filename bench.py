@@ -179,16 +179,24 @@ def _emit(metric, gflops, vs, **extra):
 
 
 def _bench_filtered(rng):
-    """BASELINE config 3: epsilon-filtered multiply with on-the-fly
-    truncation + retained norms — the linear-scaling SCF pattern. Banded
-    operands whose block magnitudes decay away from the diagonal (block-
-    granular, applied element-wise through block-of-element maps), so
-    ``filter_eps`` genuinely truncates the product's far-band tail: per call the engine recomputes block norms,
-    builds the eps-aware symbolic product (per-row thresholds,
-    ``(eps/row_count)^2`` — the reference's ``dbcsr_mm_cannon.F``
-    row_max_epss), executes, and applies the final Frobenius filter.
-    Reference analog: ``dbcsr_multiply(..., filter_eps)`` in CP2K's
-    linear-scaling SCF loop."""
+    """BASELINE config 3: epsilon-filtered multiply — the linear-scaling
+    SCF pattern — measured the way the SCF loop actually runs: operand
+    DATA CHANGES EVERY CALL over a fixed pattern. Banded operands whose
+    block magnitudes decay away from the diagonal, so ``filter_eps``
+    genuinely truncates the product's far-band tail.
+
+    Headline: the device-resident ``FilteredExecutor`` (mm/filtered.py —
+    superset product + on-device norms/threshold/mask, zero host work
+    per call) in a jitted loop cycling 4 independent data variants, so
+    no content cache can flatter the number (round-4 Weak #3).
+    ``vs_baseline`` is the FILTERING OVERHEAD FACTOR: executor rate /
+    unfiltered plan-once executor rate on the SAME pattern (round-4
+    Next #7 — externally meaningful, not a self-referential ratio).
+    Extra fields record the one-shot ``dt.multiply`` end-to-end path,
+    both data-static (the round-4 metric) and data-varying (the honest
+    naive-caller cost). Reference analog: ``dbcsr_multiply(...,
+    filter_eps)`` inside CP2K's linear-scaling SCF
+    (``src/mm/dbcsr_mm_cannon.F:1042-1113`` per-row thresholds)."""
     import jax
     import jax.numpy as jnp
 
@@ -208,6 +216,7 @@ def _bench_filtered(rng):
     data = jax.random.normal(
         jax.random.PRNGKey(0), (lay.n_tiles, 128, 128), jnp.float32
     ) * valid_mask(idx, 128)
+    n_var = 4  # independent A-data variants cycled per iteration
     # block-granular off-diagonal decay exp(-1.5*|bi-bj|), applied
     # element-wise through the block-of-element-row maps: eps then sets
     # an effective bandwidth — calibrated so ~20% of product flops are
@@ -235,34 +244,112 @@ def _bench_filtered(rng):
     b = BCSRMatrix(name="B", index=idx, data=data * 0.5)
     eps = 1e-5
 
-    def call():
-        return dt.multiply(
-            "N", "N", 1.0, a, b, filter_eps=eps, return_flops=True
-        )
+    # ---- headline: FilteredExecutor, data varying every call ----------
+    ex = dt.build_filtered_executor("N", "N", a, b, eps)
+    vmask = valid_mask(idx, 128)
+    decay_d = jnp.asarray(decay)
+    a_vars = jnp.stack([
+        jax.random.normal(
+            jax.random.PRNGKey(100 + v), (lay.n_tiles, 128, 128),
+            jnp.float32,
+        ) * vmask * decay_d
+        for v in range(n_var)
+    ])
+
+    # the variants must produce genuinely different keep sets, or the
+    # "data-varying" label is hollow — assert it before timing
+    keeps = [np.asarray(ex.step(a_vars[v], b.data)[1]) for v in range(2)]
+    assert not np.array_equal(keeps[0], keeps[1]), (
+        "filtered bench: data variants produced identical keep sets"
+    )
+    kept_frac = float(np.mean([k.mean() for k in keeps]))
+
+    @partial(jax.jit, static_argnames="n")
+    def loop_step(a_stack, b_data, n):
+        def body(it, carry):
+            a_stack, acc = carry
+            a_i = jax.lax.dynamic_index_in_dim(
+                a_stack, it % n_var, axis=0, keepdims=False
+            )
+            c, k, _ = ex.step(a_i, b_data)
+            # fold a result-dependent epsilon back into the carry so no
+            # iteration can be elided
+            return (a_stack + c.reshape(-1)[0] * 1e-30, acc + jnp.sum(k))
+
+        return jax.lax.fori_loop(0, n, body, (a_stack, jnp.float32(0)))[1]
+
+    def run(fn, n, *args):
+        t0 = time.perf_counter()
+        out = fn(*args, n)
+        _ = float(jnp.asarray(out).ravel()[0])
+        return time.perf_counter() - t0
+
+    n_lo, n_hi = (2, 8) if _TINY else (5, 45)
+    run(loop_step, n_lo, a_vars, b.data)
+    run(loop_step, n_hi, a_vars, b.data)
+    lo = float(np.median([run(loop_step, n_lo, a_vars, b.data) for _ in range(5)]))
+    hi = float(np.median([run(loop_step, n_hi, a_vars, b.data) for _ in range(5)]))
+    # clamp: at TINY scale the marginal time is noise-dominated and can
+    # come out <= 0; TINY is a code-path smoke, never a perf number
+    per = max((hi - lo) / (n_hi - n_lo), 1e-7)
+    gflops = ex.eff_flops / per / 1e9
+
+    # ---- baseline: the UNFILTERED plan-once executor, same pattern ----
+    from dbcsr_tpu.mm.engine import build_multiply_executor
+
+    fn_plain, _, _ = build_multiply_executor("N", "N", a, b)
+
+    @partial(jax.jit, static_argnames="n")
+    def loop_plain(a_stack, b_data, n):
+        def body(it, carry):
+            a_stack, acc = carry
+            a_i = jax.lax.dynamic_index_in_dim(
+                a_stack, it % n_var, axis=0, keepdims=False
+            )
+            c = fn_plain(a_i, b_data)
+            return (a_stack + c.reshape(-1)[0] * 1e-30, acc + c.reshape(-1)[0])
+
+        return jax.lax.fori_loop(0, n, body, (a_stack, jnp.float32(0)))[1]
+
+    run(loop_plain, n_lo, a_vars, b.data)
+    run(loop_plain, n_hi, a_vars, b.data)
+    lo_p = float(np.median([run(loop_plain, n_lo, a_vars, b.data) for _ in range(5)]))
+    hi_p = float(np.median([run(loop_plain, n_hi, a_vars, b.data) for _ in range(5)]))
+    per_plain = max((hi_p - lo_p) / (n_hi - n_lo), 1e-7)
+
+    # ---- extras: the one-shot dt.multiply end-to-end path -------------
+    a_mats = [
+        BCSRMatrix(name=f"A{v}", index=idx, data=a_vars[v])
+        for v in range(min(3, n_var))
+    ]
+    state = {"i": 0}
+
+    def call_varying():
+        m = a_mats[state["i"] % len(a_mats)]
+        state["i"] += 1
+        return dt.multiply("N", "N", 1.0, m, b, filter_eps=eps,
+                           return_flops=True)
+
+    def call_static():
+        return dt.multiply("N", "N", 1.0, a, b, filter_eps=eps,
+                           return_flops=True)
 
     def sync(out):
         jax.block_until_ready(out[0].data)
 
-    per = _per_call_median(call, sync)
-    c, flops = call()
-    # unfiltered product, for the truncation stats
-    from dbcsr_tpu.mm.plan import symbolic_product
+    per_one_var = _per_call_median(call_varying, sync, warmup=1, reps=5)
+    per_one_static = _per_call_median(call_static, sync, warmup=1, reps=5)
+    _, flops_host = call_static()
 
-    dense = symbolic_product(a.index, False, b.index, False)
-    c_dense_nnz = len(build_index(dense.rows, dense.cols, rbs, rbs)[0].col_idx)
-    gflops = flops / per / 1e9
-    # ref pinned from the first chip capture (2026-08-18 window,
-    # docs/measured/window_20260818T1646.md): 1.0 GFLOP/s end-to-end
-    # per-call — the metric tracks host planning + dispatch regressions,
-    # not MXU rate (the filtered pattern is data-dependent per call)
-    ref = 1.0
     _emit(
         "filtered_mm_throughput", gflops,
-        (gflops / ref) if ref else 0.0,
-        **({"ref_pending": True} if not ref else {}),
-        filtered_flop_fraction=round(flops / dense.eff_flops, 3),
-        c_nnz_kept=round(len(c.index.col_idx) / c_dense_nnz, 3),
-        ms_per_call=round(per * 1e3, 1),
+        per_plain / per,  # filtering overhead factor (<= ~1)
+        ms_per_call=round(per * 1e3, 2),
+        ms_per_call_unfiltered=round(per_plain * 1e3, 2),
+        c_blocks_kept=round(kept_frac, 3),
+        filtered_flop_fraction=round(flops_host / ex.eff_flops, 3),
+        oneshot_ms_data_varying=round(per_one_var * 1e3, 1),
+        oneshot_ms_data_static=round(per_one_static * 1e3, 1),
     )
 
 
@@ -310,6 +397,20 @@ def _bench_tensor(rng):
     bm = getattr(b2.matrix, "matrix", b2.matrix)
     flops = symbolic_product(am.index, False, bm.index, False).eff_flops
 
+    # baseline: the SAME product as a plain folded-2D plan-once executor
+    # (round-4 Next #7: vs_baseline becomes the TENSOR-LAYER OVERHEAD
+    # FACTOR — what fraction of the raw folded multiply's rate survives
+    # the nd fold/alignment machinery — instead of a self-referential
+    # first-capture ratio)
+    from dbcsr_tpu.mm.engine import build_multiply_executor
+
+    fn2d, _, _ = build_multiply_executor("N", "N", am, bm)
+
+    def call_2d():
+        return fn2d(am.data, bm.data)
+
+    per_2d = _per_call_median(call_2d, jax.block_until_ready)
+
     with BatchedContract() as bc:
         def call():
             return bc.contract(a, b, **kw)
@@ -321,15 +422,11 @@ def _bench_tensor(rng):
 
         per = _per_call_median(call, sync)
     gflops = flops / per / 1e9
-    # ref pinned from the first chip capture (2026-08-18 window,
-    # docs/measured/window_20260818T1646.md): 0.5 GFLOP/s end-to-end
-    # per-call through the BatchedContract state machine
-    ref = 0.5
     _emit(
         "tensor_contract_throughput", gflops,
-        (gflops / ref) if ref else 0.0,
-        **({"ref_pending": True} if not ref else {}),
-        ms_per_call=round(per * 1e3, 1),
+        per_2d / per,  # tensor-layer overhead factor (<= ~1)
+        ms_per_call=round(per * 1e3, 2),
+        ms_per_call_folded2d=round(per_2d * 1e3, 2),
     )
 
 

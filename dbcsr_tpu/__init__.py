@@ -49,6 +49,7 @@ from .core import (
     timer_report,
 )
 from .mm.engine import multiply
+from .mm.filtered import FilteredExecutor, build_filtered_executor
 from .mm.reorder import locality_block_permutation, permute_blocks
 from .ops.arithmetic import (
     ELEMENT_FUNCTIONS,

@@ -129,17 +129,21 @@ class Config:
     #: random stack) but are neutral on banded ones where consecutive-index
     #: DMA elision already helps — autotuned per workload class.
     stack_e_batch: int = 1
-    #: f64 compute path: "ozaki" multiplies double-precision tiles as
-    #: exact 8-bit bf16 slice products on the MXU (ops/f64_emu.py —
-    #: error comparable to a native f64 GEMM, measured ~orders faster
-    #: than XLA's emulated f64 dot on sparse stacks); "native" keeps
-    #: XLA's multi-pass f64 dot (IEEE NaN/Inf propagation, ~2 TFLOP/s
-    #: hw ceiling on v5e).
-    f64_method: str = "ozaki"
-    #: mantissa slices for the ozaki path: 7 x 8 bits covers the 53-bit
-    #: f64 mantissa (~2^-53 worst-case relative from dropped cross
-    #: terms); 6 trades ~8 bits of accuracy for ~25% fewer MXU passes.
-    f64_slices: int = 7
+    #: f64 compute path: "auto" (default) routes PER WORKLOAD CLASS by
+    #: the 2026-08-19 chip measurements — dense tile-complete products
+    #: keep XLA's native f64 dot (0.72 vs 0.34 TFLOP/s effective), sparse
+    #: stack products use the exact bf16 slice scheme (15.6 vs 7.4
+    #: GFLOP/s banded; ops/f64_emu.py). "ozaki" forces the slice scheme
+    #: everywhere, "native" forces XLA's multi-pass f64 dot everywhere
+    #: (IEEE NaN/Inf propagation, ~2 TFLOP/s hw ceiling on v5e).
+    f64_method: str = "auto"
+    #: mantissa slices for the ozaki paths. 0 = auto: each path's full-
+    #: f64 default (dense ``ozaki_matmul``: 7 x 8-bit slices; stack
+    #: ``tile_stack_matmul_ozaki``: 8 x 7-bit slices — the narrower
+    #: slices let whole anti-diagonal pair groups accumulate EXACTLY in
+    #: f32, see ops/f64_emu.py). An explicit N trades accuracy for MXU
+    #: passes (error ~2^-bits*(N-1) relative, x condition number).
+    f64_slices: int = 0
     #: use communication-optimal splitting in TAS multiplies
     tas_split_factor: float = 1.0
     #: randomly seeded value used by random matrix generators

@@ -121,17 +121,31 @@ def _dense_tiles_einsum(a_store, b_store, *, mt, kt, nt, t, prec):
     return out4.reshape(mt * nt, t, t)
 
 
-def _use_ozaki(dtype, cfg) -> bool:
-    """True when f64 tiles should multiply via exact bf16 slice products
-    (ops/f64_emu.py) instead of XLA's emulated f64 dot."""
-    return dtype == jnp.float64 and cfg.f64_method == "ozaki"
+def _use_ozaki(dtype, cfg, kind: str = "stack") -> bool:
+    """True when f64 data on this path should multiply via exact bf16
+    slice products (ops/f64_emu.py) instead of XLA's emulated f64 dot.
+
+    ``kind`` is the workload class of the call site: "dense" for
+    tile-complete / full-panel products, "stack" for sparse tile stacks.
+    The default ``f64_method="auto"`` routes per class from the
+    2026-08-19 chip roofline (docs/measured/window_20260819T0053.md):
+    native wins dense (0.72 vs 0.34 TFLOP/s effective), ozaki wins
+    stacks (15.6 vs 7.4 GFLOP/s banded). Explicit "ozaki"/"native"
+    override both classes — tuned-table style per-class selection, like
+    the reference's per-(m,n,k) parameter tables
+    (``src/acc/libsmm_acc/libsmm_acc.cpp:92-150``)."""
+    if dtype != jnp.float64:
+        return False
+    if cfg.f64_method == "auto":
+        return kind == "stack"
+    return cfg.f64_method == "ozaki"
 
 
 def _stack_xla_or_ozaki(a_st, b_st, stack, *, n_c_tiles, prec, cfg):
     """The non-Pallas stack product: XLA fallback, or the ozaki f64
     twin when the operands are double precision (the Pallas kernels and
     XLA's f64 batched dot are both unavailable-or-slow there)."""
-    if _use_ozaki(a_st.dtype, cfg):
+    if _use_ozaki(a_st.dtype, cfg, "stack"):
         from ..ops.f64_emu import tile_stack_matmul_ozaki
 
         return tile_stack_matmul_ozaki(
@@ -162,8 +176,8 @@ def _dense_tiles_ozaki(a_store, b_store, *, mt, kt, nt, t, n_slices):
 
 
 def _dense_tiles_product(a_st, b_st, *, mt, kt, nt, t, prec, cfg):
-    """Dense tile-complete product, routed by dtype (f64 -> ozaki)."""
-    if _use_ozaki(a_st.dtype, cfg):
+    """Dense tile-complete product, routed by dtype and f64 class."""
+    if _use_ozaki(a_st.dtype, cfg, "dense"):
         return _dense_tiles_ozaki(
             a_st, b_st, mt=mt, kt=kt, nt=nt, t=t, n_slices=cfg.f64_slices
         )
@@ -172,8 +186,9 @@ def _dense_tiles_product(a_st, b_st, *, mt, kt, nt, t, prec, cfg):
 
 
 def _panel_matmul(pa, pb, prec: str, cfg):
-    """2-D panel product, routed by dtype (f64 -> ozaki)."""
-    if _use_ozaki(pa.dtype, cfg):
+    """2-D panel product, routed by dtype and f64 class (full padded
+    panels are a dense-class product)."""
+    if _use_ozaki(pa.dtype, cfg, "dense"):
         from ..ops.f64_emu import ozaki_matmul
 
         return ozaki_matmul(pa, pb, n_slices=cfg.f64_slices)
@@ -722,7 +737,7 @@ def _execute_local(
     if (
         tplan is not None
         and driver in ("auto", "band")
-        and not (driver == "auto" and _use_ozaki(a.dtype, cfg))
+        and not (driver == "auto" and _use_ozaki(a.dtype, cfg, "stack"))
     ):
         from .band import band_matmul, plan_band
 
@@ -1294,7 +1309,7 @@ def build_multiply_executor(
     if (
         tplan is not None
         and drv in ("auto", "band")
-        and not (drv == "auto" and _use_ozaki(a.dtype, cfg))
+        and not (drv == "auto" and _use_ozaki(a.dtype, cfg, "stack"))
     ):
         from .band import band_matmul, plan_band
 

@@ -51,6 +51,7 @@ import numpy as np
 
 __all__ = [
     "DEFAULT_SLICES",
+    "DEFAULT_STACK_SLICES",
     "ozaki_slices",
     "ozaki_matmul",
     "tile_stack_matmul_ozaki",
@@ -59,6 +60,15 @@ __all__ = [
 #: 7 slices x 8 bits cover the 53-bit f64 mantissa to ~2^-53 relative
 #: worst case once the (i + j >= S) cross terms are dropped.
 DEFAULT_SLICES = 7
+
+#: the STACK path slices 7 bits x 8 slices instead: with b-bit slices a
+#: whole anti-diagonal pair group (i + j = d, d+1 <= S pairs, K <= 128)
+#: is a sum of <= 2^(2b) * 2^7 * S grid units — at b=7, S=8 that is
+#: exactly 2^24, the f32 exact-integer bound, so per-diagonal grouping
+#: accumulates EXACTLY in f32 and only S (not S(S+1)/2) f64 adds remain
+#: per stack entry. 8 x 7 = 56 bits >= the 53-bit f64 mantissa.
+DEFAULT_STACK_SLICES = 8
+_STACK_BITS = 7
 
 
 def _pow2_scale(x: jax.Array, axis: int) -> jax.Array:
@@ -118,6 +128,8 @@ def ozaki_matmul(
     accumulate in f64."""
     if k_chunk > 128:
         raise ValueError("k_chunk > 128 breaks the exact-f32 bound")
+    if not n_slices:  # 0/None = this path's full-f64 default
+        n_slices = DEFAULT_SLICES
     a = jnp.asarray(a, jnp.float64)
     b = jnp.asarray(b, jnp.float64)
     *batch, m, k = a.shape
@@ -153,22 +165,92 @@ def ozaki_matmul(
     return out
 
 
+def _slice_tiles(
+    tiles: jax.Array, n_slices: int, bits: int, axis: int
+):
+    """Per-tile-vector power-of-two scale + ``bits``-bit bf16 slices of a
+    whole TILE STORE. Slicing once per stored tile (instead of once per
+    gathered stack entry, as ``ozaki_matmul`` does) amortizes the
+    emulated-f64 elementwise work over every reuse of the tile in the
+    stack — on banded patterns each tile feeds ~band-width entries, so
+    this is the difference between slicing nA tiles and slicing S stack
+    entries (measured the dominant cost of the round-4 stack path)."""
+    s = _pow2_scale(tiles, axis=axis)
+    y = tiles / s  # exact: power-of-two divide
+    slices = []
+    r = y
+    for k in range(n_slices):
+        step = np.float64(2.0 ** (-bits * (k + 1)))
+        v = jnp.round(r * (1.0 / step)) * step
+        slices.append(v.astype(jnp.bfloat16))
+        if k + 1 < n_slices:
+            r = r - v
+    return s, slices
+
+
+_STACK_DIMS = (((2,), (1,)), ((0,), (0,)))
+
+
 def tile_stack_matmul_ozaki(
     a_tiles: jax.Array,  # [nA, T, T] float64
     b_tiles: jax.Array,  # [nB, T, T] float64
     stack: jax.Array,  # [S, 3] int32 (c, a, b), sorted by c
     *,
     n_c_tiles: int,
-    n_slices: int = DEFAULT_SLICES,
+    n_slices: int | None = None,
 ) -> jax.Array:
-    """Drop-in f64 twin of ``mm.kernels.tile_stack_matmul_xla`` (gather,
-    batched exact slice product, f64 segment-sum). T <= 128 keeps each
-    batched contraction inside the exact-f32 bound."""
+    """f64 twin of ``mm.kernels.tile_stack_matmul_xla`` via exact bf16
+    slice products, restructured for throughput (round-5):
+
+    - stores are scaled + sliced ONCE (``_slice_tiles``), per tile row
+      of A / tile column of B — numerically identical to the per-chunk
+      scaling of ``ozaki_matmul`` since a tile IS one K-chunk;
+    - slice gathers are tile-level bf16 takes (HBM-bandwidth);
+    - the kept pair products (i + j < S) run as batched bf16 MXU dots
+      and accumulate PER ANTI-DIAGONAL in f32 — exact, because 7-bit
+      slices bound a whole diagonal group by 2^24 grid units (see
+      ``DEFAULT_STACK_SLICES``);
+    - only S f64 adds + one f64 unscale survive per entry, then the
+      f64 segment-sum into C tiles.
+
+    Worst-case relative error ~``S(S+1)/2 * 2^(-7S)`` x the inner-
+    product condition number + the f64 segment-sum rounding — at the
+    default S=8 (56 mantissa bits) comparable to a sequentially
+    accumulated native f64 GEMM, same guarantee class as before.
+    """
+    if not n_slices:
+        n_slices = DEFAULT_STACK_SLICES
     t = a_tiles.shape[-1]
     if t > 128:
         raise ValueError("tile > 128 breaks the exact-f32 bound")
-    ga = jnp.take(a_tiles, stack[:, 1], axis=0)
-    gb = jnp.take(b_tiles, stack[:, 2], axis=0)
-    prods = ozaki_matmul(ga, gb, n_slices=n_slices, k_chunk=t)
-    out = jax.ops.segment_sum(prods, stack[:, 0], num_segments=n_c_tiles + 1)
+    return _tile_stack_ozaki_impl(
+        a_tiles, b_tiles, stack, n_c_tiles=n_c_tiles, n_slices=n_slices
+    )
+
+
+@partial(jax.jit, static_argnames=("n_c_tiles", "n_slices"))
+def _tile_stack_ozaki_impl(a_tiles, b_tiles, stack, *, n_c_tiles, n_slices):
+    sa, a_sl = _slice_tiles(
+        jnp.asarray(a_tiles, jnp.float64), n_slices, _STACK_BITS, axis=-1
+    )
+    sb, b_sl = _slice_tiles(
+        jnp.asarray(b_tiles, jnp.float64), n_slices, _STACK_BITS, axis=-2
+    )
+    ia, ib, ic = stack[:, 1], stack[:, 2], stack[:, 0]
+    ga = [jnp.take(s, ia, axis=0) for s in a_sl]
+    gb = [jnp.take(s, ib, axis=0) for s in b_sl]
+    acc = None
+    for d in range(n_slices):
+        pd = None  # anti-diagonal i + j = d: EXACT f32 accumulation
+        for i in range(d + 1):
+            q = jax.lax.dot_general(
+                ga[i], gb[d - i], dimension_numbers=_STACK_DIMS,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            pd = q if pd is None else pd + q
+        p64 = pd.astype(jnp.float64)
+        acc = p64 if acc is None else acc + p64
+    prods = acc * (jnp.take(sa, ia, axis=0) * jnp.take(sb, ib, axis=0))
+    out = jax.ops.segment_sum(prods, ic, num_segments=n_c_tiles + 1)
     return out[:n_c_tiles]

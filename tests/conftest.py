@@ -13,13 +13,53 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+_platform = os.environ.get("DBCSR_TEST_PLATFORM", "cpu")
+
+if _platform != "cpu":
+    # Real-chip run: the axon tunnel refuses a new device grant for a
+    # short while after the previous chip process exits (the round-4
+    # windows ran `make tpu-check` back-to-back with a bench step and
+    # got rc=2 both times). A failed in-process backend init poisons
+    # the process for good, so probe in THROWAWAY subprocesses and wait
+    # the blip out before anything touches jax. A genuinely-down tunnel
+    # shows up as a hung subprocess -> timeout -> retry; after the
+    # budget we proceed and let the tests skip/fail visibly (rc=1,
+    # never a collection rc=2).
+    import subprocess
+    import sys
+    import time
+
+    _code = (
+        "import jax\n"
+        f"jax.config.update('jax_platforms', {_platform!r})\n"
+        "import jax.numpy as jnp\n"
+        "x = jnp.ones((8, 8), jnp.bfloat16)\n"
+        "print(float((x @ x).sum()))\n"
+    )
+    for _attempt in range(3):
+        if _attempt:
+            time.sleep(15.0)
+        try:
+            _res = subprocess.run(
+                [sys.executable, "-c", _code],
+                timeout=300.0,
+                capture_output=True,
+            )
+            if _res.returncode == 0:
+                break
+            _err = _res.stderr.decode(errors="replace")
+            # an instant non-init error is a configuration problem, not
+            # a grant blip — retrying cannot fix it
+            if "nable to initialize backend" not in _err:
+                break
+        except (subprocess.TimeoutExpired, OSError):
+            pass
+
 import jax  # noqa: E402
 
 # DBCSR_TEST_PLATFORM=tpu runs the suite against the real chip (slow:
 # remote compiles); default is the virtual 8-device CPU mesh
-jax.config.update(
-    "jax_platforms", os.environ.get("DBCSR_TEST_PLATFORM", "cpu")
-)
+jax.config.update("jax_platforms", _platform)
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

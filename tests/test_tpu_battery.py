@@ -17,13 +17,23 @@ import dbcsr_tpu as dt
 
 pytestmark = pytest.mark.tpu_battery
 
-on_tpu = any(d.platform == "tpu" for d in jax.devices())
+
+def _on_tpu() -> bool:
+    """Lazy + non-raising: an import-time ``jax.devices()`` turned a
+    transient axon grant refusal into a COLLECTION error (pytest rc=2 —
+    the round-4 windows' twice-red ``make tpu-check``). Deciding at test
+    time keeps a backend hiccup scoped to one skipped test."""
+    try:
+        return any(d.platform == "tpu" for d in jax.devices())
+    except RuntimeError:
+        return False
 
 
-@pytest.mark.skipif(not on_tpu, reason="kernel self-validation needs the real chip")
 def test_validate_kernels_on_chip():
     """Every Pallas kernel (flat stack, grouped A-cache, band-DIA, panel
     supertile) against its XLA twin on the real chip."""
+    if not _on_tpu():
+        pytest.skip("kernel self-validation needs the real chip")
     assert dt.testing.validate_kernels(verbose=True)
 
 
