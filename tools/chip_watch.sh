@@ -15,7 +15,11 @@ set -u
 INTERVAL=${1:-240}
 MAX_HOURS=${2:-12}
 MAX_ATTEMPTS=${3:-5}
-LOG=/tmp/chip_r3
+# CHIP_SESSION / CHIP_LOG select the round's orchestrator (round 5:
+# tools/chip_session_r5.sh with /tmp/chip_r5)
+SESSION=${CHIP_SESSION:-tools/chip_session.sh}
+LOG=${CHIP_LOG:-/tmp/chip_r3}
+export CHIP_LOG="$LOG"
 mkdir -p "$LOG"
 cd /root/repo
 deadline=$(( $(date +%s) + MAX_HOURS * 3600 ))
@@ -34,10 +38,10 @@ n=0
 attempts=0
 while [ "$(date +%s)" -lt "$deadline" ]; do
   n=$((n + 1))
-  if timeout 90 python tools/chip_probe.py > "$LOG/watch_probe.log" 2>&1; then
+  if timeout 400 python tools/chip_probe.py > "$LOG/watch_probe.log" 2>&1; then
     attempts=$((attempts + 1))
     echo "chip_watch: probe $n OK at $(date -u +%FT%TZ) — launching chip_session (attempt $attempts/$MAX_ATTEMPTS)"
-    if bash tools/chip_session.sh > "$LOG/session_run_$attempts.log" 2>&1; then
+    if bash "$SESSION" > "$LOG/session_run_$attempts.log" 2>&1; then
       echo "chip_watch: orchestrator COMPLETE (all markers ok) at $(date -u +%FT%TZ)"
       harvest
       exit 0

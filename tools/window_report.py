@@ -120,6 +120,32 @@ def collect(logdir):
     if roof:
         rep["f64_roofline"] = roof
 
+    # round-5 steps: probe/diagnostic tools that emit JSON lines
+    for stepname in (
+        "packed_probe", "ici_anchor", "ici_anchor256", "clustered_diag",
+    ):
+        lines = _json_lines(os.path.join(logdir, f"{stepname}.log"))
+        if lines:
+            rep[stepname] = lines
+
+    # the curated battery: record the pytest tail (counts line) verbatim
+    tclog = os.path.join(logdir, "tpu_check.log")
+    if os.path.exists(tclog):
+        try:
+            with open(tclog) as f:
+                tail = [ln.strip() for ln in f.readlines()[-15:]]
+            summary = next(
+                (ln for ln in reversed(tail)
+                 if "passed" in ln or "failed" in ln or "error" in ln),
+                None,
+            )
+            rep["tpu_check"] = {
+                "marker": markers.get("tpu_check"),
+                "summary": summary,
+            }
+        except OSError:
+            pass
+
     if markers.get("autotune") == "ok":
         rep["tuned_winners"] = _tuned_winners()
 
@@ -181,6 +207,21 @@ def render_md(rep):
         L += ["", "## f64 roofline", "", "```json"]
         L += [json.dumps(r) for r in rep["f64_roofline"]]
         L.append("```")
+    if "tpu_check" in rep:
+        L += ["", "## On-chip battery (`make tpu-check`)", ""]
+        L.append("- marker: `{}`".format(rep["tpu_check"].get("marker")))
+        if rep["tpu_check"].get("summary"):
+            L.append("- result: `{}`".format(rep["tpu_check"]["summary"]))
+    for stepname, title in (
+        ("packed_probe", "Packed fine-block primitive rates"),
+        ("ici_anchor", "ICI model compute anchor (64 blocks/dev)"),
+        ("ici_anchor256", "ICI model compute anchor (256 blocks/dev)"),
+        ("clustered_diag", "Clustered gap diagnostics"),
+    ):
+        if stepname in rep:
+            L += ["", f"## {title}", "", "```json"]
+            L += [json.dumps(r) for r in rep[stepname]]
+            L.append("```")
     if "tuned_winners" in rep:
         L += ["", "## Tuned-table winners (post-merge)", ""]
         for table, classes in rep["tuned_winners"].items():
