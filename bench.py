@@ -78,27 +78,47 @@ def _backend_reachable(timeout_s: float = 90.0) -> bool:
     # after the previous chip process exits, which read as a false
     # outage mid-window (r4: bench_clustered skipped between two green
     # bench steps). A real outage costs 3 timeouts; a release-latency
-    # blip costs one short retry.
+    # blip costs one short retry. Per-attempt outcomes are recorded in
+    # ``_PROBE_ATTEMPTS`` and emitted with any skip record, so a lost
+    # step is diagnosable from the window log (r4 verdict Weak #7).
+    del _PROBE_ATTEMPTS[:]
     for attempt in range(3):
         if attempt:
             time.sleep(10.0)
+        t0 = time.perf_counter()
         try:
             res = subprocess.run(
                 [sys.executable, "-c", code],
                 timeout=timeout_s,
                 capture_output=True,
             )
+            dt_s = round(time.perf_counter() - t0, 1)
             if res.returncode == 0:
+                _PROBE_ATTEMPTS.append(f"ok after {dt_s}s")
                 return True
             err = res.stderr.decode(errors="replace")
+            lines = [ln for ln in err.strip().splitlines() if ln.strip()]
+            tail = next(
+                (ln for ln in reversed(lines)
+                 if ("rror" in ln or "nable" in ln)
+                 and "For simplicity" not in ln),
+                lines[-1] if lines else "",
+            )[:120]
+            _PROBE_ATTEMPTS.append(f"rc={res.returncode} in {dt_s}s: {tail}")
             # a backend that ERRORS fast (unknown platform, unregistered
             # backend) is a configuration outage, not release latency —
             # retrying cannot fix it
             if "nable to initialize backend" not in err:
                 return False
-        except (subprocess.TimeoutExpired, OSError):
-            pass
+        except subprocess.TimeoutExpired:
+            _PROBE_ATTEMPTS.append(f"timeout after {timeout_s}s")
+        except OSError as e:
+            _PROBE_ATTEMPTS.append(f"oserror: {e}")
     return False
+
+
+#: per-attempt probe outcomes of the last _backend_reachable call
+_PROBE_ATTEMPTS: list = []
 
 
 def _emit_skip(config: str, reason: str) -> None:
@@ -114,6 +134,7 @@ def _emit_skip(config: str, reason: str) -> None:
                 "unit": "GFLOP/s",
                 "vs_baseline": 0.0,
                 "skipped": reason,
+                "probe_attempts": list(_PROBE_ATTEMPTS),
             }
         )
     )
