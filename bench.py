@@ -339,9 +339,23 @@ def _bench_filtered(rng):
     per_plain = max((hi_p - lo_p) / (n_hi - n_lo), 1e-7)
 
     # ---- extras: the one-shot dt.multiply end-to-end path -------------
+    # the varying leg sees a DISTINCT matrix on every call (warmup
+    # included) so no content-keyed cache can absorb the host work —
+    # this is the true naive-caller cold cost (round-4 Weak #3)
+    n_one = 2 if _TINY else 6
     a_mats = [
-        BCSRMatrix(name=f"A{v}", index=idx, data=a_vars[v])
-        for v in range(min(3, n_var))
+        BCSRMatrix(
+            name=f"A{v}",
+            index=idx,
+            data=(
+                a_vars[v] if v < n_var else
+                jax.random.normal(
+                    jax.random.PRNGKey(200 + v),
+                    (lay.n_tiles, 128, 128), jnp.float32,
+                ) * vmask * decay_d
+            ),
+        )
+        for v in range(n_one)
     ]
     state = {"i": 0}
 
@@ -358,7 +372,9 @@ def _bench_filtered(rng):
     def sync(out):
         jax.block_until_ready(out[0].data)
 
-    per_one_var = _per_call_median(call_varying, sync, warmup=1, reps=5)
+    per_one_var = _per_call_median(
+        call_varying, sync, warmup=1, reps=n_one - 1
+    )
     per_one_static = _per_call_median(call_static, sync, warmup=1, reps=5)
     _, flops_host = call_static()
 
@@ -453,7 +469,12 @@ def _bench_tensor(rng):
 
 def main():
     config = sys.argv[1] if len(sys.argv) > 1 else "block23"
-    probe_timeout = float(os.environ.get("DBCSR_BENCH_PROBE_TIMEOUT", "90"))
+    # 400s default: the 2026-08-19 window measured ~130s tunnel GRANT
+    # latency on a healthy chip — the old 90s default skipped two bench
+    # steps mid-window (their probe_attempts telemetry showed three
+    # clean 90s timeouts). A genuinely-down tunnel now costs 3x400s,
+    # which the window orchestrator's own step timeout bounds.
+    probe_timeout = float(os.environ.get("DBCSR_BENCH_PROBE_TIMEOUT", "400"))
     if not _backend_reachable(probe_timeout):
         _emit_skip(config, "tpu unreachable")
         return

@@ -141,11 +141,43 @@ def _use_ozaki(dtype, cfg, kind: str = "stack") -> bool:
     return cfg.f64_method == "ozaki"
 
 
-def _stack_xla_or_ozaki(a_st, b_st, stack, *, n_c_tiles, prec, cfg):
+def _stack_xla_or_ozaki(
+    a_st, b_st, stack, *, n_c_tiles, prec, cfg,
+    stack_np=None, a_coords=None, b_coords=None, c_tile_keys=None,
+    grid_nt=None,
+):
     """The non-Pallas stack product: XLA fallback, or the ozaki f64
-    twin when the operands are double precision (the Pallas kernels and
-    XLA's f64 batched dot are both unavailable-or-slow there)."""
+    paths when the operands are double precision (the Pallas f32
+    kernels and XLA's f64 batched dot are both unavailable-or-slow
+    there). Given coordinate metadata AND a TPU device, the fused
+    ozaki panel kernel (mm/ozaki_panel.py — measured the only route to
+    f64 at rate) is tried first; inadmissible patterns (k-width > 8,
+    spans beyond VMEM) fall back to the XLA store-sliced twin."""
     if _use_ozaki(a_st.dtype, cfg, "stack"):
+        if (
+            stack_np is not None
+            and a_coords is not None
+            and not cfg.f64_slices  # explicit slice counts pin the twin
+            and any(d.platform == "tpu" for d in jax.devices())
+        ):
+            from .ozaki_panel import (
+                plan_ozaki_panel,
+                tile_stack_matmul_ozaki_panel,
+            )
+
+            oplan = plan_ozaki_panel(
+                stack_np, n_c_tiles, a_st.shape[0], b_st.shape[0]
+            )
+            if oplan is not None:
+                keys = np.asarray(c_tile_keys, dtype=np.int64)
+                c_coords = np.stack(
+                    [keys // grid_nt, keys % grid_nt], axis=1
+                )
+                return tile_stack_matmul_ozaki_panel(
+                    a_st, b_st, stack_np, n_c_tiles=n_c_tiles,
+                    a_rows=a_coords[:, 0], b_cols=b_coords[:, 1],
+                    c_coords=c_coords, plan=oplan,
+                )
         from ..ops.f64_emu import tile_stack_matmul_ozaki
 
         return tile_stack_matmul_ozaki(
@@ -455,6 +487,12 @@ def multiply(
     With a ``dist`` (explicit, or carried by ``c``/``a``) the product runs
     distributed over the 2-D device mesh via Cannon ring shifts
     (``cannon.py``); otherwise on the local engine.
+
+    Iterative filtered callers (linear-scaling SCF: same patterns, new
+    data every step): use ``build_filtered_executor`` (mm/filtered.py)
+    instead of per-call ``filter_eps`` — the device-resident pipeline
+    measured 2.86 ms/call where this one-shot path pays ~94 ms
+    [CHIP 2026-08-19].
     """
     from ..ops.transform import desymmetrize
 
@@ -873,6 +911,9 @@ def _execute_local(
                 prod_tiles = _stack_xla_or_ozaki(
                     a_st, b_st, jnp.asarray(tplan.stack),
                     n_c_tiles=tplan.n_c_tiles, prec=prec, cfg=cfg,
+                    stack_np=tplan.stack, a_coords=a_coords,
+                    b_coords=b_coords, c_tile_keys=tplan.c_tile_keys,
+                    grid_nt=nt,
                 )
             # align product tiles (sorted by product key) to C's tile set
             amap = tile_align_map(c_keys, tplan.c_tile_keys)
@@ -1499,6 +1540,8 @@ def build_multiply_executor(
             prod = _stack_xla_or_ozaki(
                 a_st, b_st, jnp.asarray(stack_np), n_c_tiles=n_c,
                 prec=prec, cfg=cfg,
+                stack_np=stack_np, a_coords=a_coords, b_coords=b_coords,
+                c_tile_keys=plan.c_tile_keys, grid_nt=nt,
             )
         if amap_identity:
             return prod

@@ -210,6 +210,52 @@ def _kernel_validation_cases(tile: int, n_tiles: int, seed: int):
             ar, br, jnp.asarray(rstack), n_c_tiles=n_r, precision="highest"
         ),
     ))
+
+    # fused ozaki f64 panel kernel (mm/ozaki_panel.py): exact bf16 slice
+    # products + two-sum cascade; oracle = the XLA store-sliced ozaki
+    # twin (both ~2^-53-grade, so they agree far inside the 1e-4 gate)
+    from .mm.ozaki_panel import (
+        plan_ozaki_panel,
+        tile_stack_matmul_ozaki_panel,
+    )
+    from .ops.f64_emu import tile_stack_matmul_ozaki
+
+    nt_o = 6
+    oc = np.array(
+        [(i, k) for i in range(nt_o)
+         for k in range(max(0, i - 1), min(nt_o, i + 2))],
+        dtype=np.int64,
+    )
+    oslot = {tuple(c): s for s, c in enumerate(oc)}
+    otrips = sorted(
+        (oslot[(i, j)], sa_, oslot[(k, j)])
+        for (i, k), sa_ in oslot.items()
+        for j in range(max(0, k - 1), min(nt_o, k + 2))
+        if (i, j) in oslot
+    )
+    ostack = np.asarray(otrips, dtype=np.int32)
+    # C pattern == the band itself here, slots see <= 3 entries each
+    n_ot = len(oc)
+    a64 = rng.standard_normal((n_ot, tile, tile)) * np.exp2(
+        rng.integers(-12, 12, (n_ot, tile, 1)).astype(np.float64)
+    )
+    b64 = rng.standard_normal((n_ot, tile, tile)) * np.exp2(
+        rng.integers(-12, 12, (n_ot, 1, tile)).astype(np.float64)
+    )
+    ao, bo = jnp.asarray(a64), jnp.asarray(b64)
+    oplan = plan_ozaki_panel(ostack, n_ot, n_ot, n_ot)
+    if oplan is None:
+        raise RuntimeError("kernel cases: ozaki-panel plan FAILED")
+    cases.append((
+        "ozaki-panel",
+        lambda: tile_stack_matmul_ozaki_panel(
+            ao, bo, ostack, n_c_tiles=n_ot,
+            a_rows=oc[:, 0], b_cols=oc[:, 1], c_coords=oc, plan=oplan,
+        ).astype(jnp.float32),
+        lambda: tile_stack_matmul_ozaki(
+            ao, bo, jnp.asarray(ostack), n_c_tiles=n_ot
+        ).astype(jnp.float32),
+    ))
     return cases
 
 

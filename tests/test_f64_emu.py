@@ -199,3 +199,48 @@ def test_auto_dense_f64_never_calls_ozaki(monkeypatch):
     c = dt.multiply("N", "N", 1.0, a, b, 0.0)
     got = np.asarray(c.to_dense())
     assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-12
+
+
+def test_stack_ozaki_wide_dynamic_range():
+    """Per-tile-row scaling must keep accuracy when magnitudes vary by
+    many orders across rows AND tiles (the store-level slicing of round 5
+    scales per (tile, row) exactly like the per-chunk scheme did)."""
+    import jax.numpy as jnp
+
+    from dbcsr_tpu.ops.f64_emu import tile_stack_matmul_ozaki
+
+    rng = np.random.default_rng(3)
+    t = 128
+    a_tiles = rng.standard_normal((3, t, t)) * np.exp2(
+        rng.integers(-30, 30, (3, t, 1)).astype(np.float64)
+    )
+    b_tiles = rng.standard_normal((3, t, t)) * np.exp2(
+        rng.integers(-30, 30, (3, 1, t)).astype(np.float64)
+    )
+    stack = np.array([[0, 0, 0], [0, 1, 1], [1, 2, 2]], dtype=np.int32)
+    ref = np.zeros((2, t, t))
+    for c, ia, ib in stack:
+        ref[c] += a_tiles[ia] @ b_tiles[ib]
+    got = np.asarray(tile_stack_matmul_ozaki(
+        jnp.asarray(a_tiles), jnp.asarray(b_tiles), jnp.asarray(stack),
+        n_c_tiles=2,
+    ))
+    bound = np.zeros((2, t, t))
+    for c, ia, ib in stack:
+        bound[c] += np.abs(a_tiles[ia]) @ np.abs(b_tiles[ib])
+    assert np.max(np.abs(got - ref) / np.maximum(bound, 1e-300)) < 1e-13
+
+
+def test_stack_ozaki_empty_and_zero_tiles():
+    import jax.numpy as jnp
+
+    from dbcsr_tpu.ops.f64_emu import tile_stack_matmul_ozaki
+
+    t = 16
+    a = jnp.zeros((2, t, t), jnp.float64)
+    b = jnp.zeros((2, t, t), jnp.float64)
+    stack = jnp.asarray(np.array([[0, 0, 0]], dtype=np.int32))
+    out = np.asarray(
+        tile_stack_matmul_ozaki(a, b, stack, n_c_tiles=1)
+    )
+    assert out.shape == (1, t, t) and not out.any()

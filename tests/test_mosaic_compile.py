@@ -27,7 +27,8 @@ pytestmark = pytest.mark.skipif(
 def test_all_kernel_families_compile_for_tpu():
     res = dt.testing.compile_kernels_for_tpu()
     assert set(res) == {
-        "flat", "grouped", "band", "panel", "panel-bf16", "panel-runs"
+        "flat", "grouped", "band", "panel", "panel-bf16", "panel-runs",
+        "ozaki-panel",
     }
     assert all(res.values())
 

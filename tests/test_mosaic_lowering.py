@@ -24,7 +24,8 @@ def test_all_kernel_families_lower_for_tpu():
     # one entry per kernel family; keep this list in sync with the
     # validation cases so a silently dropped case fails loudly
     assert set(res) == {
-        "flat", "grouped", "band", "panel", "panel-bf16", "panel-runs"
+        "flat", "grouped", "band", "panel", "panel-bf16", "panel-runs",
+        "ozaki-panel",
     }
     assert all(res.values())
 

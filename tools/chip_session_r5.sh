@@ -55,18 +55,18 @@ step validate 1800 python -c "import dbcsr_tpu as dt; assert dt.testing.validate
 step tpu_check 5400 make tpu-check
 
 # 2. the round-5 headline: data-varying filtered bench
-step bench_filtered 1800 python bench.py filtered
+DBCSR_BENCH_PROBE_TIMEOUT=400 step bench_filtered 1800 python bench.py filtered
 
 # 3. f64 throughput: restructured stack-ozaki roofline entries
 step f64_roofline 2400 python tools/f64_roofline.py
 
 # 4. every BASELINE config gets a current-round chip number
-step bench_block23 900 python bench.py
-step bench_banded 900 python bench.py banded
-step bench_sparse5 900 python bench.py sparse5
-step bench_mixed 1200 python bench.py mixed
-step bench_clustered 1200 python bench.py clustered
-step bench_tensor 900 python bench.py tensor
+DBCSR_BENCH_PROBE_TIMEOUT=400 step bench_block23 900 python bench.py
+DBCSR_BENCH_PROBE_TIMEOUT=400 step bench_banded 900 python bench.py banded
+DBCSR_BENCH_PROBE_TIMEOUT=400 step bench_sparse5 900 python bench.py sparse5
+DBCSR_BENCH_PROBE_TIMEOUT=400 step bench_mixed 1200 python bench.py mixed
+DBCSR_BENCH_PROBE_TIMEOUT=400 step bench_clustered 1200 python bench.py clustered
+DBCSR_BENCH_PROBE_TIMEOUT=400 step bench_tensor 900 python bench.py tensor
 
 # 5. packed fine-block primitive rates (adopt-or-retire decision data)
 step packed_probe 1800 python tools/packed_probe.py
