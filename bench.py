@@ -438,15 +438,37 @@ def _bench_tensor(rng):
     # (round-4 Next #7: vs_baseline becomes the TENSOR-LAYER OVERHEAD
     # FACTOR — what fraction of the raw folded multiply's rate survives
     # the nd fold/alignment machinery — instead of a self-referential
-    # first-capture ratio)
+    # first-capture ratio). Measured with the jitted marginal-time loop
+    # + forced readback: the axon tunnel's block_until_ready is a no-op,
+    # so a per-call measurement would time DISPATCH ONLY and overstate
+    # the baseline rate (first chip capture did exactly that).
+    import jax.numpy as jnp
+
     from dbcsr_tpu.mm.engine import build_multiply_executor
 
     fn2d, _, _ = build_multiply_executor("N", "N", am, bm)
 
-    def call_2d():
-        return fn2d(am.data, bm.data)
+    @partial(jax.jit, static_argnames="n")
+    def loop_2d(ad, bd, n):
+        def body(i, carry):
+            ad, acc = carry
+            cd = fn2d(ad, bd)
+            return (ad + cd.reshape(-1)[0] * 1e-30, acc + cd.reshape(-1)[1])
 
-    per_2d = _per_call_median(call_2d, jax.block_until_ready)
+        return jax.lax.fori_loop(0, n, body, (ad, jnp.float32(0)))[1]
+
+    def run_2d(n):
+        t0 = time.perf_counter()
+        out = loop_2d(am.data, bm.data, n)
+        _ = float(jnp.asarray(out))
+        return time.perf_counter() - t0
+
+    n2_lo, n2_hi = (2, 8) if _TINY else (10, 110)
+    run_2d(n2_lo)
+    run_2d(n2_hi)
+    lo2 = float(np.median([run_2d(n2_lo) for _ in range(5)]))
+    hi2 = float(np.median([run_2d(n2_hi) for _ in range(5)]))
+    per_2d = max((hi2 - lo2) / (n2_hi - n2_lo), 1e-7)
 
     with BatchedContract() as bc:
         def call():

@@ -51,7 +51,7 @@ echo "chip UP"
 
 # 1. kernel parity gate, then the full curated battery (the 3-round-old
 #    green-record item). 5400s: the 2026-08-19 run measured 39:43.
-step validate 1800 python -c "import dbcsr_tpu as dt; assert dt.testing.validate_kernels(), 'kernel validation failed'"
+step validate 1800 python -c "import dbcsr_tpu as dt; dt.init_lib(); assert dt.testing.validate_kernels(), 'kernel validation failed'"
 step tpu_check 5400 make tpu-check
 
 # 2. the round-5 headline: data-varying filtered bench
