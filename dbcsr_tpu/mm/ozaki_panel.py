@@ -295,12 +295,19 @@ def _ozaki_panel_kernel(
             sa = jax.lax.shift_right_logical(packed, np.int32(16))
             sb = jnp.bitwise_and(packed, bmask)
             # 36 exact bf16 pair dots, statically unrolled: slice
-            # indices are compile-time, only (sa, sb) are dynamic
+            # indices are compile-time, only (sa, sb) are dynamic.
+            # precision PINNED to DEFAULT: bf16 inputs are already exact
+            # on the slice grid, and an ambient
+            # jax_default_matmul_precision=highest (init_lib sets it)
+            # would otherwise reach Mosaic as contract_precision<fp32>
+            # on bf16 operands — "Bad lhs type" on the real chip
+            # compiler (caught by the round-5 window's x64 validate).
             for pidx, (si, sj) in enumerate(PAIRS):
                 acc[pidx] = acc[pidx] + jnp.dot(
                     a_cache[buf, sa, si],
                     b_cache[buf, sb, sj],
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
                 )
             return 0
 

@@ -132,3 +132,39 @@ def test_interpret_matches_xla_twin(rng):
     ))
     _, bound = _oracle(a, b, stack, n_c, t)
     assert np.max(np.abs(got - twin) / bound) < 2e-13
+
+
+def test_lowers_under_highest_default_precision(rng):
+    """init_lib sets jax_default_matmul_precision="highest"; an unpinned
+    in-kernel dot then reaches Mosaic as contract_precision<fp32> on
+    bf16 operands and the CHIP compiler rejects it ("Bad lhs type" —
+    found by the round-5 window's x64 validate, invisible to the plain
+    gates which run without the ambient setting). Compile the kernel
+    under that ambient configuration. tile=128 — the production tile
+    edge and the only one the DMA lane tiling accepts (Mosaic requires
+    the cache's last dimension 128-aligned for sliced copies)."""
+    t = 128
+    a, b, stack, n_c, ar, bc, cc = _banded_stack(5, 3, t, rng)
+
+    def run():
+        return tile_stack_matmul_ozaki_panel(
+            jnp.asarray(a), jnp.asarray(b), stack, n_c_tiles=n_c,
+            a_rows=ar, b_cols=bc, c_coords=cc,
+        )
+
+    import dbcsr_tpu as dt
+
+    topo = dt.testing.tpu_compile_topology()
+    with jax.default_matmul_precision("highest"):
+        if topo is not None:
+            # full device-less Mosaic compile — the stage that rejected
+            # the unpinned dot
+            from jax.sharding import SingleDeviceSharding
+
+            sh = SingleDeviceSharding(topo.devices[0])
+            jax.jit(run, out_shardings=sh).trace().lower().compile()
+        else:
+            txt = jax.jit(run).trace().lower(
+                lowering_platforms=("tpu",)
+            ).as_text()
+            assert "tpu_custom_call" in txt
