@@ -470,16 +470,33 @@ def _bench_tensor(rng):
     hi2 = float(np.median([run_2d(n2_hi) for _ in range(5)]))
     per_2d = max((hi2 - lo2) / (n2_hi - n2_lo), 1e-7)
 
+    # batch-amortized end-to-end timing: block_until_ready is a no-op
+    # through the tunnel, so per-call sync points measure dispatch-queue
+    # state, not work (0.41 vs 198 ms across two otherwise-identical
+    # captures). Timing N back-to-back calls with ONE forced readback at
+    # the end amortizes the tunnel readback while keeping every call's
+    # host work in the measurement — the batched-contraction usage
+    # pattern itself (``dbcsr_t_batched_contract_*``).
     with BatchedContract() as bc:
-        def call():
-            return bc.contract(a, b, **kw)
-
-        def sync(out):
+        def readback(out):
             m = out.matrix
             m = getattr(m, "matrix", m)  # TAS wrapper or plain BCSR
-            jax.block_until_ready(m.data)
+            return float(np.asarray(jax.device_get(m.data)).ravel()[0])
 
-        per = _per_call_median(call, sync)
+        def run_batch(ncalls):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(ncalls):
+                out = bc.contract(a, b, **kw)
+            readback(out)
+            return time.perf_counter() - t0
+
+        n_lo, n_hi = (1, 3) if _TINY else (4, 20)
+        run_batch(n_lo)
+        run_batch(n_hi)
+        lo = float(np.median([run_batch(n_lo) for _ in range(3)]))
+        hi = float(np.median([run_batch(n_hi) for _ in range(3)]))
+        per = max((hi - lo) / (n_hi - n_lo), 1e-7)
     gflops = flops / per / 1e9
     _emit(
         "tensor_contract_throughput", gflops,

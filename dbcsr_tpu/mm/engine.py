@@ -158,6 +158,11 @@ def _stack_xla_or_ozaki(
             stack_np is not None
             and a_coords is not None
             and not cfg.f64_slices  # explicit slice counts pin the twin
+            # Mosaic's sliced cache copies need 128-aligned lane/sublane
+            # dims: the fused kernel is a tile=128 path on hardware
+            # (the round-5 battery caught tile=16 band matrices routed
+            # here — "Slice shape along dimension 3 must be aligned")
+            and a_st.shape[-1] == 128
             and any(d.platform == "tpu" for d in jax.devices())
         ):
             from .ozaki_panel import (

@@ -112,19 +112,38 @@ def _global_scales(tiles: jax.Array, seg: jax.Array, *, n_seg: int,
 @partial(jax.jit, static_argnames=("axis",))
 def _slice_scaled(tiles: jax.Array, scale_rows: jax.Array, *, axis: int):
     """bf16 slice stack [n_tiles, N_SLICES, T, T] of ``tiles / scale``
-    (scale broadcast along ``axis``; exact power-of-two divide)."""
+    (scale broadcast along ``axis``).
+
+    Telescoping z-form, tuned for EMULATED f64 on the VPU (the slicing
+    pre-pass measured 54% of the whole f64 pipeline, window 2026-08-19):
+
+      z_k     = round(tiles * inv_scale * 2^(7(k+1)))   (k = 0..7)
+      slice_k = (z_k - 2^7 * z_{k-1}) * 2^(-7(k+1))
+
+    vs the remainder chain it replaces: the per-ELEMENT power-of-two
+    divide becomes one reciprocal on the [n, T] scale vector (~128x
+    fewer emulated divisions), every step is an exact f64 op (power-of-
+    two multiplies, round, a Sterbenz-range subtract), and the z_k are
+    computed from ``tiles`` directly — no sequential data dependence
+    between slices. Values telescope to ``z_7 * 2^-56``; z_7 may round
+    at the f64 integer limit, a <= 2^-54-relative residual shared with
+    the dropped-pair tail. Slice units stay <= 65 < 2^7 (round-to-
+    nearest differences), preserving every exactness bound downstream.
+    """
+    inv = 1.0 / scale_rows  # exact: power-of-two reciprocal, [n, T] only
     if axis == -1:
-        y = tiles / scale_rows[:, :, None]
+        c = inv[:, :, None]
     else:
-        y = tiles / scale_rows[:, None, :]
+        c = inv[:, None, :]
+    y = tiles * c  # exact power-of-two multiply
     out = []
-    r = y
+    z_prev = None
     for k in range(N_SLICES):
+        z = jnp.round(y * np.float64(2.0 ** (SLICE_BITS * (k + 1))))
+        d = z if z_prev is None else z - np.float64(2.0**SLICE_BITS) * z_prev
         step = np.float64(2.0 ** (-SLICE_BITS * (k + 1)))
-        v = jnp.round(r * (1.0 / step)) * step
-        out.append(v.astype(jnp.bfloat16))
-        if k + 1 < N_SLICES:
-            r = r - v
+        out.append((d * step).astype(jnp.bfloat16))
+        z_prev = z
     return jnp.stack(out, axis=1)
 
 
