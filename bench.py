@@ -403,9 +403,9 @@ def _bench_tensor(rng):
     from dbcsr_tpu.mm.plan import symbolic_product
     from dbcsr_tpu.tensors import BatchedContract, NDMapping, TensorBuilder
 
-    def rand_tensor(block_sizes, occ, name):
+    def rand_tensor(block_sizes, occ, name, mapping=None):
         bs = [np.asarray(v, dtype=np.int32) for v in block_sizes]
-        builder = TensorBuilder(bs, None, name=name, dtype=np.float32)
+        builder = TensorBuilder(bs, mapping, name=name, dtype=np.float32)
         nbpd = [len(v) for v in bs]
         total = int(np.prod(nbpd))
         for flat in np.flatnonzero(rng.random(total) < occ):
@@ -418,13 +418,25 @@ def _bench_tensor(rng):
     j_bs = np.full(10, 8, dtype=np.int32)
     k_bs = np.full(10, 8, dtype=np.int32)
     l_bs = np.full(10, 8, dtype=np.int32)
-    a = rand_tensor([i_bs, j_bs, k_bs], 0.15, "T3")
-    b = rand_tensor([k_bs, l_bs], 0.6, "M2")
 
     kw = dict(
         contract_1=(2,), notcontract_1=(0, 1),
         contract_2=(0,), notcontract_2=(1,),
     )
+    # operands built IN the contraction layouts (`contraction_layouts` —
+    # the documented batched-contraction workflow, the analog of the
+    # reference's cached mm_storage in dbcsr_tas_batched_mm): the
+    # steady-state loop then runs refold-free. Tensors left in other
+    # layouts pay an element-granular refold gather PER OPERAND PER CALL
+    # (~140 ms each through the tunnel at this size — the store.py
+    # gather-granularity wall); that cost is reported separately below.
+    from dbcsr_tpu.tensors import contraction_layouts
+
+    la, lb, _ = contraction_layouts(3, kw["contract_1"],
+                                    kw["notcontract_1"], 2,
+                                    kw["contract_2"], kw["notcontract_2"])
+    a = rand_tensor([i_bs, j_bs, k_bs], 0.15, "T3", mapping=la)
+    b = rand_tensor([k_bs, l_bs], 0.6, "M2", mapping=lb)
     # effective flops from the folded 2-D symbolic product (block
     # granularity is preserved by the fold); pure host metadata, unlike
     # a one-shot contract() whose TAS split estimation is setup-heavy
@@ -498,11 +510,26 @@ def _bench_tensor(rng):
         hi = float(np.median([run_batch(n_hi) for _ in range(3)]))
         per = max((hi - lo) / (n_hi - n_lo), 1e-7)
     gflops = flops / per / 1e9
+
+    # the cost a NON-prepared layout would add per operand per call: one
+    # element-granular refold gather (the store.py granularity wall)
+    def time_refold():
+        flip = NDMapping(3, (2,), (0, 1))
+        t0 = time.perf_counter()
+        af = a.with_layout(flip)
+        m = getattr(af.matrix, "matrix", af.matrix)
+        _ = float(np.asarray(jax.device_get(m.data)).ravel()[0])
+        return time.perf_counter() - t0
+
+    time_refold()  # warm (host map build + compile)
+    per_refold = min(time_refold() for _ in range(3))
+
     _emit(
         "tensor_contract_throughput", gflops,
         per_2d / per,  # tensor-layer overhead factor (<= ~1)
         ms_per_call=round(per * 1e3, 2),
         ms_per_call_folded2d=round(per_2d * 1e3, 2),
+        ms_refold_per_operand=round(per_refold * 1e3, 2),
     )
 
 

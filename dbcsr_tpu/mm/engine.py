@@ -1292,6 +1292,12 @@ def build_multiply_executor(
     all tile maps are reused, so steady-state cost is pure MXU + HBM time
     (for 'N','N' there is NO packing at all: the at-rest store is the
     operand panel and the output is C's store).
+
+    The returned ``fn`` is jitted: an EAGER caller (the TAS batched
+    state machine, one-shot loops) then pays ONE dispatch per call
+    instead of one per traced op — through the axon tunnel the eager
+    form measured ~200 ms/call on the tensor bench against ~1 ms jitted.
+    Callers that trace ``fn`` inside their own jit inline it as before.
     """
     from ..ops.transform import desymmetrize
 
@@ -1383,7 +1389,7 @@ def build_multiply_executor(
                     prod, amap_b, axis=0, mode="fill", fill_value=0
                 )
 
-            return fn, c_index, symb.eff_flops
+            return jax.jit(fn), c_index, symb.eff_flops
         elif drv == "band":
             from ..core.errors import DbcsrError
 
@@ -1412,7 +1418,7 @@ def build_multiply_executor(
             g = _panel_matmul(pa, pb, prec, cfg)
             return _panel_to_tiles(g, c_keys_j, ntr=mt, ntc=nt, t=tile)
 
-        return fn, c_index, symb.eff_flops
+        return jax.jit(fn), c_index, symb.eff_flops
 
     plan = tplan
     amap = tile_align_map(c_keys, plan.c_tile_keys)
@@ -1552,4 +1558,4 @@ def build_multiply_executor(
             return prod
         return jnp.take(prod, amap_j, axis=0, mode="fill", fill_value=0)
 
-    return fn, c_index, symb.eff_flops
+    return jax.jit(fn), c_index, symb.eff_flops

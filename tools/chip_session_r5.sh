@@ -66,7 +66,7 @@ DBCSR_BENCH_PROBE_TIMEOUT=400 step bench_banded 900 python bench.py banded
 DBCSR_BENCH_PROBE_TIMEOUT=400 step bench_sparse5 900 python bench.py sparse5
 DBCSR_BENCH_PROBE_TIMEOUT=400 step bench_mixed 1200 python bench.py mixed
 DBCSR_BENCH_PROBE_TIMEOUT=400 step bench_clustered 1200 python bench.py clustered
-DBCSR_BENCH_PROBE_TIMEOUT=400 step bench_tensor 900 python bench.py tensor
+DBCSR_BENCH_PROBE_TIMEOUT=400 step bench_tensor 1800 python bench.py tensor
 
 # 5. packed fine-block primitive rates (adopt-or-retire decision data)
 step packed_probe 1800 python tools/packed_probe.py
