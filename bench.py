@@ -503,11 +503,14 @@ def _bench_tensor(rng):
             readback(out)
             return time.perf_counter() - t0
 
-        n_lo, n_hi = (1, 3) if _TINY else (4, 20)
+        # wide spread: after the round-5 executor-jit + refold-free
+        # fixes a call submits in ~0.3-1 ms, so the batch delta must
+        # dwarf the single readback's ~±30 ms tunnel noise
+        n_lo, n_hi = (1, 3) if _TINY else (10, 210)
         run_batch(n_lo)
         run_batch(n_hi)
-        lo = float(np.median([run_batch(n_lo) for _ in range(3)]))
-        hi = float(np.median([run_batch(n_hi) for _ in range(3)]))
+        lo = float(np.median([run_batch(n_lo) for _ in range(5)]))
+        hi = float(np.median([run_batch(n_hi) for _ in range(5)]))
         per = max((hi - lo) / (n_hi - n_lo), 1e-7)
     gflops = flops / per / 1e9
 

@@ -132,8 +132,10 @@ class Config:
     #: f64 compute path: "auto" (default) routes PER WORKLOAD CLASS by
     #: the 2026-08-19 chip measurements — dense tile-complete products
     #: keep XLA's native f64 dot (0.72 vs 0.34 TFLOP/s effective), sparse
-    #: stack products use the exact bf16 slice scheme (15.6 vs 7.4
-    #: GFLOP/s banded; ops/f64_emu.py). "ozaki" forces the slice scheme
+    #: stack products use the exact bf16 slice schemes: the fused ozaki
+    #: panel kernel when admissible on TPU (mm/ozaki_panel.py — 78.9
+    #: GFLOP/s banded vs 7.4 native), else the XLA store-sliced twin
+    #: (ops/f64_emu.py, 22.1). "ozaki" forces the slice schemes
     #: everywhere, "native" forces XLA's multi-pass f64 dot everywhere
     #: (IEEE NaN/Inf propagation, ~2 TFLOP/s hw ceiling on v5e).
     f64_method: str = "auto"

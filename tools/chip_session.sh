@@ -43,8 +43,10 @@ if [ ! -f tools/chip_probe.py ]; then
 fi
 if [ "${CHIP_PROBE_SKIP:-0}" = 1 ]; then
   echo "probe SKIPPED (CHIP_PROBE_SKIP=1 — rehearsal mode)"
-elif ! timeout 90 python tools/chip_probe.py > "$LOG/probe.log" 2>&1; then
-  rc=$?
+elif timeout 90 python tools/chip_probe.py > "$LOG/probe.log" 2>&1; rc=$?; [ $rc -ne 0 ]; then
+  : # rc captured BEFORE the negation (plain $? inside the branch is the
+    # negated condition status, which reported the round-7 probe failure
+    # as "rc=0")
   if [ $rc -eq 124 ] || [ $rc -eq 143 ]; then
     echo "chip DOWN (probe timed out) — aborting"; exit 1
   fi

@@ -39,8 +39,10 @@ step() {  # step <name> <timeout_s> <cmd...>
 
 if [ "${CHIP_PROBE_SKIP:-0}" = 1 ]; then
   echo "probe SKIPPED (CHIP_PROBE_SKIP=1 — rehearsal mode)"
-elif ! timeout 400 python tools/chip_probe.py > "$LOG/probe.log" 2>&1; then
-  rc=$?
+elif timeout 400 python tools/chip_probe.py > "$LOG/probe.log" 2>&1; rc=$?; [ $rc -ne 0 ]; then
+  : # rc captured BEFORE the negation (plain $? inside the branch is the
+    # negated condition status, which reported the round-7 probe failure
+    # as "rc=0")
   if [ $rc -eq 124 ] || [ $rc -eq 143 ]; then
     echo "chip DOWN (probe timed out) — aborting"; exit 1
   fi
