@@ -81,6 +81,15 @@ PAIRS = tuple(
     (i, d - i) for d in range(N_SLICES) for i in range(d + 1)
 )
 N_PAIRS = len(PAIRS)  # 36
+#: pairs with i + j >= TAIL_D have magnitude <= 2^(-7*TAIL_D) = 2^-35
+#: relative: their plain-f32 accumulation (no TwoSum, one shared
+#: accumulator) adds <= ~20 * 2^-24 * 2^-35 ~= 2^-55 relative error —
+#: below the scheme's 2^-53-class budget — while cutting the per-slot
+#: accumulator count 36 -> 16 and the exact cascade length by ~55%
+#: (measured ~half the kernel's non-MXU time).
+TAIL_D = 5
+N_EXACT = sum(1 for (i, j) in PAIRS if i + j < TAIL_D)  # 15
+N_ACC = N_EXACT + 1  # + the shared f32 tail accumulator
 #: exactness bound on per-pair f32 accumulation across one C slot's
 #: entries: 2^(2*7) * 128 * w <= 2^24  =>  w <= 8
 MAX_ENTRIES_PER_SLOT = 8
@@ -313,32 +322,39 @@ def _ozaki_panel_kernel(
             packed = ent_ref[e.astype(i32)].astype(i32)
             sa = jax.lax.shift_right_logical(packed, np.int32(16))
             sb = jnp.bitwise_and(packed, bmask)
-            # 36 exact bf16 pair dots, statically unrolled: slice
-            # indices are compile-time, only (sa, sb) are dynamic.
+            # 36 bf16 pair dots, statically unrolled: slice indices are
+            # compile-time, only (sa, sb) are dynamic. Pairs with
+            # i + j < TAIL_D keep a private EXACT f32 accumulator; the
+            # low-significance tail shares one plain-f32 accumulator
+            # (error budget: see TAIL_D).
             # precision PINNED to DEFAULT: bf16 inputs are already exact
             # on the slice grid, and an ambient
             # jax_default_matmul_precision=highest (init_lib sets it)
             # would otherwise reach Mosaic as contract_precision<fp32>
             # on bf16 operands — "Bad lhs type" on the real chip
             # compiler (caught by the round-5 window's x64 validate).
-            for pidx, (si, sj) in enumerate(PAIRS):
-                acc[pidx] = acc[pidx] + jnp.dot(
+            eidx = 0
+            for (si, sj) in PAIRS:
+                slot = eidx if si + sj < TAIL_D else N_EXACT
+                acc[slot] = acc[slot] + jnp.dot(
                     a_cache[buf, sa, si],
                     b_cache[buf, sb, sj],
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT,
                 )
+                if si + sj < TAIL_D:
+                    eidx += 1
             return 0
 
         jax.lax.fori_loop(e0, e1, ent_body, 0)
 
-        # two-sum cascade over the exact pair sums: s-chain error-free,
-        # its residuals collected in a second chain (es), whose own
-        # residuals sum in plain f32 (ee; dropped term O(2^-57))
+        # two-sum cascade over the exact pair sums (+ the f32 tail):
+        # s-chain error-free, its residuals collected in a second chain
+        # (es), whose own residuals sum in plain f32 (ee; O(2^-57))
         s = acc[0]
         es = jnp.zeros((tile, tile), jnp.float32)
         ee = jnp.zeros((tile, tile), jnp.float32)
-        for pidx in range(1, N_PAIRS):
+        for pidx in range(1, N_ACC):
             s, e1_ = _two_sum(s, acc[pidx])
             es, e2_ = _two_sum(es, e1_)
             ee = ee + e2_
@@ -392,7 +408,7 @@ def _ozaki_panel_launch(
         scratch_shapes=[
             pltpu.VMEM((2, a_cap, N_SLICES, tile, tile), jnp.bfloat16),
             pltpu.VMEM((2, b_cap, N_SLICES, tile, tile), jnp.bfloat16),
-            pltpu.VMEM((N_PAIRS, tile, tile), jnp.float32),
+            pltpu.VMEM((N_ACC, tile, tile), jnp.float32),
             pltpu.VMEM((2, c_win, tile, tile), jnp.float32),
             pltpu.VMEM((2, c_win, tile, tile), jnp.float32),
             pltpu.VMEM((2, c_win, tile, tile), jnp.float32),
@@ -405,7 +421,7 @@ def _ozaki_panel_launch(
     shape = jax.ShapeDtypeStruct((n_c_tiles, tile, tile), jnp.float32)
     vmem = (
         2 * (a_cap + b_cap) * N_SLICES * tile * tile * 2
-        + (N_PAIRS + 6 * c_win) * tile * tile * 4
+        + (N_ACC + 6 * c_win) * tile * tile * 4
     )
     return pl.pallas_call(
         partial(
